@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a warm-up action so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flightdb_spark.queries import load_registry
+from flightdb_spark.session import get_spark
+from flightdb_spark.tables import load_table
+
+# Headline set: one per operator family (agg scan, join chain, top-k join,
+# window derivation, as-of join, sessionization, geo, dedup, text, vector).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q08_enrichment_join",
+    "q10_topk_revenue_join",
+    "q13_derived_columns",
+    "q16_asof_join",
+    "q14_sessionize",
+    "q20_flown_distance",
+    "q23_waypoint_crossing",
+    "q30_minhash_signatures",
+    "q34_quality_score",
+    "q40_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    registry = load_registry()
+    spark = get_spark("flightdb_bench")
+
+    # warm-up: force JVM + parquet footer reads
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry.get(name)
+        if qd is None:
+            continue
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()  # full execution; avoids driver-side collect cost
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

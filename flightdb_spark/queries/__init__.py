@@ -1,0 +1,66 @@
+"""Query registry — the correctness-gated surface of the engine.
+
+Every operator from SURVEY.md §2 that we claim as implemented has an
+entry here: a callable ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are SQL-expressible) an equivalent ANSI-SQL oracle string the
+driver runs on DuckDB over the same parquet tables. Names and aliases
+match between the two sides — the driver's compare hashes values after
+sorting columns by name.
+
+This mirrors the reference's report registry (report/registry.go:19-37):
+self-registering analysis functions keyed by name.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+_MODULES = [
+    "relational",
+    "windows",
+    "geo",
+    "textops",
+    "vector",
+]
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_registry() -> dict[str, QueryDef]:
+    """Import all query modules (side effect: registration) and return the registry."""
+    for mod in _MODULES:
+        importlib.import_module(f"{__package__}.{mod}")
+    return REGISTRY
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in load_registry().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in load_registry().items() if qd.oracle is not None}

@@ -1,0 +1,65 @@
+"""Test-table loading and view registration.
+
+The driver provides a TPC-H-ish star schema plus ``events``,
+``documents`` and ``embeddings`` at /root/testdata/sf*/ (TESTDATA.md).
+Loading is plain ``spark.read.parquet`` — Catalyst handles predicate
+pushdown, column pruning and partition pruning from there; nothing in
+this engine hand-schedules scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The engine's timestamp semantics are UTC everywhere (the reference
+    # stores all times UTC, trackpoint.go:20). Pin the session time zone
+    # so timestamp literals and pandas conversion are stable no matter
+    # how the caller built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects.
+        # Read nanos as long and truncate to microseconds (integer `div`,
+        # not float division — epoch-nanos exceed 2^53). This matches
+        # DuckDB's ns→us truncation so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view named after the table."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

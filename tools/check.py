@@ -1,0 +1,122 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle over the same
+parquet tables, then compares row count, column names, and an
+order-insensitive canonical value hash (rows sorted, columns sorted by
+name). Reports exact-match / value-drift per query so float-precision
+issues surface locally before the driver sees them.
+
+Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from flightdb_spark.queries import load_registry
+from flightdb_spark.session import get_spark
+from flightdb_spark.tables import TABLE_NAMES
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps -> iso strings, floats -> repr
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            s = s.map(lambda v: repr(float(v)) if pd.notna(v) else "NaN")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        out[c] = s
+    res = pd.DataFrame(out)
+    res = res.sort_values(by=list(res.columns), kind="mergesort").reset_index(drop=True)
+    return res
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for _, row in df.iterrows():
+        h.update("|".join(str(v) for v in row).encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if sys.argv[1:] and not os.path.isdir(sys.argv[1]) else None)
+
+    registry = load_registry()
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, qd in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        if scols != ocols:
+            problems.append(f"cols {scols} vs {ocols}")
+        if not problems:
+            cs, co = canonicalize(sdf), canonicalize(odf)
+            hs, ho = value_hash(cs), value_hash(co)
+            if hs != ho:
+                # locate first differing cell for diagnosis
+                diff_note = "hash mismatch"
+                try:
+                    neq = (cs != co) & ~(cs.isna() & co.isna())
+                    loc = neq.stack()
+                    loc = loc[loc]
+                    if len(loc):
+                        (i, c) = loc.index[0]
+                        diff_note += f"; first diff row{i} col={c}: {cs.at[i, c]!r} vs {co.at[i, c]!r} ({int(neq.values.sum())} cells)"
+                except Exception as e:  # noqa: BLE001
+                    diff_note += f" (diff locate failed: {e})"
+                problems.append(diff_note)
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
