@@ -1,0 +1,347 @@
+"""Window-function surface: derived columns, sessionization, as-of joins.
+
+Maps the reference's per-track array algorithms (Track.PostProcess,
+track.go:187-226), METAR as-of lookup (metar/metar.go:94-119), level-
+flight runs (analysis/levelflight.go:29-76), trains sessionization
+(analysis/trains.go:35-106) and FIFOSet dedup (fifoset.go:10-63) onto
+Spark window functions — the set-based re-expression of what the
+reference computes one flight at a time in RAM.
+
+All time arithmetic uses integer epoch-microseconds so Spark and the
+DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+def _order():
+    """Deterministic per-key event ordering: ts then event_id tie-break."""
+    return [F.col("ts").asc(), F.col("event_id").asc()]
+
+
+@query(
+    "q13_derived_columns",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(dv / (dt_us / 1000000.0), 6) + 0.0 AS rate_per_sec,
+           dt_us,
+           ROUND(running_value, 2) AS running_value
+    FROM (
+      SELECT event_id, user_id,
+             value - LAG(value) OVER w AS dv,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE dt_us IS NOT NULL AND dt_us > 0
+    """,
+)
+def q13_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-window derived columns — the shape of Track.PostProcess
+    (track.go:187-226): Δvalue/Δt rate (≈ vertical_speed_fpm,
+    track.go:218) and a running cumulative sum (≈ dist_travelled_km,
+    track.go:216). One shuffle on the partition key; everything else is
+    whole-stage-codegen window evaluation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_order())
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("dv", F.col("value") - F.lag("value").over(w))
+        .withColumn("dt_us", us - F.lag(us).over(w))
+        .withColumn("running_value", F.sum("value").over(wrun))
+        .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            # + 0.0 normalizes IEEE -0.0 so both engines hash identically
+            (F.round(F.col("dv") / (F.col("dt_us") / 1_000_000.0), 6) + F.lit(0.0)).alias(
+                "rate_per_sec"
+            ),
+            "dt_us",
+            F.round(F.col("running_value"), 2).alias("running_value"),
+        )
+    )
+
+
+@query(
+    "q14_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           MAX(dur_us) AS max_dur_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization ("trains" of gate crossings,
+    analysis/trains.go:35-106; 30-min gap like the reference's timeslot
+    quantum): lag + cumulative-sum session ids, then per-session and
+    per-user rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_order())
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("dur_us").alias("max_dur_us"),
+    )
+
+
+@query(
+    "q15_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value BETWEEN 40 AND 60 THEN 1 ELSE 0 END AS in_band
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, in_band,
+             CASE WHEN in_band <> COALESCE(LAG(in_band) OVER w, -1) THEN 1 ELSE 0 END AS changed
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, in_band,
+             SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM changes
+    ),
+    islands AS (
+      SELECT user_id, run_id, COUNT(*) AS run_len
+      FROM runs WHERE in_band = 1
+      GROUP BY user_id, run_id
+    )
+    SELECT user_id, MAX(run_len) AS longest_run, COUNT(*) AS n_runs
+    FROM islands GROUP BY user_id
+    """,
+)
+def q15_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive in-band points — the
+    level-flight detector (analysis/levelflight.go:29-76: longest run with
+    |angle| ≤ tolerance). flag-change cumulative sum assigns run ids."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_order())
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.withColumn(
+        "in_band", ((F.col("value") >= 40) & (F.col("value") <= 60)).cast("int")
+    )
+    changed = F.when(
+        F.col("in_band") != F.coalesce(F.lag("in_band").over(w), F.lit(-1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = flagged.withColumn("run_id", F.sum(changed).over(wrun))
+    islands = (
+        runs.filter(F.col("in_band") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_run"), F.count(F.lit(1)).alias("n_runs")
+    )
+
+
+@query(
+    "q16_asof_join",
+    oracle="""
+    WITH ref AS (
+      SELECT date_trunc('hour', ts) AS hr, ts AS ref_ts, value AS ref_value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'signup'
+    ),
+    ref1 AS (SELECT hr, ref_ts, ref_value FROM ref WHERE rn = 1)
+    SELECT p.event_id,
+           CASE WHEN cur.ref_ts IS NOT NULL AND cur.ref_ts <= p.ts
+                THEN cur.ref_value ELSE prev.ref_value END AS asof_value,
+           CASE WHEN cur.ref_ts IS NOT NULL AND cur.ref_ts <= p.ts
+                THEN cur.ref_ts ELSE prev.ref_ts END AS asof_ts
+    FROM events p
+    LEFT JOIN ref1 cur  ON cur.hr  = date_trunc('hour', p.ts)
+    LEFT JOIN ref1 prev ON prev.hr = date_trunc('hour', p.ts) - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METAR-style as-of join with the hour-rewind rule
+    (metar/metar.go:94-100: reports land ~:56 past the hour, so if the
+    same-hour report is after t, rewind one hour). The hourly reference
+    table is tiny → broadcast twice (current hour + previous hour); the
+    fact side never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    wh = W.partitionBy("hr").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ref1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("hr", F.date_trunc("hour", F.col("ts")))
+        .withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select("hr", F.col("ts").alias("ref_ts"), F.col("value").alias("ref_value"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "hr", F.date_trunc("hour", F.col("ts"))
+    )
+    cur = ref1.select(
+        F.col("hr").alias("cur_hr"),
+        F.col("ref_ts").alias("cur_ts"),
+        F.col("ref_value").alias("cur_value"),
+    )
+    prev = ref1.select(
+        F.col("hr").alias("prev_hr"),
+        F.col("ref_ts").alias("prev_ts"),
+        F.col("ref_value").alias("prev_value"),
+    )
+    use_cur = F.col("cur_ts").isNotNull() & (F.col("cur_ts") <= F.col("ts"))
+    return (
+        p.join(F.broadcast(cur), p.hr == cur.cur_hr, "left")
+        .join(F.broadcast(prev), p.hr == F.col("prev_hr") + F.expr("INTERVAL 1 HOUR"), "left")
+        .select(
+            "event_id",
+            F.when(use_cur, F.col("cur_value")).otherwise(F.col("prev_value")).alias("asof_value"),
+            F.when(use_cur, F.col("cur_ts")).otherwise(F.col("prev_ts")).alias("asof_ts"),
+        )
+    )
+
+
+@query(
+    "q17_windowed_average",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 600000000 PRECEDING AND 600000000 FOLLOWING), 4)
+             AS win_avg,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 600000000 PRECEDING AND 600000000 FOLLOWING)
+             AS win_n
+    FROM events
+    """,
+)
+def q17_windowed_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered time-window average (WindowedAverageAt, track.go:530-574:
+    synthetic point = mean of all points within a centered window) as a
+    range-frame window over epoch-microseconds (±10 min)."""
+    ev = load_table(spark, sf_dir, "events")
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 600_000_000)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(wr), 4).alias("win_avg"),
+        F.count(F.lit(1)).over(wr).alias("win_n"),
+    )
+
+
+@query(
+    "q18_histogram_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS mean_value,
+           ROUND(STDDEV(value), 4) AS sd_value,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q18_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram summary stats (the report framework's histogram
+    accumulator: N, mean, stddev, p50, p90 — report/report.go:50,
+    224-230). Exact interpolated percentiles, not approx, to match the
+    oracle; at 100 TB swap to percentile_approx."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev("value"), 4).alias("sd_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
+@query(
+    "q19_value_banding",
+    oracle="""
+    SELECT CONCAT('B', LPAD(CAST(CAST(ROUND(value / 10.0, 0) AS BIGINT) * 10 AS VARCHAR), 5, '0'))
+             AS band,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q19_value_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding to nearest 10 with zero-padded label — altitude stacking
+    (analysis/altitudestacking.go:15-18: round to nearest 1000 ft band
+    string) and speed banding (report/listmatches.go:148-151)."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (F.round(F.col("value") / 10.0, 0).cast("bigint") * 10).cast("string")
+    return ev.groupBy(
+        F.concat(F.lit("B"), F.lpad(band, 5, "0")).alias("band")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q20_dedup_tumbling",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                             epoch_us(ts) // 7200000000
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def q20_dedup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recently-seen suppression (FIFOSet, fifoset.go:10-63: dedupe
+    registration:callsign for 2 h) re-expressed as keep-first per key per
+    2-hour tumbling window — the deterministic batch analog of
+    dropDuplicates-within-watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 7200000000")  # integer floor-div, matches DuckDB //
+    w = W.partitionBy("user_id", "event_type", bucket).orderBy(*_order())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
