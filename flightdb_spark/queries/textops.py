@@ -1,0 +1,393 @@
+"""Text-analysis and deduplication operators over the ``documents`` table.
+
+The LLM-data-pipeline extensions (BASELINE.json north star): exact
+dedup, MinHash signatures + LSH candidate pairs, n-gram Jaccard
+near-dup, SimHash, language scoring, quality scoring, token counting,
+document fingerprinting.
+
+Every hash is md5 (identical in Spark and DuckDB) so even MinHash/LSH
+is oracle-checkable — no engine-specific hash functions anywhere.
+At 100 TB these run as: shingle explode (flatMap, no shuffle) →
+per-doc aggregate (one shuffle on doc_id) → band-bucket self-join
+(shuffle on band hash, the LSH trick that avoids the O(n²) pair join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+# --- shared helpers -----------------------------------------------------------
+
+# Word 3-gram shingles, identical construction both engines (1-based slice).
+_SHINGLES_DUCK = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+)
+# Guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (DuckDB's range(1, 0)
+# is empty), so short docs need an explicit empty-array branch.
+_SHINGLES_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+    "ELSE transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
+)
+
+_MINHASH_SEEDS = [0, 1, 2, 3]
+
+_NORMALIZE_DUCK = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+_NORMALIZE_SPARK = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' '))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- exact dedup ---------------------------------------------------------------
+@query(
+    "q28_dedup_exact",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(DISTINCT md5({_NORMALIZE_DUCK})) AS n_distinct_norm
+    FROM documents GROUP BY source
+    """,
+)
+def q28_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (raw + normalized). The 100 TB shape:
+    groupBy(md5(text)) keeps one doc per hash — a single shuffle on the
+    hash, no pairwise comparison."""
+    docs = _docs(spark, sf_dir)
+    norm = F.expr(_NORMALIZE_SPARK)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.countDistinct(F.md5(norm)).alias("n_distinct_norm"),
+    )
+
+
+@query(
+    "q29_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORMALIZE_DUCK}) AS fingerprint,
+           substr(md5({_NORMALIZE_DUCK}), 1, 2) AS bucket
+    FROM documents
+    """,
+)
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: content hash of normalized text + a 256-way
+    shard bucket (prefix byte) for partition-parallel dedup at scale."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.expr(_NORMALIZE_SPARK))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 2).alias("bucket")
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5(concat('{s}:', sh))) AS minhash_{s}" for s in _MINHASH_SEEDS
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    )
+    SELECT doc_id,
+           {mins},
+           COUNT(DISTINCT sh) AS n_shingles
+    FROM shingled GROUP BY doc_id
+    """
+
+
+@query("q30_minhash_signatures", oracle=_minhash_oracle())
+def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word 3-gram shingles. Seeded md5 stands in
+    for the usual (a*x+b) mod p family so signatures are reproducible in
+    any engine. Explode → groupBy(doc_id): one shuffle."""
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
+        for s in _MINHASH_SEEDS
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs, F.countDistinct("sh").alias("n_shingles"))
+
+
+def _lsh_pairs_oracle() -> str:
+    mins = ", ".join(f"MIN(md5(concat('{s}:', sh))) AS minhash_{s}" for s in _MINHASH_SEEDS)
+    unions = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {s} AS band, minhash_{s} AS h FROM sigs" for s in _MINHASH_SEEDS
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {mins} FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {unions}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band) AS n_shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@query("q31_lsh_candidate_pairs", oracle=_lsh_pairs_oracle())
+def q31_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any MinHash band become candidate pairs.
+    The self-join is on (band, hash) — at 100 TB the join key is the
+    bucket, never the doc pair, so cost tracks collisions not n²."""
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
+            for s in _MINHASH_SEEDS
+        ]
+    )
+    bands = None
+    for s in _MINHASH_SEEDS:
+        b = sigs.select(
+            "doc_id", F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+    )
+
+
+# --- n-gram Jaccard near-dup -----------------------------------------------------
+@query(
+    "q32_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    probes AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 100 = 0),
+    inter AS (
+      SELECT p.doc_id AS doc_a, s.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM probes p JOIN shingled s ON p.sh = s.sh AND p.doc_id <> s.doc_id
+      GROUP BY p.doc_id, s.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.03
+    """,
+)
+def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity for probe docs vs the corpus: exact
+    set-overlap near-dup detection. The join is shingle-keyed (inverted
+    index), never a doc×doc cross join."""
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+    ).distinct()
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    probes = shingled.filter(F.col("doc_id") % 100 == 0).withColumnRenamed(
+        "doc_id", "probe_id"
+    )
+    inter = (
+        probes.join(
+            shingled, (probes.sh == shingled.sh) & (F.col("probe_id") != F.col("doc_id"))
+        )
+        .groupBy(F.col("probe_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.03)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash (shared SQL template, dialect-substituted) ---------------------------
+def _simhash_sql(dialect: str) -> str:
+    """16-bit SimHash over token md5s. `dialect` ∈ {'spark', 'duck'}."""
+    div = " div " if dialect == "spark" else " // "
+    toks = (
+        "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
+        if dialect == "spark"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    )
+    # hex → int for the first 4 hex chars of md5(tok)
+    hexpos = "(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{hexpos.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    bit_sums = ",\n             ".join(
+        f"SUM(((v{div}{1 << b}) % 2) * 2 - 1) AS s{b}" for b in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH toks AS ({toks}),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    vals AS (SELECT doc_id, {val} AS v FROM hashed),
+    sums AS (SELECT doc_id, {bit_sums} FROM vals GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM sums
+    """
+
+
+@query("q33_simhash", oracle=_simhash_sql("duck"))
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-bit majority vote over token hashes. Near-dup
+    docs differ in few bits; pairing is then a Hamming-ball bucket join.
+    One explode + one groupBy — the same SQL runs on both engines."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+# --- language scoring --------------------------------------------------------------
+_LANG_STOPWORDS = [
+    ("en", "the"), ("en", "a"), ("en", "of"), ("en", "and"),
+    ("de", "der"), ("de", "die"), ("de", "und"), ("de", "the"),
+    ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "a"),
+    ("es", "el"), ("es", "la"), ("es", "y"), ("es", "a"),
+]
+_LANG_VALUES = ", ".join(f"('{lg}', '{w}')" for lg, w in _LANG_STOPWORDS)
+
+
+@query(
+    "q34_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    stop(lang, w) AS (VALUES {_LANG_VALUES}),
+    scores AS (
+      SELECT t.doc_id, s.lang, COUNT(*) AS hits
+      FROM toks t JOIN stop s ON t.tok = s.w
+      GROUP BY t.doc_id, s.lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id,
+           COALESCE(r.lang, 'und') AS pred_lang,
+           COALESCE(r.hits, 0) AS hits,
+           d.lang AS label_lang
+    FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    """,
+)
+def q34_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by stopword-hit scoring (n-gram heuristic
+    family): tokens × broadcast stopword dim, argmax with deterministic
+    tie-break, 'und' when no stopword hits."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    stop = docs.sparkSession.createDataFrame(_LANG_STOPWORDS, ["lang", "w"])
+    scores = (
+        toks.join(F.broadcast(stop), toks.tok == stop.w)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id", F.col("lang").alias("label_lang"))
+        .join(best.select("doc_id", "lang", "hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "label_lang",
+        )
+    )
+
+
+# --- quality scoring ----------------------------------------------------------------
+@query(
+    "q35_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len
+    FROM feats
+    """,
+)
+def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: length, punctuation ratio, stopword
+    ratio, mean token length — the standard pre-training corpus filters,
+    all JVM-side string expressions (no UDF)."""
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length("text")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round((n_chars - n_tokens + 1).cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q36_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def q36_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter-runs / digit-runs / single symbols), distinct tokens."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_re_tokens"
+        ),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_distinct_tokens"),
+    )

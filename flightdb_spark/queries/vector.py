@@ -1,0 +1,223 @@
+"""Vector similarity search over the ``embeddings`` table.
+
+ANN operators for the LLM-data-pipeline surface: brute-force cosine
+top-k (the exactness baseline), all-pairs near-dup above a threshold,
+and hyperplane-LSH bucketed ANN (the 100 TB scale path: candidates
+come from a bucket equi-join, not an n² cross join).
+
+All arithmetic is double (embeddings cast float32→double first) and
+all similarity outputs are rounded to 6 dp with deterministic vec_id
+tie-breaks so Spark and DuckDB rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+TOP_K = 5
+DIM = 64
+N_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+# dot(a, b) as a Spark SQL expression over array<double>
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+_COS_SPARK = (
+    f"({_dot('a.v', 'b.v')}) / "
+    f"(sqrt({_dot('a.v', 'a.v')}) * sqrt({_dot('b.v', 'b.v')}))"
+)
+
+
+@query(
+    "q40_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact-ANN baseline. The probe set is
+    broadcast; similarity is a JVM-side `aggregate(zip_with(...))` fold —
+    no Python in the loop. At scale the corpus side stays partitioned and
+    each partition emits its local top-k before the final merge."""
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        e.alias("b")
+        .join(F.broadcast(probes).alias("a"), F.col("b.vec_id") != F.col("a.query_id"))
+        .select(
+            "query_id",
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(
+                    f"({_dot('qv', 'v')}) / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('v', 'v')}))"
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "q41_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.label = b.label AS same_label,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim, same_label
+    FROM pairs WHERE cos_sim >= 0.3
+    """,
+)
+def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold — the
+    semantic-dedup primitive. Exact all-pairs here (correctness anchor);
+    q42 is the LSH-bucketed variant that scales."""
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("label").alias("la")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("label").alias("lb")
+    )
+    cos = F.expr(
+        f"({_dot('va', 'vb')}) / (sqrt({_dot('va', 'va')}) * sqrt({_dot('vb', 'vb')}))"
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cos, 6).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+# --- hyperplane LSH ANN ------------------------------------------------------------
+# Deterministic integer "hyperplanes": w[p][d] = ((p*67 + d*13) % 19) - 9,
+# the same formula in both engines (no RNG → reproducible buckets).
+def _plane_dot_duck(p: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"d -> v[d] * ((({p} * 67 + (d - 1) * 13) % 19) - 9)))"
+    )
+
+
+def _plane_dot_spark(p: int, v: str = "v") -> str:
+    return (
+        f"aggregate(transform(sequence(0, {DIM - 1}), "
+        f"d -> element_at({v}, d + 1) * ((({p} * 67 + d * 13) % 19) - 9)), "
+        f"0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_duck() -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_duck(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
+def _bucket_spark(v: str = "v") -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_spark(p, v)} >= 0D THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
+@query(
+    "q42_lsh_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_bucket_duck()} AS bucket FROM e),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q42_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: 8 sign-of-dot-product bits → 256 buckets;
+    candidates share a bucket (equi-join on bucket id — shuffles on the
+    bucket key, never materializes n² pairs), then exact cosine re-rank.
+    Deterministic integer planes replace RNG so any engine reproduces
+    the same buckets."""
+    e = _emb(spark, sf_dir)
+    bucketed = e.withColumn("bucket", F.expr(_bucket_spark()))
+    a = bucketed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(a),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(
+                    f"({_dot('qv', 'v')}) / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('v', 'v')}))"
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
