@@ -1,0 +1,267 @@
+"""Flight-domain core: callsign/idspec codecs, FOIA ingest, derived
+columns, geo-restrictor intersection goldens.
+
+The geometry cases mirror the *scenarios* of the reference's
+intersectabletrack tests (synthetic tracks vs boxes/planes/altitude
+bands, asserting entry/exit indices — intersectabletrack_test.go:35-363)
+re-expressed against our own fixtures and index convention.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flightdb_spark.functions.callsign import callsign_type, normalized_callsign
+from flightdb_spark.functions.idspec import IdSpec, classify_id, parse_idspec
+from flightdb_spark.operators.derived import with_derived_columns, sanity_filter
+from flightdb_spark.operators.intersect import (
+    Restrictor,
+    crawl_track,
+    intersect_tracks,
+    satisfies_set,
+)
+from flightdb_spark.sources.foia import ingest_foia
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+# --- callsign golden table (FIXTURES.md §8, callsign_test.go) -----------------
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("SWA3848", "IcaoFlightNumber"),
+        ("N839AL", "Registration"),
+        ("4517", "BareFlightNumber"),
+        ("00000000", "JunkCallsign"),
+        ("????????", "JunkCallsign"),
+        ("", "JunkCallsign"),
+        ("AAL353X", "IcaoFlightNumber"),  # ATC suffix
+    ],
+)
+def test_callsign_classification(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], ["cs"])
+    got = df.select(callsign_type(F.col("cs")).alias("t")).first()["t"]
+    assert got == expected
+
+
+def test_callsign_normalization(spark):
+    df = spark.createDataFrame(
+        [("SWA0123", "XXX"), ("4517", "SWA"), ("N839AL", "SWA")],
+        ["cs", "prefix"],
+    )
+    got = [
+        r["n"]
+        for r in df.select(
+            normalized_callsign(F.col("cs"), F.col("prefix")).alias("n")
+        ).collect()
+    ]
+    assert got == ["SWA123", "SWA4517", "N839AL"]
+
+
+# --- idspec codec goldens (FIXTURES.md §9, idspec.go) --------------------------
+def test_idspec_parse_epoch():
+    s = parse_idspec("A23A23@1412312312")
+    assert s.kind == "icao" and s.end is None
+    assert int(s.start.timestamp()) == 1412312312
+    assert s.to_string() == "A23A23@1412312312"
+
+
+def test_idspec_parse_range_and_rfc3339():
+    r = parse_idspec("UAL123@1412312312:1412315999")
+    assert r.kind == "callsign" and r.end is not None
+    t = parse_idspec("N1234S@2006-01-02T15:04:05Z")
+    assert t.kind == "registration"
+    assert t.start == datetime(2006, 1, 2, 15, 4, 5, tzinfo=timezone.utc)
+
+
+def test_idspec_hex_ambiguity():
+    # 6-hex-digit string is always an icao id (idspec.go:79-87)
+    assert classify_id("A23A23") == "icao"
+    assert classify_id("ABC123") == "icao"  # even though it looks like a callsign
+    assert classify_id("N123AB") == "registration"
+
+
+# --- FOIA ingest ----------------------------------------------------------------
+def test_foia_ingest(spark, tmp_path):
+    flights, points = ingest_foia(spark, os.path.join(FIXTURES, "foia.csv"))
+    fl = {r["flight_id"]: r for r in flights.collect()}
+    # same AIRCRAFT_ID, different FLIGHT_INDEX → two distinct flights
+    assert len(fl) == 3
+    f1 = fl["AAA1234_20170401260"]
+    assert f1["orig"] == "SFO" and f1["dest"] == "LAX"
+    assert f1["callsign_prefix"] == "AAA" and f1["number"] == 1234
+    assert "FOIA" in f1["tags"] and "AL" in f1["tags"]
+    assert "SFO:" in f1["tags"] and ":LAX" in f1["tags"] and ":NORCAL:" in f1["tags"]
+    f3 = fl["N839AL_20170401500"]
+    assert f3["registration"] == "N839AL" and "GA" in f3["tags"]
+    # trackpoints: altitude ×100, UTC timestamps, midnight straddle intact
+    pts = points.filter(F.col("flight_id") == "N839AL_20170401500").orderBy("ts").collect()
+    assert [p["alt_ft"] for p in pts] == [500.0, 700.0]
+    assert pts[0]["ts"].day == 1 and pts[1]["ts"].day == 2
+    # write path: date-partitioned parquet round-trips
+    out = str(tmp_path / "lake")
+    ingest_foia(spark, os.path.join(FIXTURES, "foia.csv"), out_dir=out)
+    assert spark.read.parquet(f"{out}/flights").count() == 3
+    assert spark.read.parquet(f"{out}/trackpoints").count() == 7
+
+
+# --- derived columns --------------------------------------------------------------
+def _mk_tp(spark, rows):
+    return spark.createDataFrame(
+        rows, "flight_id string, track string, ts timestamp, lat double, lon double, "
+        "alt_ft double, groundspeed_kt double"
+    )
+
+
+def test_derived_columns_constant_speed(spark):
+    # ~0.01° lat per 10 s ≈ 1.1132 km per step, constant climb 600 ft/min
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("f1", "FOIA", t0.replace(second=s), 37.0 + 0.001 * s, -122.0, 1000.0 + s * 10, None)
+        for s in range(0, 50, 10)
+    ]
+    out = with_derived_columns(_mk_tp(spark, rows)).orderBy("ts").collect()
+    assert out[0]["step_km"] is None
+    step = out[1]["step_km"]
+    assert step == pytest.approx(0.01 * 111.19, rel=0.01)  # 0.01° lat ≈ 1.112 km
+    # derived groundspeed for FOIA: km / h / 1.852 → knots
+    assert out[1]["groundspeed_kt"] == pytest.approx(step / (10 / 3600) / 1.852, rel=1e-9)
+    assert out[1]["vertical_speed_fpm"] == pytest.approx(100 / (10 / 60), rel=1e-9)  # 600 fpm
+    assert out[-1]["dist_travelled_km"] == pytest.approx(4 * step, rel=1e-6)
+    # angle of inclination: atan2(100 ft in km, step)
+    assert out[1]["angle_of_inclination"] == pytest.approx(
+        np.degrees(np.arctan2(100 * 0.0003048, step)), rel=1e-9
+    )
+
+
+def test_sanity_filter_drops_teleport(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("f1", "ADSB", t0.replace(second=0), 37.00, -122.0, 1000.0, 250.0),
+        ("f1", "ADSB", t0.replace(second=10), 37.01, -122.0, 1000.0, 250.0),
+        ("f1", "ADSB", t0.replace(second=20), 40.00, -122.0, 1000.0, 250.0),  # ~332km in 10s
+        ("f1", "ADSB", t0.replace(second=30), 37.02, -122.0, 1000.0, 250.0),
+    ]
+    out = sanity_filter(_mk_tp(spark, rows))
+    lats = [r["lat"] for r in out.orderBy("ts").collect()]
+    assert 40.00 not in lats and len(lats) == 3
+
+
+# --- restrictor crawl goldens -------------------------------------------------------
+BOX = Restrictor(gr_type="squarebox", center_lat=37.5, center_lon=-122.0, side_km=20.0)
+
+
+def _track(*pts):
+    lats = np.array([p[0] for p in pts])
+    lons = np.array([p[1] for p in pts])
+    alts = np.array([p[2] if len(p) > 2 else 5000.0 for p in pts])
+    return lats, lons, alts
+
+
+def test_crawl_enter_and_exit():
+    # 20 km box ⇒ half-extent ≈ 0.0898° lat; track crosses north-south
+    tr = _track((37.3, -122.0), (37.45, -122.0), (37.5, -122.0), (37.55, -122.0), (37.7, -122.0))
+    i, j, hit = crawl_track(*tr, BOX)
+    assert hit and (i, j) == (1, 4)  # 37.45 inside (|Δ|=0.05 < 0.0898); 37.7 first outside
+
+
+def test_crawl_started_inside():
+    tr = _track((37.5, -122.0), (37.52, -122.0), (37.8, -122.0))
+    i, j, hit = crawl_track(*tr, BOX)
+    assert hit and i == 0 and j == 2
+
+
+def test_crawl_fell_off_end_inside():
+    tr = _track((37.2, -122.0), (37.49, -122.0), (37.5, -122.0))
+    i, j, hit = crawl_track(*tr, BOX)
+    assert hit and i == 1 and j == 2  # never leaves → exit = last index
+
+
+def test_crawl_single_point():
+    inside = _track((37.5, -122.0))
+    outside = _track((36.0, -122.0))
+    assert crawl_track(*inside, BOX) == (0, 0, True)
+    assert crawl_track(*outside, BOX) == (-1, -1, False)
+
+
+def test_crawl_flythrough_segment():
+    # both endpoints outside, segment passes straight through the box
+    tr = _track((37.2, -122.0), (37.8, -122.0))
+    i, j, hit = crawl_track(*tr, BOX)
+    assert hit and i == 0 and j == 1
+
+
+def test_crawl_miss():
+    tr = _track((36.0, -120.0), (36.1, -120.1))
+    assert crawl_track(*tr, BOX) == (-1, -1, False)
+
+
+def test_crawl_altitude_band():
+    banded = Restrictor(
+        gr_type="squarebox", center_lat=37.5, center_lon=-122.0, side_km=20.0,
+        alt_min=3000, alt_max=8000,
+    )
+    tr_in = _track((37.3, -122.0), (37.5, -122.0, 5000.0), (37.7, -122.0))
+    tr_below = _track((37.3, -122.0, 1000.0), (37.5, -122.0, 1000.0), (37.7, -122.0, 1000.0))
+    assert crawl_track(*tr_in, banded)[2] is True
+    assert crawl_track(*tr_below, banded)[2] is False
+
+
+def test_crawl_vertical_plane():
+    gate = Restrictor(
+        gr_type="verticalplane",
+        start_lat=37.5, start_lon=-122.2, end_lat=37.5, end_lon=-121.8,
+    )
+    crossing = _track((37.4, -122.0), (37.6, -122.0))  # crosses the gate line
+    parallel = _track((37.4, -122.0), (37.4, -121.5))
+    i, j, hit = crawl_track(*crossing, gate)
+    assert hit and (i, j) == (0, 1)
+    assert crawl_track(*parallel, gate)[2] is False
+
+
+def test_crawl_polygon():
+    tri = Restrictor(
+        gr_type="polygon",
+        poly=((37.4, -122.1), (37.6, -122.1), (37.5, -121.9)),
+    )
+    inside = _track((37.3, -122.0), (37.5, -122.05), (37.5, -121.5))
+    assert crawl_track(*inside, tri)[2] is True
+    assert crawl_track(*_track((36.0, -120.0), (36.1, -120.0)), tri)[2] is False
+
+
+def test_intersect_tracks_and_set_logic(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # f_cross crosses the box; f_miss stays away
+    for s, lat in enumerate([37.3, 37.5, 37.7]):
+        rows.append(("f_cross", t0.replace(minute=s), lat, -122.0, 5000.0))
+    for s, lat in enumerate([36.0, 36.1, 36.2]):
+        rows.append(("f_miss", t0.replace(minute=s), lat, -120.0, 5000.0))
+    tp = spark.createDataFrame(
+        rows, "flight_id string, ts timestamp, lat double, lon double, alt_ft double"
+    )
+    excluder = Restrictor(
+        gr_type="squarebox", center_lat=36.1, center_lon=-120.0, side_km=50.0,
+        is_excluding=True,
+    )
+    outcomes = intersect_tracks(tp, [BOX, excluder], prefilter=False)
+    got = {(r["flight_id"], r["restrictor_idx"]): r for r in outcomes.collect()}
+    assert got[("f_cross", 0)]["satisfied"] is True
+    assert got[("f_cross", 0)]["i_entry"] == 1
+    assert got[("f_cross", 1)]["satisfied"] is True  # excluder: not hit → satisfied
+    assert got[("f_miss", 0)]["satisfied"] is False
+    assert got[("f_miss", 1)]["satisfied"] is False  # hit the excluder → unsatisfied
+
+    verdict = {r["flight_id"]: r for r in satisfies_set(outcomes, "all").collect()}
+    assert verdict["f_cross"]["satisfies_set"] is True
+    assert verdict["f_miss"]["satisfies_set"] is False
+    assert verdict["f_miss"]["blame_idx"] == 0  # first failing restrictor
+
+    # bbox prefilter drops f_miss before Python for the non-excluding box
+    pruned = intersect_tracks(tp, [BOX], prefilter=True)
+    assert {r["flight_id"] for r in pruned.collect()} == {"f_cross"}
