@@ -265,3 +265,35 @@ def test_intersect_tracks_and_set_logic(spark):
     # bbox prefilter drops f_miss before Python for the non-excluding box
     pruned = intersect_tracks(tp, [BOX], prefilter=True)
     assert {r["flight_id"] for r in pruned.collect()} == {"f_cross"}
+
+
+# --- METAR as-of join + indicated altitude -----------------------------------
+def test_metar_asof_and_indicated_altitude(spark):
+    from flightdb_spark.operators.metar import asof_join_metar, with_indicated_altitude
+
+    # reports at :56 past the hour (metar.go:94: "generally at 56m past")
+    metars = spark.createDataFrame(
+        [
+            ("KSFO", datetime(2024, 1, 1, 11, 56), 30.12, "raw11"),
+            ("KSFO", datetime(2024, 1, 1, 12, 56), 29.80, "raw12"),
+            ("KOAK", datetime(2024, 1, 1, 12, 56), 28.00, "rawX"),
+        ],
+        "station string, report_time timestamp, altimeter_inhg double, raw string",
+    )
+    tp = spark.createDataFrame(
+        [
+            ("f1", datetime(2024, 1, 1, 12, 30), 5000.0),  # before 12:56 -> rewind to 11:56
+            ("f1", datetime(2024, 1, 1, 12, 58), 5000.0),  # after 12:56 -> use 12:56
+            ("f1", datetime(2024, 1, 1, 14, 0), 5000.0),   # no report for 14h or 13h -> null
+        ],
+        "flight_id string, ts timestamp, alt_ft double",
+    )
+    out = with_indicated_altitude(asof_join_metar(tp, metars, station="KSFO"))
+    rows = {r["ts"].hour * 100 + r["ts"].minute: r for r in out.collect()}
+    assert rows[1230]["altimeter_inhg"] == 30.12      # rewound one hour
+    assert rows[1258]["altimeter_inhg"] == 29.80      # current hour, already published
+    assert rows[1400]["altimeter_inhg"] is None       # nothing to rewind to
+    # indicated = alt + 1000*(inHg - 29.9213); missing METAR keeps pressure alt
+    assert rows[1230]["indicated_alt_ft"] == pytest.approx(5000 + 1000 * (30.12 - 29.9213))
+    assert rows[1258]["indicated_alt_ft"] == pytest.approx(5000 + 1000 * (29.80 - 29.9213))
+    assert rows[1400]["indicated_alt_ft"] == 5000.0
