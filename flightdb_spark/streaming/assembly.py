@@ -1,0 +1,288 @@
+"""Fragment → flight assembly — the reference's streaming ingest path.
+
+The reference consumes TrackFragments (a batch of ADSB/MLAT points for
+one airframe, trackfragment.go:14-19) and glues each onto the most
+recent flight for that icao, or starts a new flight
+(fgae/addtrackfragment.go:36-143). The accept/reject rules
+(PlausibleContribution, track.go:443-476):
+
+  - fragment strictly after the track:  accept iff gap <= 10 min
+    (kExtensionMaxGap, track.go:25);
+  - fragment strictly before the track (out-of-order delivery): accept
+    iff gap <= 30 min (3x, track.go:454-462);
+  - time overlap: accept iff the tracks also overlap in space
+    (track.go:464-476 — the reference compares contiguous-box covers,
+    track.go:376-402; we use padded bounding-box overlap, which is the
+    same test at box-granularity 1).
+
+ADSB and MLAT accumulate into *separate* tracks of one flight; the
+"current accumulation track" is the most recently updated of the two
+(addtrackfragment.go:15-31). Callsigns backfill when they first appear
+(addtrackfragment.go:77-80). Flight identity is deterministic:
+icao + first-point epoch, so double-delivery dedupes
+(fgae/db.go:171-182).
+
+The decision core is pure Python over one airframe's fragments, reused
+by BOTH the batch re-assembly job (groupBy(icao).applyInPandas — one
+Arrow batch per airframe) and the Structured Streaming wrapper
+(applyInPandasWithState keyed by icao, state = the open flight). This
+is the "build batch first, reuse in state fn" mitigation from
+SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXTENSION_MAX_GAP_S = 600.0  # kExtensionMaxGap = 10 min (track.go:25)
+PREFIX_MAX_GAP_S = 3 * EXTENSION_MAX_GAP_S  # track.go:454-462
+SPACE_PAD_DEG = 0.05  # bbox pad for the space-overlap test
+
+
+@dataclass
+class _Track:
+    ts: list = field(default_factory=list)  # epoch seconds, ascending after merge
+    lat: list = field(default_factory=list)
+    lon: list = field(default_factory=list)
+    alt: list = field(default_factory=list)
+
+    def merge(self, ts, lat, lon, alt):
+        """Merge + stable sort by timestamp (Track.Merge, track.go:266-271)."""
+        self.ts.extend(ts)
+        self.lat.extend(lat)
+        self.lon.extend(lon)
+        self.alt.extend(alt)
+        order = np.argsort(np.asarray(self.ts), kind="stable")
+        self.ts = [self.ts[i] for i in order]
+        self.lat = [self.lat[i] for i in order]
+        self.lon = [self.lon[i] for i in order]
+        self.alt = [self.alt[i] for i in order]
+
+
+@dataclass
+class OpenFlight:
+    icao: str
+    callsign: str = ""
+    tracks: dict = field(default_factory=dict)  # source -> _Track
+    last_updated: dict = field(default_factory=dict)  # source -> seq no
+
+    @property
+    def first_epoch(self) -> float:
+        return min(t.ts[0] for t in self.tracks.values() if t.ts)
+
+    @property
+    def flight_id(self) -> str:
+        # deterministic child key (fgae/db.go:171-182)
+        return f"{self.icao}_{int(self.first_epoch)}"
+
+    def accumulation_track(self) -> _Track | None:
+        """Most recently updated of ADSB/MLAT
+        (currentAccumulationTrack, addtrackfragment.go:15-31)."""
+        live = {s: t for s, t in self.tracks.items() if t.ts}
+        if not live:
+            return None
+        s = max(live, key=lambda s: self.last_updated.get(s, -1))
+        return live[s]
+
+
+def _time_disposition(t1: _Track, ts2: list) -> tuple[str, float]:
+    t1s, t1e = t1.ts[0], t1.ts[-1]
+    t2s, t2e = ts2[0], ts2[-1]
+    if t2e < t1s:
+        return "before", t1s - t2e
+    if t2s > t1e:
+        return "after", t2s - t1e
+    return "overlap", 0.0
+
+
+def _bbox_overlap(t1: _Track, lat2, lon2, pad: float = SPACE_PAD_DEG) -> bool:
+    a = (min(t1.lat) - pad, max(t1.lat) + pad, min(t1.lon) - pad, max(t1.lon) + pad)
+    b = (min(lat2), max(lat2), min(lon2), max(lon2))
+    return a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]
+
+
+def plausible_contribution(t1: _Track, ts2, lat2, lon2) -> bool:
+    """PlausibleContribution (track.go:443-476)."""
+    kind, gap = _time_disposition(t1, ts2)
+    if kind == "after":
+        return gap <= EXTENSION_MAX_GAP_S
+    if kind == "before":
+        return gap <= PREFIX_MAX_GAP_S
+    return _bbox_overlap(t1, lat2, lon2)
+
+
+def process_fragments(
+    frags: list[dict], flights: list[OpenFlight] | None = None, seq0: int = 0
+) -> list[OpenFlight]:
+    """Assemble one airframe's fragments (arrival order) into flights.
+
+    Each frag: {source, callsign, ts[], lat[], lon[], alt[]} with ts
+    ascending within the frag (MessagesToTrackFragment sorts,
+    trackfragment.go:21-42). Returns finalized + still-open flights,
+    oldest first. Mirrors AddTrackFragment's control flow
+    (addtrackfragment.go:36-108). `flights`/`seq0` seed the scan with
+    an already-open flight (the streaming state)."""
+    flights = flights if flights is not None else []
+    seq = seq0
+    for fr in frags:
+        seq += 1
+        src = fr["source"]
+        f = flights[-1] if flights else None  # LookupMostRecent by icao
+        if f is not None:
+            acc = f.accumulation_track()
+            if acc is None or plausible_contribution(acc, fr["ts"], fr["lat"], fr["lon"]):
+                if not f.callsign and fr.get("callsign"):
+                    f.callsign = fr["callsign"]  # backfill (addtrackfragment.go:77-80)
+                f.tracks.setdefault(src, _Track()).merge(
+                    fr["ts"], fr["lat"], fr["lon"], fr["alt"]
+                )
+                f.last_updated[src] = seq
+                continue
+        nf = OpenFlight(icao=fr["icao"], callsign=fr.get("callsign") or "")
+        nf.tracks[src] = _Track()
+        nf.tracks[src].merge(fr["ts"], fr["lat"], fr["lon"], fr["alt"])
+        nf.last_updated[src] = seq
+        flights.append(nf)
+    return flights
+
+
+# ---------------------------------------------------------------------------
+# Batch wrapper: re-assemble a lake of fragment points
+# ---------------------------------------------------------------------------
+
+ASSEMBLED_SCHEMA = (
+    "flight_id string, icao_id string, callsign string, track string, "
+    "ts timestamp, lat double, lon double, alt_ft double"
+)
+
+
+def _pdf_to_frags(pdf: pd.DataFrame) -> list[dict]:
+    frags = []
+    for _frag_id, g in pdf.groupby("frag_idx", sort=True):
+        g = g.sort_values("ts", kind="mergesort")
+        frags.append(
+            {
+                "icao": g["icao_id"].iloc[0],
+                "source": g["track"].iloc[0],
+                "callsign": next((c for c in g["callsign"] if c), ""),
+                "ts": (g["ts"].astype("int64") / 1e9).tolist(),
+                "lat": g["lat"].tolist(),
+                "lon": g["lon"].tolist(),
+                "alt": g["alt_ft"].tolist(),
+            }
+        )
+    return frags
+
+
+def _flights_to_pdf(flights: list[OpenFlight]) -> pd.DataFrame:
+    rows = []
+    for f in flights:
+        fid = f.flight_id
+        for src, t in f.tracks.items():
+            for i in range(len(t.ts)):
+                rows.append(
+                    (fid, f.icao, f.callsign, src,
+                     pd.Timestamp(t.ts[i], unit="s"), t.lat[i], t.lon[i], t.alt[i])
+                )
+    return pd.DataFrame(
+        rows,
+        columns=["flight_id", "icao_id", "callsign", "track", "ts", "lat", "lon", "alt_ft"],
+    )
+
+
+def assemble_batch(fragment_points: DataFrame) -> DataFrame:
+    """Batch assembly: fragment points (icao_id, frag_idx, track,
+    callsign, ts, lat, lon, alt_ft) → flight-assigned trackpoints.
+    One Arrow group per airframe — exactly the reference's per-icao
+    serialization, but all airframes in parallel."""
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _flights_to_pdf(process_fragments(_pdf_to_frags(pdf)))
+
+    return fragment_points.groupBy("icao_id").applyInPandas(_assemble, ASSEMBLED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming wrapper: applyInPandasWithState keyed by icao
+# ---------------------------------------------------------------------------
+
+# State = the one open flight per airframe, as JSON (tracks are a few
+# thousand points; well under state-store limits).
+STATE_SCHEMA = "js string"
+CLOSE_GAP_MS = 30 * 60 * 1000  # close a flight 30 min after last update (SURVEY §2.9)
+
+
+def _flight_to_json(f: OpenFlight) -> str:
+    return json.dumps(
+        {
+            "icao": f.icao,
+            "callsign": f.callsign,
+            "last_updated": f.last_updated,
+            "tracks": {
+                s: {"ts": t.ts, "lat": t.lat, "lon": t.lon, "alt": t.alt}
+                for s, t in f.tracks.items()
+            },
+        }
+    )
+
+
+def _flight_from_json(js: str) -> OpenFlight:
+    d = json.loads(js)
+    f = OpenFlight(icao=d["icao"], callsign=d["callsign"])
+    f.last_updated = {k: int(v) for k, v in d["last_updated"].items()}
+    for s, t in d["tracks"].items():
+        tr = _Track()
+        tr.ts, tr.lat, tr.lon, tr.alt = t["ts"], t["lat"], t["lon"], t["alt"]
+        f.tracks[s] = tr
+    return f
+
+
+def assemble_stream(fragment_points: DataFrame) -> DataFrame:
+    """Streaming assembly: fragment points → finalized flights' points.
+
+    State machine per icao (applyInPandasWithState): merge arriving
+    fragments via process_fragments seeded with the open flight; when a
+    fragment starts a NEW flight, the previous one is finalized and
+    emitted; a processing-time timeout (30 min — the watermark-ish
+    staleness bound, SURVEY §2.9) flushes the open flight. Input must
+    carry the same columns as assemble_batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fn(key, pdfs, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                (js,) = state.get
+                out.append(_flights_to_pdf([_flight_from_json(js)]))
+                state.remove()
+        else:
+            open_f = None
+            if state.exists:
+                (js,) = state.get
+                open_f = _flight_from_json(js)
+            frags = []
+            for pdf in pdfs:
+                frags.extend(_pdf_to_frags(pdf))
+            seed = [open_f] if open_f else []
+            seq0 = max(open_f.last_updated.values(), default=0) if open_f else 0
+            assembled = process_fragments(frags, seed, seq0)
+            for f in assembled[:-1]:  # all but the newest are closed
+                out.append(_flights_to_pdf([f]))
+            state.update((_flight_to_json(assembled[-1]),))
+            state.setTimeoutDuration(CLOSE_GAP_MS)
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return fragment_points.groupBy("icao_id").applyInPandasWithState(
+        _fn,
+        outputStructType=ASSEMBLED_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

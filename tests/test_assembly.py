@@ -1,0 +1,171 @@
+"""Fragment→flight assembly: the reference's gluing scenarios
+(track_test.go:13-141 PlausibleExtension table) and the
+misordered-fragments regression (addtrackfragment_test.go:21-125 — many
+out-of-order fragments must assemble into exactly ONE flight)."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flightdb_spark.streaming.assembly import (
+    EXTENSION_MAX_GAP_S,
+    assemble_batch,
+    assemble_stream,
+    process_fragments,
+)
+
+E0 = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc).timestamp()
+
+
+def frag(t0, n=5, dt=10.0, lat0=37.0, dlat=0.001, source="ADSB", callsign="", icao="A23A23"):
+    return {
+        "icao": icao,
+        "source": source,
+        "callsign": callsign,
+        "ts": [t0 + i * dt for i in range(n)],
+        "lat": [lat0 + i * dlat for i in range(n)],
+        "lon": [-122.0] * n,
+        "alt": [5000.0] * n,
+    }
+
+
+# --- gluing scenario table (track_test.go) ------------------------------------
+def test_contiguous_fragments_glue():
+    fl = process_fragments([frag(E0), frag(E0 + 60)])
+    assert len(fl) == 1 and len(fl[0].tracks["ADSB"].ts) == 10
+
+
+def test_too_slow_gap_starts_new_flight():
+    fl = process_fragments([frag(E0), frag(E0 + EXTENSION_MAX_GAP_S + 120)])
+    assert len(fl) == 2
+
+
+def test_from_the_past_prefix_within_3x_gap():
+    # out-of-order prefix fragment: tolerated up to 3x gap (track.go:454-462)
+    fl = process_fragments([frag(E0), frag(E0 - 1500)])  # 25 min before
+    assert len(fl) == 1
+    assert fl[0].tracks["ADSB"].ts[0] == E0 - 1500  # merged + resorted
+
+
+def test_prefix_too_old_rejected():
+    fl = process_fragments([frag(E0), frag(E0 - 3 * EXTENSION_MAX_GAP_S - 120)])
+    assert len(fl) == 2
+
+
+def test_misordered_overlapping_same_space_glues():
+    # time-overlapping fragment in the same airspace: space overlap -> glue
+    fl = process_fragments([frag(E0, n=10), frag(E0 + 20, lat0=37.002)])
+    assert len(fl) == 1
+
+
+def test_overlap_disjoint_space_new_flight():
+    # same time window, 2 degrees away: no space overlap -> new flight
+    fl = process_fragments([frag(E0, n=10), frag(E0 + 20, lat0=39.5)])
+    assert len(fl) == 2
+
+
+def test_adsb_mlat_accumulate_separately():
+    fl = process_fragments(
+        [frag(E0), frag(E0 + 60, source="MLAT"), frag(E0 + 120, source="ADSB")]
+    )
+    assert len(fl) == 1
+    assert set(fl[0].tracks) == {"ADSB", "MLAT"}
+    assert len(fl[0].tracks["ADSB"].ts) == 10 and len(fl[0].tracks["MLAT"].ts) == 5
+
+
+def test_callsign_backfill():
+    # MLAT callsigns take a while to show up (addtrackfragment.go:77-80)
+    fl = process_fragments([frag(E0), frag(E0 + 60, callsign="UAL123")])
+    assert fl[0].callsign == "UAL123"
+
+
+def test_deterministic_flight_id():
+    fl = process_fragments([frag(E0 + 60), frag(E0 - 120)])  # prefix merge
+    assert fl[0].flight_id == f"A23A23_{int(E0 - 120)}"
+
+
+# --- misordered-fragments regression ------------------------------------------
+def test_misordered_regression_one_flight():
+    """196-fragment analog: a 30-min flight chopped into 1-min fragments,
+    delivered with local shuffling — must assemble into exactly 1 flight."""
+    frags = [frag(E0 + 60 * i, n=6, dt=10.0, lat0=37.0 + 0.01 * i) for i in range(30)]
+    rng = random.Random(42)
+    # swap adjacent pairs randomly (delivery jitter; gaps stay < 30 min)
+    for i in range(0, 28, 2):
+        if rng.random() < 0.5:
+            frags[i], frags[i + 1] = frags[i + 1], frags[i]
+    fl = process_fragments(frags)
+    assert len(fl) == 1
+    ts = fl[0].tracks["ADSB"].ts
+    assert ts == sorted(ts) and len(ts) == 180
+
+
+# --- batch wrapper -------------------------------------------------------------
+def _frag_points_df(spark, frags):
+    rows = []
+    for idx, fr in enumerate(frags):
+        for i in range(len(fr["ts"])):
+            rows.append(
+                (fr["icao"], idx, fr["source"], fr["callsign"],
+                 datetime.fromtimestamp(fr["ts"][i], tz=timezone.utc),
+                 fr["lat"][i], fr["lon"][i], fr["alt"][i])
+            )
+    return spark.createDataFrame(
+        rows,
+        "icao_id string, frag_idx long, track string, callsign string, "
+        "ts timestamp, lat double, lon double, alt_ft double",
+    )
+
+
+def test_assemble_batch(spark):
+    frags = (
+        [frag(E0 + 60 * i) for i in range(3)]  # flight 1
+        + [frag(E0 + 7200 + 60 * i, icao="A23A23") for i in range(2)]  # 2h later: flight 2
+        + [frag(E0 + 60 * i, icao="ABC999", callsign="SWA1") for i in range(3)]
+    )
+    out = assemble_batch(_frag_points_df(spark, frags))
+    flights = {r["flight_id"]: r for r in
+               out.groupBy("flight_id", "icao_id", "callsign").count().collect()}
+    assert len(flights) == 3
+    a = [k for k in flights if k.startswith("A23A23")]
+    assert len(a) == 2
+    sw = flights[f"ABC999_{int(E0)}"]
+    assert sw["callsign"] == "SWA1" and sw["count"] == 15
+
+
+# --- streaming smoke -----------------------------------------------------------
+def test_assemble_stream_smoke(spark, tmp_path):
+    """applyInPandasWithState wiring: feed two micro-batch directories,
+    second fragment starts a new flight (2h gap) which closes flight 1
+    and emits its points."""
+    src = tmp_path / "frags"
+    out_dir = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    df1 = _frag_points_df(spark, [frag(E0 + 60 * i) for i in range(3)])
+    df1.write.parquet(str(src / "b1"))
+    df2 = _frag_points_df(spark, [frag(E0 + 7200)])
+    df2.write.parquet(str(src / "b2"))
+
+    stream_in = (
+        spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        assemble_stream(stream_in)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir))
+    # flight 1 was closed (by the arrival of the 2h-later fragment) and emitted
+    assert got.count() == 15
+    assert got.select("flight_id").distinct().count() == 1
