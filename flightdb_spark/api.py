@@ -1,0 +1,124 @@
+"""Lookup surface — point/range queries over the flights lake.
+
+The reference's query builder FQuery (fgae/fquery.go:16-24) composes
+Datastore index filters; here each builder returns a Column predicate
+over the partitioned flights table, so Catalyst pushes everything to
+the parquet scan (the composite-index table app/index.yaml:15-71 is
+replaced by column stats + partition pruning, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.idspec import IdSpec, parse_idspec
+
+TIMESLOT_MINUTES = 30  # TimeslotDuration (flightdb.go:6-11)
+
+
+def by_icao_id(x: str) -> Column:
+    """fgae/fquery.go:50-52."""
+    return F.col("icao_id") == x
+
+
+def by_callsign(x: str) -> Column:
+    """Equality on the raw callsign; registrations are also matched here,
+    as in the reference ("Hmm", fquery.go:82)."""
+    return (F.col("callsign") == x) | (F.col("registration") == x)
+
+
+def by_tags(tags: list[str]) -> Column:
+    """AND of tag memberships (fgae/fquery.go:56-61)."""
+    cond = F.lit(True)
+    for t in tags:
+        cond = cond & F.array_contains(F.col("tags"), t)
+    return cond
+
+
+def by_waypoints(wps: list[str]) -> Column:
+    """Waypoint membership — no "^"+wp tag-prefix hack needed
+    (fquery.go:63-68, blob.go:13)."""
+    cond = F.lit(True)
+    for w in wps:
+        cond = cond & F.array_contains(F.map_keys(F.col("waypoints")), w)
+    return cond
+
+
+def by_time(t: datetime) -> Column:
+    """Point-in-time: the flight's span covers t (the reference asserts
+    Timeslots = slot(t), fquery.go:27-32 — interval containment is the
+    unquantized equivalent)."""
+    return (F.col("first_ts") <= t) & (F.col("last_ts") >= t)
+
+
+def by_time_range(s: datetime, e: datetime) -> Column:
+    """Interval overlap (>=1 timeslot in range, fquery.go:34-48)."""
+    return (F.col("first_ts") <= e) & (F.col("last_ts") >= s)
+
+
+def by_idspec(spec: str | IdSpec) -> Column:
+    """Composite idspec predicate (fquery.go:70-86): time/timerange +
+    identity equality, registration falling back to callsign equality."""
+    if isinstance(spec, str):
+        spec = parse_idspec(spec)
+    time_pred = (
+        by_time(spec.start) if spec.end is None else by_time_range(spec.start, spec.end)
+    )
+    if spec.kind == "icao":
+        ident = by_icao_id(spec.raw_id)
+    else:  # callsign or registration: both match the Ident column family
+        ident = by_callsign(spec.raw_id)
+    return time_pred & ident
+
+
+def lookup_most_recent(flights: DataFrame, pred: Column) -> DataFrame:
+    """Latest instance of an airframe (fgae/db.go:117-120:
+    Order('-LastUpdate').Limit(1))."""
+    return flights.filter(pred).orderBy(F.desc("last_ts")).limit(1)
+
+
+def lookup_all(flights: DataFrame, pred: Column) -> DataFrame:
+    """Range idspecs may match several flights (ui/json.go:14-34)."""
+    return flights.filter(pred)
+
+
+def query_for_recent(flights: DataFrame, tags: list[str], n: int,
+                     waypoints: list[str] | None = None) -> DataFrame:
+    """QueryForRecent[Waypoint] (fquery.go:89-101): tags [+waypoints],
+    newest first, limit n."""
+    pred = by_tags(tags)
+    if waypoints:
+        pred = pred & by_waypoints(waypoints)
+    return flights.filter(pred).orderBy(F.desc("first_ts")).limit(n)
+
+
+def query_for_time_range(flights: DataFrame, tags: list[str],
+                         s: datetime, e: datetime,
+                         waypoints: list[str] | None = None) -> DataFrame:
+    """QueryForTimeRange[Waypoint] (fquery.go:109-122); no ordering, as
+    the reference notes 'No index'."""
+    pred = by_tags(tags) & by_time_range(s, e)
+    if waypoints:
+        pred = pred & by_waypoints(waypoints)
+    return flights.filter(pred)
+
+
+def snapshot_at(tp: DataFrame, t: datetime) -> DataFrame:
+    """Flight positions as of time t (TakeSnapshotAt, snapshot.go:37-52):
+    per flight, the latest point <= t, with prev/next context via
+    lag/lead being the neighboring rows. Used by the historical airspace
+    view (fgae/airspace.go:47-66)."""
+    return (
+        tp.filter(F.col("ts") <= t)
+        .groupBy("flight_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "lat", "lon", "alt_ft", "groundspeed_kt", "track"),
+                F.col("ts"),
+            ).alias("_p")
+        )
+        .select("flight_id", "_p.*")
+    )

@@ -136,15 +136,23 @@ def foia_flights(raw: DataFrame) -> DataFrame:
 
 
 def ingest_foia(
-    spark: SparkSession, path: str, out_dir: str | None = None
+    spark: SparkSession, path: str, out_dir: str | None = None,
+    waypoints: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full FOIA ingest: CSV → (flights, trackpoints). When ``out_dir``
     is given, both are written as date-partitioned parquet (the analog of
     the Datastore sink, fgae/db.go:35-53 — idempotent because flight_id
-    is deterministic, like the first-point-epoch key, db.go:171-182)."""
+    is deterministic, like the first-point-epoch key, db.go:171-182).
+    With a ``waypoints`` dim (name, lat, lon), crossings are matched and
+    folded into the flights' waypoints map (AnalyseWaypoints,
+    flightpath.go:14-23)."""
     raw = read_foia_csv(spark, path)
     flights = foia_flights(raw)
     points = foia_trackpoints(raw)
+    if waypoints is not None:
+        from ..operators.waypoints import match_waypoints, set_waypoints
+
+        flights = set_waypoints(flights, match_waypoints(points, waypoints))
     if out_dir:
         flights.write.mode("overwrite").partitionBy("date_utc").parquet(f"{out_dir}/flights")
         points.withColumn("date_utc", F.to_date("ts")).write.mode("overwrite").partitionBy(
