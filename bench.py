@@ -29,10 +29,10 @@ HEADLINE = [
     "q13_derived_columns",
     "q16_asof_join",
     "q14_sessionize",
-    "q20_flown_distance",
+    "q21_flown_distance",
     "q23_waypoint_crossing",
     "q30_minhash_signatures",
-    "q34_quality_score",
+    "q35_quality_score",
     "q40_cosine_topk",
 ]
 
@@ -43,8 +43,9 @@ def main() -> None:
     registry = load_registry()
     spark = get_spark("flightdb_bench")
 
-    # warm-up: force JVM + parquet footer reads
-    load_table(spark, sf_dir, "lineitem").count()
+    # warm-up: force JVM init + parquet footer reads for every input table
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
