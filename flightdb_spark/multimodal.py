@@ -1,0 +1,171 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+Design for the LLM-data-pipeline surface (SURVEY §7 step 10): media
+(image/audio/video) are **opaque `binary` columns** with a typed
+metadata struct riding alongside — the lake never interprets the bytes
+until a decode stage asks it to. Cheap byte-level operators (length,
+hash, MIME sniff) are pure JVM column expressions; decode / feature
+extraction / resize / frame-sampling are Arrow-batched `mapInPandas`
+stages so the bytes cross to Python once per batch, not per row.
+
+The decode step is STUBBED: the real image/audio codecs (PIL, librosa,
+av) are not in this container. `decode_media` tries to import them and
+falls back to a clearly-marked deterministic fake (bytes → uint8 array)
+so the Spark-side plumbing — schema, batch shape, partition behavior —
+is real and tested end-to-end. Swap `_fake_decode` for a codec call and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_s", T.DoubleType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_KINDS = ["image", "audio", "video"]
+_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents table: blob =
+    utf-8 bytes of the text (a stand-in payload with real binary
+    semantics), kind round-robins by doc_id. Metadata is derived from
+    the blob length so every engine can recompute it."""
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    blob = F.encode(F.col("text"), "UTF-8")
+    blen = F.length(blob)
+    meta = F.struct(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _MIMES.items() for x in kv]), kind
+        ).alias("mime"),
+        (blen % 640 + 1).cast("int").alias("width"),
+        (blen % 480 + 1).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        (blen / 1000.0).alias("duration_s"),
+        (blen % 24 + 1).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"), blob.alias("blob"), meta.alias("meta")
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Byte-level metadata — pure JVM expressions, no Python:
+    size, content hash (dedup key), MIME sniff from the magic prefix."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("blob").alias("byte_len"),
+        F.sha2(F.col("blob"), 256).alias("sha256"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def _fake_decode(blob: bytes, kind: str) -> np.ndarray:
+    """DETERMINISTIC FAKE decode (real codecs absent in this container):
+    bytes → uint8 array. Replace with PIL/librosa/av decode; the
+    surrounding plumbing is identical."""
+    return np.frombuffer(blob or b"\x00", dtype=np.uint8)
+
+
+def decode_media(media: DataFrame, out_dim: int = 64) -> DataFrame:
+    """Decode + fixed-dim feature extraction as one mapInPandas stage
+    (bytes cross to Python once, Arrow-batched). Feature = normalized
+    byte histogram folded to out_dim bins — deterministic, so tests pin
+    exact values; a real embedding model slots into the same stage."""
+    fields = media.schema.fieldNames()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real codecs, if ever present
+            import PIL.Image  # noqa: F401
+
+            decode = None  # pragma: no cover — not in this container
+        except ImportError:
+            decode = _fake_decode
+        for pdf in batches:
+            feats = []
+            for blob, kind in zip(pdf["blob"], pdf["kind"]):
+                arr = decode(bytes(blob) if blob is not None else b"", kind)
+                hist = np.bincount(arr % out_dim, minlength=out_dim).astype("float64")
+                s = hist.sum()
+                feats.append((hist / s if s else hist).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    assert {"media_id", "kind", "blob"} <= set(fields)
+    return media.mapInPandas(
+        _extract, "media_id long, kind string, feature array<double>"
+    )
+
+
+def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """Frame-sampling for video blobs: split the payload into
+    meta.n_frames equal chunks, keep k evenly spaced — the Spark-side
+    shape (explode to one row per kept frame, frame index + bytes) is
+    exactly what a real demuxer feeds downstream."""
+    n = F.col("meta.n_frames")
+    frame_len = F.greatest(F.floor(F.length("blob") / n), F.lit(1)).cast("int")
+    idxs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (i * F.greatest(n - 1, F.lit(1)) / F.lit(max(k - 1, 1))).cast("int"),
+    )
+    frames = F.transform(
+        F.array_distinct(idxs),
+        lambda fi: F.struct(
+            fi.alias("frame_idx"),
+            F.substring(F.col("blob"), (fi * frame_len + 1).cast("int"), frame_len).alias("frame_bytes"),
+        ),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("fr"))
+        .select("media_id", F.col("fr.frame_idx").alias("frame_idx"), F.col("fr.frame_bytes").alias("frame_bytes"))
+    )
+
+
+def resize_image_stub(media: DataFrame, w: int, h: int) -> DataFrame:
+    """Image resize — STUB. Real implementation requires a codec
+    (PIL.Image.resize) absent from this container; the operator raises
+    rather than silently fake an image transform. The mapInPandas
+    signature is the supported contract."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode/resize needs PIL, which is not installed; "
+            "plug PIL.Image.open(io.BytesIO(blob)).resize((w, h)) here"
+        )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _resize, "media_id long, blob binary"
+    )

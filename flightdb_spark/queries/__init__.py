@@ -38,6 +38,7 @@ _MODULES = [
     "geo",
     "textops",
     "vector",
+    "multimodal",
 ]
 
 

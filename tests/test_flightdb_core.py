@@ -297,3 +297,48 @@ def test_metar_asof_and_indicated_altitude(spark):
     assert rows[1230]["indicated_alt_ft"] == pytest.approx(5000 + 1000 * (30.12 - 29.9213))
     assert rows[1258]["indicated_alt_ft"] == pytest.approx(5000 + 1000 * (29.80 - 29.9213))
     assert rows[1400]["indicated_alt_ft"] == 5000.0
+
+
+# --- multimodal columns -------------------------------------------------------
+def test_multimodal_metadata_and_features(spark):
+    import hashlib
+
+    from flightdb_spark.multimodal import (
+        decode_media,
+        media_metadata,
+        sample_frames,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "abc"), (2, "a" * 100)], "doc_id long, text string"
+    )
+    media = synth_media(docs)
+    meta = {r["media_id"]: r for r in media_metadata(media).collect()}
+    assert meta[0]["kind"] == "image" and meta[1]["kind"] == "audio" and meta[2]["kind"] == "video"
+    assert meta[0]["byte_len"] == 11
+    assert meta[0]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert meta[0]["mime"] == "image/png"
+
+    feats = {r["media_id"]: r for r in decode_media(media, out_dim=16).collect()}
+    assert len(feats[0]["feature"]) == 16
+    assert sum(feats[0]["feature"]) == pytest.approx(1.0)
+    # determinism: same input -> same feature
+    feats2 = {r["media_id"]: r for r in decode_media(media, out_dim=16).collect()}
+    assert feats[2]["feature"] == feats2[2]["feature"]
+
+    frames = sample_frames(media, k=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {2}  # only the video row
+    assert 1 <= len(by_media[2]) <= 4
+    assert all(len(bytes(r["frame_bytes"])) > 0 for r in by_media[2])
+
+
+def test_resize_stub_raises(spark):
+    from flightdb_spark.multimodal import resize_image_stub, synth_media
+
+    docs = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        resize_image_stub(synth_media(docs), 8, 8).collect()
