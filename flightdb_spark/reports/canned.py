@@ -458,3 +458,108 @@ def sfoclassb(spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: Optio
         .otherwise(F.lit("[ACCEPTED] [D] Class B excursion"))
         .alias("outcome"),
     )
+
+
+@handle_report(
+    "approachsignature",
+    "Signature for SFO approaches, only when equip has prefix {str} "
+    "(analysis/approachsignature.go)",
+)
+def approachsignature(
+    spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: Options
+) -> DataFrame:
+    """Approach 'signature' sampling: first trackpoint inside each of a
+    decreasing list of distances from KSFO (IndicesAtDistKMsFrom,
+    track.go:501-522; distances 41.1/37.5/34.5/33.5 NM,
+    approachsignature.go:29). Per-target conditional aggregation — one
+    groupBy, no per-flight loop."""
+    equip_prefix = opt.extra.get("equip_prefix", "B73")
+    req_wps = opt.extra.get("required_waypoints", ("EPICK", "EDDYY", "SWELS"))
+    sig_dist_nms = opt.extra.get("sig_dist_nms", (41.1, 37.5, 34.5, 33.5))
+    labeled, _ = preprocess(flights, tp, opt)
+    picked = select_preferred_track(tp, ("ADSB", "MLAT", "FOIA"))
+    dist_nm = haversine_km(F.col("lat"), F.col("lon"), F.lit(SFO_LAT), F.lit(SFO_LON)) / KM_PER_NM
+    from ..operators.derived import with_derived_columns
+
+    derived = with_derived_columns(picked).withColumn("_dist_nm", dist_nm)
+    sig_aggs = []
+    for d in sig_dist_nms:
+        key = str(d).replace(".", "_")
+        sig_aggs.append(
+            F.min_by(
+                F.struct(
+                    F.col("ts"),
+                    F.col("alt_ft"),
+                    F.col("angle_of_inclination"),
+                    F.col("ground_accel_kps"),
+                ),
+                F.when(F.col("_dist_nm") < d, F.col("ts")),
+            ).alias(f"sig_{key}")
+        )
+    sigs = derived.groupBy("flight_id").agg(*sig_aggs)
+    out = labeled.join(sigs, "flight_id", "left")
+    has_wps = F.lit(True)
+    for wp in req_wps:
+        has_wps = has_wps & F.array_contains(F.map_keys(F.col("waypoints")), wp)
+    first_key = str(sig_dist_nms[0]).replace(".", "_")
+    cols = ["flight_id", F.col("callsign").alias("ident"), "equip_type"]
+    for d in sig_dist_nms:
+        key = str(d).replace(".", "_")
+        cols += [
+            F.col(f"sig_{key}.ts").alias(f"ts_at_{key}nm"),
+            F.col(f"sig_{key}.alt_ft").alias(f"alt_at_{key}nm"),
+            F.round(F.col(f"sig_{key}.angle_of_inclination"), 2).alias(f"angle_at_{key}nm"),
+        ]
+    wp_label = f"[D] didn't hit waypoint {'/'.join(req_wps)}"
+    return out.select(
+        *cols,
+        F.when(F.col("outcome") != LABEL_PREPROCESSED, F.col("outcome"))
+        .when(F.col("dest") != "SFO", F.lit("[D] dest not SFO"))
+        .when(~F.col("equip_type").startswith(equip_prefix),
+              F.lit(f"[D] equip didn't have prefix {equip_prefix}"))
+        .when(~has_wps, F.lit(wp_label))
+        .when(F.col(f"sig_{first_key}.ts").isNull(), F.lit("[D] no points inside signature distances"))
+        .otherwise(F.lit("[ACCEPTED] [D] flight accepted"))
+        .alias("outcome"),
+    )
+
+
+@handle_report("trains", "Trains of flights crossing {refpoint} within {duration} (analysis/trains.go)")
+def trains(spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: Options) -> DataFrame:
+    """Entrainment: successive gate crossings <= duration apart form a
+    'train' (trains.go:76-106). The reference caches crossings in a blob
+    and sessionizes at summary time, driver-side; here it is Spark's
+    native session_window over the crossing events."""
+    from pyspark.sql.functions import session_window
+
+    gap_s = int(opt.extra.get("train_gap_s", 300))
+    labeled, inters = preprocess(flights, tp, opt)
+    if inters is None:
+        raise ValueError("trains requires a geo restrictor (the entrainment gate)")
+    crossings = _first_area_entry(inters).select("flight_id", F.col("entry_ts").alias("cross_ts"))
+    sessions = (
+        crossings.groupBy(session_window(F.col("cross_ts"), f"{gap_s} seconds"))
+        .agg(
+            F.collect_list("flight_id").alias("members"),
+            F.count(F.lit(1)).alias("train_len"),
+        )
+        .select(
+            F.col("session_window.start").alias("train_start"),
+            F.explode("members").alias("flight_id"),
+            "train_len",
+        )
+    )
+    out = labeled.join(sessions, "flight_id", "left").join(crossings, "flight_id", "left")
+    return out.select(
+        "flight_id",
+        F.col("callsign").alias("ident"),
+        "cross_ts",
+        "train_start",
+        "train_len",
+        F.when(F.col("outcome") != LABEL_PREPROCESSED, F.col("outcome"))
+        .when(F.col("cross_ts").isNull(), F.lit("[D] flight missed entrainment refpoint"))
+        .otherwise(
+            F.format_string("[ACCEPTED] [E] trains of length=%02d", F.col("train_len"))
+        )
+        .alias("outcome"),
+    )

@@ -1,0 +1,111 @@
+"""External REST connectors (fr24 / FlightAware / AdsbExchange) —
+normalizers are real, fetchers are stubs.
+
+The reference polls fr24's live list (fr24/fr24.go:319-333), fetches
+playback tracks (fr24.go:347-358), calls FlightAware's REST API
+(fa/fa.go:117-352), and queries AdsbExchange bboxes (aex/aex.go:53-79).
+Network I/O is out of scope for the analytic engine (and this
+container), so each `fetch_*` raises NotImplementedError with the
+endpoint contract; the payload→DataFrame normalizers — the part that
+belongs to the engine — are implemented and tested against
+captured-payload-shaped inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# fr24 live-list rows arrive as positional JSON arrays keyed by fr24 id
+# (parser fr24/fr24.go:207-247); captured shape:
+#   [icao24, lat, lon, heading, alt, speed, squawk, radar, equip,
+#    registration, epoch, orig, dest, flightnumber, _, vert_speed, callsign, _]
+FR24_COLS = [
+    ("icao_id", "string", 0),
+    ("lat", "double", 1),
+    ("lon", "double", 2),
+    ("heading_deg", "double", 3),
+    ("alt_ft", "double", 4),
+    ("groundspeed_kt", "double", 5),
+    ("squawk", "string", 6),
+    ("receiver", "string", 7),
+    ("equip_type", "string", 8),
+    ("registration", "string", 9),
+    ("epoch", "long", 10),
+    ("orig", "string", 11),
+    ("dest", "string", 12),
+    ("number", "string", 13),
+    ("vertical_rate_fpm", "double", 15),
+    ("callsign", "string", 16),
+]
+
+
+def normalize_fr24_list(raw: DataFrame) -> DataFrame:
+    """(fr24_id string, fields array<string>) → snapshot rows
+    (fr24/fr24.go:207-247)."""
+    cols = [F.col("fr24_id")]
+    for name, typ, idx in FR24_COLS:
+        c = F.col("fields").getItem(idx)
+        if name == "epoch":
+            cols.append(F.timestamp_seconds(c.cast("long")).alias("ts"))
+        else:
+            cols.append(c.cast(typ).alias(name))
+    return raw.select(*cols).withColumn("data_source", F.lit("fr24"))
+
+
+def normalize_fa_track(raw: DataFrame) -> DataFrame:
+    """FlightAware GetHistoricalTrack rows (fa/fa.go:117-178):
+    (timestamp epoch, latitude, longitude, altitude×100ft,
+    groundspeed, altitudeStatus, updateType) → trackpoints."""
+    return raw.select(
+        F.timestamp_seconds(F.col("timestamp").cast("long")).alias("ts"),
+        F.col("latitude").cast("double").alias("lat"),
+        F.col("longitude").cast("double").alias("lon"),
+        (F.col("altitude").cast("double") * 100).alias("alt_ft"),
+        F.col("groundspeed").cast("double").alias("groundspeed_kt"),
+        F.when(F.col("updateType") == "TZ", F.lit("FA:TZ"))
+        .otherwise(F.lit("FA:TA"))
+        .alias("track"),
+        F.lit("FA").alias("data_source"),
+    )
+
+
+def normalize_aex_list(raw: DataFrame) -> DataFrame:
+    """AdsbExchange aircraft-list JSON (aex/aex.go:89-148): field names
+    Icao/Lat/Long/GAlt/Spd/Trak/PosTime(ms)/Reg/Call/Sqk."""
+    return raw.select(
+        F.col("Icao").alias("icao_id"),
+        F.col("Call").alias("callsign"),
+        F.col("Reg").alias("registration"),
+        F.timestamp_millis(F.col("PosTime").cast("long")).alias("ts"),
+        F.col("Lat").cast("double").alias("lat"),
+        F.col("Long").cast("double").alias("lon"),
+        F.col("GAlt").cast("double").alias("alt_ft"),
+        F.col("Spd").cast("double").alias("groundspeed_kt"),
+        F.col("Trak").cast("double").alias("heading_deg"),
+        F.col("Sqk").alias("squawk"),
+        F.lit("AdsbExchange").alias("data_source"),
+    )
+
+
+def _stub(what: str, ref: str):
+    raise NotImplementedError(
+        f"{what} requires network access (reference: {ref}); "
+        "feed captured payloads to the normalize_* functions instead"
+    )
+
+
+def fetch_fr24_list(spark: SparkSession, bbox: tuple[float, float, float, float]) -> DataFrame:
+    _stub("fr24 live-list poll", "fr24/fr24.go:319-333")
+
+
+def fetch_fr24_track(spark: SparkSession, fr24_id: str) -> DataFrame:
+    _stub("fr24 playback-track fetch", "fr24/fr24.go:347-358")
+
+
+def fetch_fa_track(spark: SparkSession, ident: str) -> DataFrame:
+    _stub("FlightAware GetHistoricalTrack", "fa/fa.go:117-178")
+
+
+def fetch_aex_list(spark: SparkSession, bbox: tuple[float, float, float, float]) -> DataFrame:
+    _stub("AdsbExchange bbox query", "aex/aex.go:53-79")
