@@ -39,6 +39,7 @@ _MODULES = [
     "textops",
     "vector",
     "multimodal",
+    "extras",
 ]
 
 

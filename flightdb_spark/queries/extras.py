@@ -1,0 +1,100 @@
+"""q43-q44: complaint range join + breakup rematch, oracle-checked.
+
+q43 is the reference's complaint-count join (ui/tracks.go:349-376,
+ui/api.go:172-191): external complaint timestamps bucketed onto track
+line segments by time containment — a classic range join.
+
+q44 runs the real repair operator (operators/repair.py
+find_breakup_candidates) over flight spans derived from the events
+table, with a pure-SQL oracle of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+from .synth import SYNTH_TP_CTE, synth_trackpoints
+
+
+@query(
+    "q43_complaint_range_join",
+    oracle=f"""
+    WITH {SYNTH_TP_CTE},
+    segs AS (
+      SELECT flight_id, ts AS seg_end,
+             LAG(ts) OVER (PARTITION BY flight_id ORDER BY ts, event_id) AS seg_start,
+             event_id
+      FROM trackpoints WHERE flight_id < 10
+    ),
+    complaints AS (
+      SELECT ts FROM events WHERE event_type = 'click'
+    )
+    SELECT s.flight_id, s.event_id AS seg_id, COUNT(c.ts) AS n_complaints
+    FROM segs s LEFT JOIN complaints c
+      ON c.ts > s.seg_start AND c.ts <= s.seg_end
+    WHERE s.seg_start IS NOT NULL
+    GROUP BY s.flight_id, s.event_id
+    """,
+)
+def q43_complaint_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complaints-per-segment range join (ts containment in the
+    segment's (start, end]); the complaint side is broadcast, the
+    segment side never shuffles."""
+    tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 10)
+    w = W.partitionBy("flight_id").orderBy("seg_end", "event_id")
+    segs = (
+        tp.select("flight_id", "event_id", F.col("ts").alias("seg_end"))
+        .withColumn("seg_start", F.lag("seg_end").over(w))
+        .filter(F.col("seg_start").isNotNull())
+    )
+    complaints = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("ts").alias("c_ts"))
+    )
+    joined = segs.join(
+        F.broadcast(complaints),
+        (F.col("c_ts") > F.col("seg_start")) & (F.col("c_ts") <= F.col("seg_end")),
+        "left",
+    )
+    return joined.groupBy("flight_id", F.col("event_id").alias("seg_id")).agg(
+        F.count("c_ts").alias("n_complaints")
+    )
+
+
+@query(
+    "q44_breakup_rematch",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id AS icao_id,
+             user_id || '_' || event_type AS flight_id,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.icao_id, a.flight_id AS flight_a, b.flight_id AS flight_b,
+           CAST(epoch(b.first_ts) - epoch(a.last_ts) AS BIGINT) AS gap_s
+    FROM spans a JOIN spans b
+      ON a.icao_id = b.icao_id AND a.flight_id <> b.flight_id
+    WHERE epoch(b.first_ts) - epoch(a.last_ts) BETWEEN 0 AND 1800
+    """,
+)
+def q44_breakup_rematch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair operator on flight spans derived from events: same
+    airframe, later flight starting within 30 min of the earlier one's
+    end (operators/repair.py; reference app/backend/batch.go:274-404)."""
+    from ..operators.repair import find_breakup_candidates
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    ).select(
+        F.col("user_id").cast("string").alias("icao_id"),
+        F.concat_ws("_", F.col("user_id"), F.col("event_type")).alias("flight_id"),
+        "first_ts",
+        "last_ts",
+    )
+    return find_breakup_candidates(spans, max_gap_s=1800)
