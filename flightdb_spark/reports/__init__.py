@@ -53,6 +53,9 @@ class Options:
     # (report/report.go:153-195)
     tod_start_hour: int | None = None
     tod_end_hour: int | None = None
+    # FOIA ACL: data sources this user may NOT see (report/report.go:114-125,
+    # ACL table report/context.go:21-44) — row-level filter on track_sources
+    blocked_sources: tuple[str, ...] = ()
     restrictors: tuple[Restrictor, ...] = ()
     logic: str = "all"  # GRS ALL/ANY (georestrictorset.go:17-27)
     track_spec: tuple[str, ...] = ("FOIA", "ADSB", "MLAT", "fr24")
@@ -118,6 +121,12 @@ def preprocess(
         out = F.when(
             F.array_contains(F.map_keys(F.col("waypoints")), w),
             F.lit(f"[B] Eliminated: had not-waypoint '{w}'"),
+        ).otherwise(out)
+    if opt.blocked_sources and "track_sources" in flights.columns:
+        blocked = F.array(*[F.lit(s) for s in opt.blocked_sources])
+        out = F.when(
+            F.arrays_overlap(F.col("track_sources"), blocked),
+            F.lit("[B] Eliminated: FOIA ACL blocked data source"),
         ).otherwise(out)
     flights = flights.withColumn("outcome", out)
 
