@@ -98,3 +98,34 @@ def q44_breakup_rematch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_ts",
     )
     return find_breakup_candidates(spans, max_gap_s=1800)
+
+
+@query(
+    "q45_market_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q45_market_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup — the reference has no grouping-sets analog
+    (SURVEY §2.5 notes Spark gives them free); market-distribution
+    counters generalized to subtotals + grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -155,3 +155,16 @@ def test_foia_acl_filter(spark):
     funnel = {r["outcome"]: r["n"] for r in res.funnel.collect()}
     assert funnel["[B] Eliminated: FOIA ACL blocked data source"] == 1
     assert funnel["[ACCEPTED] listed"] == 1
+
+
+def test_sideview_series(spark, tp):
+    from flightdb_spark.operators.derived import with_derived_columns
+    from flightdb_spark.operators.sideview import sideview_series
+
+    derived = with_derived_columns(tp)
+    series = sideview_series(derived, smooth_points=3).collect()
+    assert len(series) == 10
+    xs = [r["x_km"] for r in series if r["x_km"] is not None]
+    assert xs == sorted(xs)  # monotone along-path distance
+    ref = sideview_series(derived, x="dist_to_ref", ref=(37.2, -122.0)).collect()
+    assert ref[0]["x_km"] > ref[-1]["x_km"]  # approaching the ref point
