@@ -122,3 +122,55 @@ def snapshot_at(tp: DataFrame, t: datetime) -> DataFrame:
         )
         .select("flight_id", "_p.*")
     )
+
+
+def localize_to(snap: DataFrame, ref_lat: float, ref_lon: float, ref_alt_ft: float = 0.0) -> DataFrame:
+    """Distance + bearing from each snapshot to a reference point
+    (LocalizeTo, snapshot.go:27-33): 2D/3D distance and compass bearing,
+    the historical-airspace view's localization (ui/historical.go:55-115)."""
+    from .functions.geo import bearing_deg, dist3_km, haversine_km
+
+    return snap.select(
+        "*",
+        F.round(haversine_km(F.col("lat"), F.col("lon"), F.lit(ref_lat), F.lit(ref_lon)), 3).alias("dist_km"),
+        F.round(
+            dist3_km(F.col("lat"), F.col("lon"), F.col("alt_ft"),
+                     F.lit(ref_lat), F.lit(ref_lon), F.lit(ref_alt_ft)), 3
+        ).alias("dist3_km"),
+        F.round(bearing_deg(F.lit(ref_lat), F.lit(ref_lon), F.col("lat"), F.col("lon")), 1).alias("bearing_deg"),
+    )
+
+
+def realtime_airspace(
+    sources: dict[str, DataFrame], now: datetime, max_stale_s: float = 30.0
+) -> DataFrame:
+    """Composite current-airspace view (app/frontend/
+    realtime-airspace.go:80-137, 243-343): each source contributes its
+    latest position per aircraft, keys namespaced with the source prefix
+    exactly as the reference namespaces icao keys; positions staler than
+    30 s (kMaxStaleDuration, realtime-airspace.go:30) are dropped."""
+    parts = []
+    for prefix, df in sources.items():
+        latest = (
+            df.filter(
+                F.unix_timestamp(F.lit(now)) - F.unix_timestamp("ts") <= max_stale_s
+            )
+            .groupBy("icao_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "lat", "lon", "alt_ft", "groundspeed_kt", "callsign"),
+                    F.col("ts"),
+                ).alias("_p")
+            )
+            .select(
+                F.concat(F.lit(f"{prefix}:"), F.col("icao_id")).alias("key"),
+                F.col("icao_id"),
+                F.lit(prefix).alias("source"),
+                "_p.*",
+            )
+        )
+        parts.append(latest)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

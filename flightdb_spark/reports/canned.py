@@ -123,7 +123,9 @@ def list_report(spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: Opt
         alt, gs = F.col("entry_alt"), F.col("entry_gs")
         when_ts = F.col("entry_ts")
     else:
-        alt, gs, when_ts = F.lit(None), F.lit(None), F.col("first_ts")
+        alt = F.lit(None).cast("double")
+        gs = F.lit(None).cast("double")
+        when_ts = F.col("first_ts")
     # market distribution counters [F] (listmatches.go:49-54)
     norcal = F.col("orig").isin("SFO", "SJC", "OAK") | F.col("dest").isin(
         "SFO", "SJC", "OAK"

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the pure algorithmic core:
+codecs, geo math, and the restrictor crawl. The reference's correctness
+culture is example-based (SURVEY §5); these strengthen the harness the
+way the driver's oracle does for the relational surface."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flightdb_spark.functions.geo import (
+    np_haversine_km,
+    point_in_box,
+    point_in_poly,
+    segment_intersects_box,
+    segments_intersect,
+)
+from flightdb_spark.functions.idspec import parse_idspec
+from flightdb_spark.operators.intersect import Restrictor, crawl_track
+
+lat_st = st.floats(min_value=-80, max_value=80, allow_nan=False)
+lon_st = st.floats(min_value=-179, max_value=179, allow_nan=False)
+
+
+@given(st.integers(min_value=0, max_value=2_000_000_000),
+       st.integers(min_value=0, max_value=2_000_000_000))
+def test_idspec_epoch_roundtrip(e1, e2):
+    lo, hi = sorted((e1, e2))
+    s = parse_idspec(f"A23A23@{lo}:{hi}" if lo != hi else f"A23A23@{lo}")
+    assert s.to_string() == (f"A23A23@{lo}:{hi}" if lo != hi else f"A23A23@{lo}")
+    assert int(s.start.replace(tzinfo=timezone.utc).timestamp()) == lo or \
+        int(s.start.timestamp()) == lo
+
+
+@given(lat_st, lon_st, lat_st, lon_st)
+def test_haversine_symmetric_and_triangle(lat1, lon1, lat2, lon2):
+    d12 = float(np_haversine_km(lat1, lon1, lat2, lon2))
+    d21 = float(np_haversine_km(lat2, lon2, lat1, lon1))
+    assert d12 >= 0 and abs(d12 - d21) < 1e-6
+    assert float(np_haversine_km(lat1, lon1, lat1, lon1)) < 1e-9
+
+
+@given(lat_st, lon_st, st.floats(min_value=0.01, max_value=2.0))
+def test_point_in_box_consistency(lat, lon, half):
+    # a point is always inside a box centered on it
+    assert point_in_box(lat, lon, lat - half, lat + half, lon - half, lon + half)
+    # and a segment from it always intersects that box
+    assert segment_intersects_box(
+        (lat, lon), (lat + 3 * half, lon), lat - half, lat + half, lon - half, lon + half
+    )
+
+
+@given(lat_st, lon_st)
+def test_segment_self_degenerate(lat, lon):
+    # degenerate zero-length segments intersect themselves
+    assert segments_intersect((lat, lon), (lat, lon), (lat, lon), (lat, lon))
+
+
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=2, max_size=20),
+       st.floats(min_value=1.0, max_value=50.0))
+@settings(max_examples=40, deadline=None)
+def test_crawl_agrees_with_pointwise_membership(points, side_km):
+    """If the crawl reports a hit with entry index i pointing at an
+    inside point, pointwise membership must agree; if it reports a miss,
+    no point may be inside."""
+    r = Restrictor(gr_type="squarebox", center_lat=37.5, center_lon=-122.0, side_km=side_km)
+    lats = np.array([p[0] for p in points])
+    lons = np.array([p[1] for p in points])
+    alts = np.full(len(points), 5000.0)
+    i, j, hit = crawl_track(lats, lons, alts, r)
+    inside = [r.contains_point(lats[k], lons[k], alts[k]) for k in range(len(points))]
+    if not hit:
+        assert not any(inside)
+    else:
+        assert 0 <= i <= j < len(points)
+        if inside[i]:
+            pass  # entry at an inside point
+        else:
+            # fly-through entry: the segment i -> i+1 must hit the region
+            assert r.segment_hits(
+                (lats[i], lons[i], alts[i]), (lats[i + 1], lons[i + 1], alts[i + 1])
+            )
+
+
+@given(st.lists(st.tuples(lat_st, lon_st), min_size=3, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_polygon_membership_is_deterministic(verts):
+    # point_in_poly never raises and is stable for repeated evaluation
+    for lat, lon in [(37.5, -122.0), (0.0, 0.0)]:
+        a = point_in_poly(lat, lon, verts)
+        b = point_in_poly(lat, lon, verts)
+        assert a == b and isinstance(a, bool)
+
+
+@given(st.floats(min_value=-1000, max_value=50000),
+       st.floats(min_value=28.0, max_value=31.5))
+def test_indicated_altitude_formula_monotone(alt, inhg):
+    """indicated = alt + 1000*(inHg - 29.9213): linear, exact at
+    standard pressure (metar/metar.go:10)."""
+    from flightdb_spark.operators.metar import STANDARD_INHG
+
+    corrected = alt + 1000.0 * (inhg - STANDARD_INHG)
+    assert math.isclose(corrected - alt, 1000.0 * (inhg - STANDARD_INHG))
+    if abs(inhg - STANDARD_INHG) < 1e-12:
+        assert math.isclose(corrected, alt)
