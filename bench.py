@@ -33,7 +33,9 @@ HEADLINE = [
     "q23_waypoint_crossing",
     "q30_minhash_signatures",
     "q35_quality_score",
+    "q37_media_metadata",
     "q40_cosine_topk",
+    "q45_market_rollup",
 ]
 
 

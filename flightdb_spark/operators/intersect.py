@@ -124,9 +124,22 @@ class Restrictor:
             lat_min, lat_max, lon_min, lon_max = self._box_extent()
             return segment_intersects_box(a, b, lat_min, lat_max, lon_min, lon_max)
         if self.gr_type == "verticalplane":
-            return segments_intersect(
-                a, b, (self.start_lat, self.start_lon), (self.end_lat, self.end_lon)
-            )
+            # a gate is *crossed*, not touched: the segment must change
+            # sides of the plane line (a track coincident with the plane
+            # is not an intersection — the reference "works hard" to
+            # exclude that case, intersectabletrack_test.go:290-293).
+            gs, ge = (self.start_lat, self.start_lon), (self.end_lat, self.end_lon)
+
+            def orient(p, q, r):
+                v = (q[1] - p[1]) * (r[0] - p[0]) - (q[0] - p[0]) * (r[1] - p[1])
+                return 0 if v == 0 else (1 if v > 0 else -1)
+
+            o1, o2 = orient(gs, ge, a), orient(gs, ge, b)
+            if o1 * o2 > 0 or (o1 == 0 and o2 == 0):
+                return False  # same side, or collinear along the plane
+            # crossing must fall within the gate's lateral extent
+            o3, o4 = orient(a, b, gs), orient(a, b, ge)
+            return o3 * o4 <= 0
         # polygon: endpoint inside or edge crossing
         verts = list(self.poly)
         if point_in_poly(*a, verts) or point_in_poly(*b, verts):

@@ -286,3 +286,14 @@ def assemble_stream(fragment_points: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_recent(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """FIFOSet streaming dedup (fifoset.go:10-63, used by the fr24
+    poller at app/frontend/fr24poller.go:174-229): suppress re-delivery
+    of a (registration, callsign) pair seen within the age-out window.
+    Spark-native: event-time watermark + dropDuplicatesWithinWatermark —
+    state expires exactly like the FIFOSet's age-out."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["registration", "callsign"]
+    )

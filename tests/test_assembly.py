@@ -169,3 +169,24 @@ def test_assemble_stream_smoke(spark, tmp_path):
     # flight 1 was closed (by the arrival of the 2h-later fragment) and emitted
     assert got.count() == 15
     assert got.select("flight_id").distinct().count() == 1
+
+
+def test_dedup_recent_stream(spark, tmp_path):
+    from flightdb_spark.streaming.assembly import dedup_recent
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [("N839AL", "UAL1", datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc), 1),
+            ("N839AL", "UAL1", datetime(2024, 1, 1, 12, 30, tzinfo=timezone.utc), 2),  # dup in window
+            ("N999ZZ", "SWA2", datetime(2024, 1, 1, 12, 10, tzinfo=timezone.utc), 3)]
+    df = spark.createDataFrame(rows, "registration string, callsign string, ts timestamp, seq long")
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = (dedup_recent(stream).writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 2  # the 12:30 re-delivery was suppressed
+    assert got.select("registration").distinct().count() == 2

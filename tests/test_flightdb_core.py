@@ -342,3 +342,85 @@ def test_resize_stub_raises(spark):
     docs = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         resize_image_stub(synth_media(docs), 8, 8).collect()
+
+
+# --- altitude-band + vertical-plane crawl scenarios -----------------------------
+# Scenario families from intersectabletrack_test.go:179-363, re-expressed
+# against our raw-point crawl convention (module docstring of
+# operators/intersect.py): no line-sampling structure, no interpolation;
+# altitude tests are segment-span overlaps, so expected indices are pinned
+# to OUR convention where the reference's own comments acknowledge
+# interpolation-dependent inconsistency.
+BIGBOX = Restrictor(gr_type="squarebox", center_lat=0.0, center_lon=0.0,
+                    side_km=2000.0)  # half-extent ≈ 8.98° lat
+
+
+def _alt_track(*triples):
+    lats = np.array([t[0] for t in triples])
+    lons = np.array([t[1] for t in triples])
+    alts = np.array([t[2] for t in triples])
+    return lats, lons, alts
+
+
+def test_crawl_altitude_above_band_misses():
+    # through the box but entirely above the 0-99 band
+    r = Restrictor(**{**BIGBOX.__dict__, "alt_min": 1, "alt_max": 99})
+    tr = _alt_track((-20, 0, 100), (-10, 0, 100), (-5, 0, 100), (5, 0, 100),
+                    (10, 0, 100), (20, 0, 100))
+    assert crawl_track(*tr, r) == (-1, -1, False)
+
+
+def test_crawl_altitude_subset_of_contained_points():
+    # only the alt-14 points are in the 10-20 band: entry at idx 3,
+    # exit at the first out-of-band point (idx 6, our convention)
+    r = Restrictor(**{**BIGBOX.__dict__, "alt_min": 10, "alt_max": 20})
+    tr = _alt_track((-10, 0, 4), (-8, 0, 4), (-6, 0, 4), (-4, 0, 14), (-2, 0, 14),
+                    (0, 0, 14), (2, 0, 24), (4, 0, 24), (6, 0, 24), (8, 0, 24), (10, 0, 24))
+    assert crawl_track(*tr, r) == (3, 6, True)
+
+
+def test_crawl_altitude_flythrough_close_end_low():
+    # no point inside; the crossing segment's altitude span (5..15)
+    # overlaps the 10-20 band -> fly-through hit at the segment start
+    # (the reference agrees: I:1, J:2, intersectabletrack_test.go:222-227)
+    r = Restrictor(**{**BIGBOX.__dict__, "alt_min": 10, "alt_max": 20})
+    tr = _alt_track((-20, 0, 5), (-10, 0, 5), (10, 0, 15), (20, 0, 15))
+    assert crawl_track(*tr, r) == (1, 2, True)
+
+
+GATE = Restrictor(gr_type="verticalplane", start_lat=10.0, start_lon=-100.0,
+                  end_lat=10.0, end_lon=100.0)
+
+
+def test_gate_simple_crossing():
+    tr = _alt_track((2, 0, 50), (8, 0, 50), (16, 0, 50), (20, 0, 50))
+    assert crawl_track(*tr, GATE) == (1, 2, True)  # segment 8->16 crosses lat 10
+
+
+def test_gate_coincident_track_is_not_a_crossing():
+    # flying ALONG the plane is not an intersection
+    # (intersectabletrack_test.go:290-293)
+    tr = _alt_track((10, 20, 50), (10, 30, 50), (10, 40, 50), (10, 50, 50))
+    assert crawl_track(*tr, GATE) == (-1, -1, False)
+
+
+def test_gate_outside_lateral_extent_misses():
+    # crosses lat 10 but at lon 150, beyond the gate's end at lon 100
+    tr = _alt_track((2, 150, 50), (16, 150, 50))
+    assert crawl_track(*tr, GATE) == (-1, -1, False)
+
+
+def test_gate_altitude_undershoot():
+    r = Restrictor(**{**GATE.__dict__, "alt_min": 1000, "alt_max": 0})
+    tr = _alt_track((2, 0, 5), (8, 0, 5), (16, 0, 5), (20, 0, 5))
+    assert crawl_track(*tr, r) == (-1, -1, False)
+
+
+def test_gate_descent_in_band_at_crossing():
+    # descending through the gate; crossing segment spans alts 12->11,
+    # inside the 10-20 band -> hit (reference scenario
+    # intersectabletrack_test.go:324-336, our segment-span semantics)
+    r = Restrictor(**{**GATE.__dict__, "alt_min": 10, "alt_max": 20})
+    tr = _alt_track((6, 0, 15), (8, 0, 12), (10, 0, 11), (12, 0, 10), (14, 0, 9))
+    i, j, hit = crawl_track(*tr, r)
+    assert hit and i == 1  # the 8->10 segment reaches the plane in-band
