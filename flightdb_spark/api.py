@@ -174,3 +174,26 @@ def realtime_airspace(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def timeslots(first_ts, last_ts) -> F.Column:
+    """Exploded 30-minute timeslot array for exact index parity with the
+    reference (TimeslotDuration, flightdb.go:6-11; flight.go:337-352):
+    every 30-min bucket the flight's span overlaps. The plain interval
+    predicates in by_time/by_time_range are the production path; this is
+    the quantized variant for parity tests."""
+    slot = TIMESLOT_MINUTES * 60
+    first_slot = (F.unix_timestamp(first_ts) / slot).cast("long") * slot
+    last_slot = (F.unix_timestamp(last_ts) / slot).cast("long") * slot
+    return F.transform(
+        F.sequence(first_slot, last_slot, F.lit(slot)),
+        lambda s: F.timestamp_seconds(s),
+    )
+
+
+def by_time_quantized(t: datetime) -> Column:
+    """Timeslot-equality point query (fquery.go:27-32 parity variant):
+    requires a `timeslots` column built by `timeslots()`."""
+    slot = TIMESLOT_MINUTES * 60
+    t_slot = int(t.timestamp()) // slot * slot
+    return F.array_contains(F.col("timeslots"), F.timestamp_seconds(F.lit(t_slot)))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from . import query
+from ..functions.geo import HAVERSINE_SQL
 from .synth import SYNTH_TP_CTE, synth_trackpoints
 
 
@@ -128,4 +129,45 @@ def q45_market_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_price",
         )
+    )
+
+
+@query(
+    "q46_trajectory_hausdorff",
+    oracle=f"""
+    WITH {SYNTH_TP_CTE},
+    pts AS (
+      SELECT flight_id, lat, lon FROM trackpoints WHERE flight_id < 8
+    ),
+    dists AS (
+      SELECT a.flight_id AS flight_a, b.flight_id AS flight_b,
+             a.lat AS alat, a.lon AS alon,
+             MIN({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon',
+                                       lat2='b.lat', lon2='b.lon')}) AS min_d
+      FROM pts a JOIN pts b ON a.flight_id <> b.flight_id
+      GROUP BY a.flight_id, b.flight_id, a.lat, a.lon
+    ),
+    directed AS (
+      SELECT flight_a, flight_b, MAX(min_d) AS h FROM dists
+      GROUP BY flight_a, flight_b
+    )
+    SELECT LEAST(flight_a, flight_b) AS flight_a,
+           GREATEST(flight_a, flight_b) AS flight_b,
+           ROUND(MAX(h), 3) AS hausdorff_km
+    FROM directed GROUP BY 1, 2
+    """,
+)
+def q46_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity: symmetric Hausdorff distance between
+    flight tracks (operators/trajectory.py) — pair join + two-level
+    aggregation, all JVM-side; the grid-bucket variant is the 100 TB
+    candidate-generation path."""
+    from ..operators.trajectory import symmetric_hausdorff
+
+    tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 8).select(
+        "flight_id", "lat", "lon"
+    )
+    out = symmetric_hausdorff(tp)
+    return out.select(
+        "flight_a", "flight_b", F.round("hausdorff_km", 3).alias("hausdorff_km")
     )

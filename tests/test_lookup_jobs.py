@@ -119,3 +119,43 @@ def test_flights_summary_shape_and_dedupe(spark, flights):
     # a flight starting on a different PDT date is excluded by the
     # midnight-straddle rule
     assert "N1_1" in rows  # 2:00 UTC+8h = same PDT day (11pm? no: 18+8=26 -> 02:00 UTC next day = 19:00 PDT same day)
+
+
+def test_timeslots_quantization(spark):
+    from datetime import timezone
+
+    fl = spark.createDataFrame(
+        [("f1", datetime(2024, 6, 1, 18, 10), datetime(2024, 6, 1, 19, 5))],
+        "flight_id string, first_ts timestamp, last_ts timestamp",
+    ).withColumn("timeslots", api.timeslots(F.col("first_ts"), F.col("last_ts")))
+    row = fl.collect()[0]
+    # span 18:10-19:05 overlaps slots 18:00, 18:30, 19:00
+    assert [t.minute for t in row["timeslots"]] == [0, 30, 0]
+    assert len(row["timeslots"]) == 3
+    hit = fl.filter(api.by_time_quantized(datetime(2024, 6, 1, 18, 45))).count()
+    miss = fl.filter(api.by_time_quantized(datetime(2024, 6, 1, 20, 0))).count()
+    assert hit == 1 and miss == 0
+
+
+def test_trajectory_hausdorff_and_grid(spark):
+    from flightdb_spark.operators.trajectory import (
+        candidate_pairs_by_grid,
+        symmetric_hausdorff,
+    )
+
+    # fa and fb fly parallel tracks 0.1 deg apart; fc flies far away
+    rows = []
+    for i in range(5):
+        rows.append(("fa", 37.0 + 0.01 * i, -122.0))
+        rows.append(("fb", 37.0 + 0.01 * i, -122.1))
+        rows.append(("fc", 45.0 + 0.01 * i, -100.0))
+    tp = spark.createDataFrame(rows, "flight_id string, lat double, lon double")
+    h = {(r["flight_a"], r["flight_b"]): r["hausdorff_km"]
+         for r in symmetric_hausdorff(tp).collect()}
+    # parallel tracks: Hausdorff ≈ 0.1 deg lon at 37N ≈ 8.84 km
+    assert h[("fa", "fb")] == pytest.approx(0.1 * 111.32 * 0.7986, rel=0.01)
+    assert h[("fa", "fc")] > 1000
+    pairs = {(r["flight_a"], r["flight_b"])
+             for r in candidate_pairs_by_grid(tp).collect()}
+    assert ("fa", "fb") in pairs          # share a 0.5-deg cell
+    assert ("fa", "fc") not in pairs      # never co-located
