@@ -109,3 +109,20 @@ def fetch_fa_track(spark: SparkSession, ident: str) -> DataFrame:
 
 def fetch_aex_list(spark: SparkSession, bbox: tuple[float, float, float, float]) -> DataFrame:
     _stub("AdsbExchange bbox query", "aex/aex.go:53-79")
+
+
+def normalize_fr24_track(raw: DataFrame) -> DataFrame:
+    """fr24 playback-track payload (fr24/fr24.go:274-316): one row per
+    point as (fr24_id, ts epoch, lat, lon, alt_ft, groundspeed_kt,
+    heading_deg) → trackpoints with the 'fr24' track key."""
+    return raw.select(
+        F.col("fr24_id"),
+        F.lit("fr24").alias("track"),
+        F.lit("fr24").alias("data_source"),
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("ts"),
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lon").cast("double").alias("lon"),
+        F.col("alt").cast("double").alias("alt_ft"),
+        F.col("speed").cast("double").alias("groundspeed_kt"),
+        F.col("heading").cast("double").alias("heading_deg"),
+    )

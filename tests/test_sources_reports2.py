@@ -142,3 +142,15 @@ def test_fr24_and_fa_and_aex_normalizers(spark):
 def test_fetchers_are_stubs(spark):
     with pytest.raises(NotImplementedError):
         fetch_fr24_list(spark, (36.0, 38.0, -123.0, -121.0))
+
+
+def test_fr24_track_normalizer(spark):
+    from flightdb_spark.sources.connectors import normalize_fr24_track
+
+    raw = spark.createDataFrame(
+        [("abc123", 1717264800, 37.5, -122.0, 10000, 250, 270)],
+        "fr24_id string, ts long, lat double, lon double, alt long, speed long, heading long",
+    )
+    r = normalize_fr24_track(raw).collect()[0]
+    assert r["track"] == "fr24" and r["alt_ft"] == 10000.0
+    assert r["ts"] == datetime(2024, 6, 1, 18, 0)
