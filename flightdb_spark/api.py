@@ -149,6 +149,8 @@ def realtime_airspace(
     latest position per aircraft, keys namespaced with the source prefix
     exactly as the reference namespaces icao keys; positions staler than
     30 s (kMaxStaleDuration, realtime-airspace.go:30) are dropped."""
+    if not sources:
+        raise ValueError("realtime_airspace needs at least one source feed")
     parts = []
     for prefix, df in sources.items():
         latest = (

@@ -16,10 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Reference regexes (callsign.go:76-109), RE-expressed for Java regex.
-_RE_REGISTRATION = r"^N[0-9][0-9A-Z]{1,4}$"
+# Reference regexes verbatim (callsign.go:85, :92, :101): N-numbers
+# start with a nonzero digit, exclude I/O, 1-5 chars total; bare flight
+# numbers are 2-4 digits.
+_RE_REGISTRATION = r"^N[1-9][0-9A-HJ-NP-Z]{0,4}$"
 _RE_ICAO_FLIGHT = r"^([A-Z]{3})([0-9]{1,4})([A-Z]?)$"
-_RE_BARE_NUMBER = r"^[0-9]{1,4}$"
+_RE_BARE_NUMBER = r"^[0-9]{2,4}$"
 
 
 def callsign_type(c: Column) -> Column:
@@ -48,7 +50,7 @@ def flight_number(c: Column) -> Column:
     """Numeric flight number from an Icao or bare callsign (else null)."""
     c = F.upper(F.trim(c))
     icao_num = F.regexp_extract(c, _RE_ICAO_FLIGHT, 2)
-    bare = F.regexp_extract(c, r"^([0-9]{1,4})$", 1)
+    bare = F.regexp_extract(c, r"^([0-9]{2,4})$", 1)
     num = F.when(icao_num != "", icao_num).when(bare != "", bare)
     return num.cast("long")
 

@@ -62,6 +62,9 @@ def parse_idspec(spec: str) -> IdSpec:
     raw_id, _, times = spec.partition("@")
     if not raw_id or not times:
         raise ValueError(f"idspec {spec!r}: empty id or time")
+    # normalize once at parse time (the reference uppercases idspec
+    # input); every consumer then compares against uppercase ids
+    raw_id = raw_id.strip().upper()
     if ":" in times and not times[0].isalpha():
         # range form uses ':' between epochs; RFC3339 also contains ':',
         # so only split when both halves are pure epochs (idspec.go:66-74)

@@ -106,12 +106,10 @@ def decode_media(media: DataFrame, out_dim: int = 64) -> DataFrame:
     fields = media.schema.fieldNames()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codecs, if ever present
-            import PIL.Image  # noqa: F401
-
-            decode = None  # pragma: no cover — not in this container
-        except ImportError:
-            decode = _fake_decode
+        # _fake_decode is the deterministic stand-in; a real codec
+        # implementation replaces it here (e.g. PIL.Image.open for
+        # images) — the batch plumbing is identical either way
+        decode = _fake_decode
         for pdf in batches:
             feats = []
             for blob, kind in zip(pdf["blob"], pdf["kind"]):
@@ -138,7 +136,12 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
     frame_len = F.greatest(F.floor(F.length("blob") / n), F.lit(1)).cast("int")
     idxs = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: (i * F.greatest(n - 1, F.lit(1)) / F.lit(max(k - 1, 1))).cast("int"),
+        # clamp to n-1: for n=1 the even spacing would otherwise emit a
+        # phantom frame index 1 that doesn't exist
+        lambda i: F.least(
+            (i * F.greatest(n - 1, F.lit(1)) / F.lit(max(k - 1, 1))).cast("int"),
+            n - 1,
+        ),
     )
     frames = F.transform(
         F.array_distinct(idxs),

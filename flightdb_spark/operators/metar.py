@@ -41,10 +41,20 @@ def asof_join_metar(
     """
     if station is not None:
         metars = metars.filter(F.col("station") == station)
-    m = metars.select(
-        F.date_trunc("hour", F.col("report_time")).alias("_m_hour"),
-        F.col("report_time"),
-        F.col("altimeter_inhg"),
+    # one report per hour, latest wins — the archive invariant the
+    # reference maintains by construction (hour-indexed [24]Report,
+    # metar.go:37-45). Without this, a SPECI in the same hour (or a
+    # second station when station=None) would duplicate every joined
+    # trackpoint row.
+    m = (
+        metars.groupBy(F.date_trunc("hour", F.col("report_time")).alias("_m_hour"))
+        .agg(
+            F.max_by(
+                F.struct(F.col("report_time"), F.col("altimeter_inhg")),
+                F.col("report_time"),
+            ).alias("_r")
+        )
+        .select("_m_hour", F.col("_r.report_time"), F.col("_r.altimeter_inhg"))
     )
     cur = F.broadcast(
         m.select(

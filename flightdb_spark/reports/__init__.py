@@ -138,7 +138,22 @@ def preprocess(
         verdict = satisfies_set(inters, opt.logic).select(
             "flight_id", "satisfies_set", "blame_idx"
         )
+        # A flight the bbox prefilter pruned entirely has NO verdict row
+        # — its true outcome is "hit nothing": each restrictor is
+        # satisfied iff it is an excluder. Coalesce the left-join nulls
+        # with that default instead of silently passing the flight.
+        hits = [r.is_excluding for r in opt.restrictors]
+        default_ok = all(hits) if opt.logic == "all" else any(hits)
+        default_blame = next((i for i, ex in enumerate(hits) if not ex), None)
         flights = flights.join(F.broadcast(verdict), "flight_id", "left").withColumn(
+            "satisfies_set", F.coalesce(F.col("satisfies_set"), F.lit(default_ok))
+        ).withColumn(
+            "blame_idx",
+            F.coalesce(
+                F.col("blame_idx"),
+                F.lit(None if default_ok else default_blame).cast("int"),
+            ),
+        ).withColumn(
             "outcome",
             F.when(
                 (F.col("outcome") == LABEL_PREPROCESSED)
@@ -155,11 +170,14 @@ def preprocess(
         # (report/report.go:153-195; everything displayed in PDT per
         # SURVEY §2.7 — date.InPdt).
         h = F.hour(F.from_utc_timestamp(F.col("first_ts"), "America/Los_Angeles"))
+        if opt.tod_start_hour <= opt.tod_end_hour:
+            in_window = (h >= opt.tod_start_hour) & (h <= opt.tod_end_hour)
+        else:  # window wraps midnight, e.g. 22 -> 5 (the night-noise query)
+            in_window = (h >= opt.tod_start_hour) | (h <= opt.tod_end_hour)
         flights = flights.withColumn(
             "outcome",
             F.when(
-                (F.col("outcome") == LABEL_PREPROCESSED)
-                & ~((h >= opt.tod_start_hour) & (h <= opt.tod_end_hour)),
+                (F.col("outcome") == LABEL_PREPROCESSED) & ~in_window,
                 F.lit("[B] Eliminated: outside time-of-day window"),
             ).otherwise(F.col("outcome")),
         )

@@ -87,8 +87,10 @@ FRAGMENT_SCHEMA = T.StructType(
 METAR_SCHEMA = T.StructType(
     [
         T.StructField("station", T.StringType(), False),
-        T.StructField("ts", T.TimestampType(), False),  # report time (~:56 past hour)
-        T.StructField("hour_utc", T.TimestampType(), False),  # truncated hour key
+        # report time (~:56 past the hour); the as-of join truncates to
+        # the hour itself (operators/metar.py) — this name must match
+        # asof_join_metar's expected column
+        T.StructField("report_time", T.TimestampType(), False),
         T.StructField("altimeter_inhg", T.DoubleType(), True),
         T.StructField("raw", T.StringType(), True),
     ]

@@ -81,9 +81,15 @@ def derive_tags(callsign: F.Column, orig: F.Column, dest: F.Column) -> F.Column:
     sw = F.when(dest.isin(*SW_AIRPORTS) | orig.isin(*SW_AIRPORTS), F.array(F.lit(":SW:"))).otherwise(
         F.array().cast("array<string>")
     )
+    oceanic = F.when(
+        dest.isin(*OCEANIC_KEYWORDS) | orig.isin(*OCEANIC_KEYWORDS),
+        F.array(F.lit(":OCEANIC:")),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_union(
         F.array_union(F.array_union(base, al), F.array_union(ga, orig_tag)),
-        F.array_union(F.array_union(dest_tag, norcal), sw),
+        F.array_union(
+            F.array_union(dest_tag, norcal), F.array_union(sw, oceanic)
+        ),
     )
 
 

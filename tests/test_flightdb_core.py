@@ -424,3 +424,24 @@ def test_gate_descent_in_band_at_crossing():
     tr = _alt_track((6, 0, 15), (8, 0, 12), (10, 0, 11), (12, 0, 10), (14, 0, 9))
     i, j, hit = crawl_track(*tr, r)
     assert hit and i == 1  # the 8->10 segment reaches the plane in-band
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("N1", "Registration"),       # 2-char N-number is valid (callsign.go:85)
+        ("N0123", "JunkCallsign"),    # N-numbers cannot start with 0
+        ("N1O", "JunkCallsign"),      # I/O excluded from N-numbers
+        ("5", "JunkCallsign"),        # bare numbers need 2-4 digits (callsign.go:101)
+        ("52", "BareFlightNumber"),
+    ],
+)
+def test_callsign_reference_edge_cases(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], ["cs"])
+    got = df.select(callsign_type(F.col("cs")).alias("t")).first()["t"]
+    assert got == expected
+
+
+def test_idspec_lowercase_normalized():
+    s = parse_idspec("a23a23@1412312312")
+    assert s.raw_id == "A23A23" and s.kind == "icao"

@@ -185,3 +185,35 @@ def test_sfoclassb_rejects_non_sfo(spark):
     res = run_report("sfoclassb", spark, _flights(spark), _trackpoints(spark), Options())
     funnel = {x["outcome"]: x["n"] for x in res.funnel.collect()}
     assert funnel.get("[D] dest != SFO") == 2  # FB, FC
+
+
+def test_prefilter_pruned_flight_still_fails_restrictor(spark):
+    """Regression: a flight the bbox prefilter prunes entirely (no
+    intersection outcome rows) must be ELIMINATED by a non-excluding
+    restrictor, not silently accepted; and must SATISFY an excluder."""
+    opt = Options(restrictors=(BOX,))
+    res = run_report("list", spark, _flights(spark), _trackpoints(spark), opt)
+    funnel = {r["outcome"]: r["n"] for r in res.funnel.collect()}
+    # FB never nears the box -> pruned -> eliminated with blame idx 0
+    assert funnel.get("[B] Eliminated: did not satisfy restrictor 0") == 1
+    ids = {r["flight_id"] for r in res.rows.collect()}
+    assert "FB" not in ids and ids == {"FA", "FC"}
+
+    from flightdb_spark.operators.intersect import Restrictor
+    excl = Restrictor(gr_type="squarebox", center_lat=36.1, center_lon=-120.0,
+                      side_km=50.0, is_excluding=True)
+    res2 = run_report("list", spark, _flights(spark), _trackpoints(spark),
+                      Options(restrictors=(excl,)))
+    ids2 = {r["flight_id"] for r in res2.rows.collect()}
+    assert ids2 == {"FA", "FC"}  # FB hit the excluder; FA/FC pruned -> satisfied
+
+
+def test_time_of_day_window_wraps_midnight(spark):
+    # T0 = 11:00 PDT; a 22->5 night window must exclude it, a 5->22
+    # window must include it
+    night = Options(tod_start_hour=22, tod_end_hour=5)
+    day = Options(tod_start_hour=5, tod_end_hour=22)
+    res_n = run_report("list", spark, _flights(spark), _trackpoints(spark), night)
+    res_d = run_report("list", spark, _flights(spark), _trackpoints(spark), day)
+    assert res_n.rows.count() == 0
+    assert res_d.rows.count() == 3
