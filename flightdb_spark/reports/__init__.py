@@ -31,12 +31,30 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window as W
+
 from ..operators.intersect import Restrictor, intersect_tracks, satisfies_set
 
 # Funnel outcome labels follow the reference's bracket convention
 # ("[A] PreProcessed", "[B] Eliminated: ...", report/report.go:97-199) so
 # funnels render in stage order.
 LABEL_PREPROCESSED = "[A] PreProcessed"
+LABEL_TOD_FAILED = "[Bb] Failed TimeOfDay restrictions"
+
+
+def select_preferred_track(tp: DataFrame, spec: tuple[str, ...]) -> DataFrame:
+    """Keep each flight's most-preferred available track
+    (PreferredTrack, flight.go:173-178): rank sources by the spec,
+    keep rows of the per-flight minimum rank. One window shuffle on
+    (flight_id), which matches the table's natural clustering."""
+    rank = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(spec))):
+        rank = F.when(F.col("track") == s, F.lit(i)).otherwise(rank)
+    ranked = tp.withColumn("_rank", rank).filter(F.col("_rank").isNotNull())
+    best = F.min("_rank").over(W.partitionBy("flight_id"))
+    return ranked.withColumn("_best", best).filter(F.col("_rank") == F.col("_best")).drop(
+        "_rank", "_best"
+    )
 
 
 @dataclass
@@ -111,6 +129,20 @@ def preprocess(
     (report/options.go:30-31); here every predicate is a pushed-down
     column filter.
     """
+    # Positive tag / waypoint selection happens in the *query* in the
+    # reference (fquery.go ByTags/ByWaypoints), so flights lacking them
+    # never enter the funnel — a plain pushed-down filter, not an
+    # outcome label.
+    if opt.tags:
+        for t in opt.tags:
+            flights = flights.filter(F.array_contains(F.col("tags"), t))
+    if opt.waypoints:
+        # AND of memberships, matching fquery.go:63-68 / api.by_waypoints
+        for w in opt.waypoints:
+            flights = flights.filter(
+                F.array_contains(F.map_keys(F.col("waypoints")), w)
+            )
+
     out = F.lit(LABEL_PREPROCESSED)
     for t in reversed(opt.not_tags):
         out = F.when(
@@ -133,7 +165,18 @@ def preprocess(
     inters = None
     if opt.restrictors:
         surviving = flights.filter(F.col("outcome") == LABEL_PREPROCESSED)
-        keyed = tp.join(F.broadcast(surviving.select("flight_id")), "flight_id", "semi")
+        # Intersect only the flight's preferred track, not the union of
+        # all sources (GetIntersectableTrack -> PreferredTrack,
+        # intersectabletrack.go:91-103): time-sorting mixed ADSB+MLAT
+        # points would zigzag across a gate and fabricate crossings.
+        tp_pref = (
+            select_preferred_track(tp, opt.track_spec)
+            if opt.track_spec and "track" in tp.columns
+            else tp
+        )
+        keyed = tp_pref.join(
+            F.broadcast(surviving.select("flight_id")), "flight_id", "semi"
+        )
         inters = intersect_tracks(keyed, list(opt.restrictors))
         verdict = satisfies_set(inters, opt.logic).select(
             "flight_id", "satisfies_set", "blame_idx"
@@ -166,21 +209,57 @@ def preprocess(
         ).drop("satisfies_set", "blame_idx")
 
     if opt.tod_start_hour is not None and opt.tod_end_hour is not None:
-        # Flight's local start-hour must fall inside the window
-        # (report/report.go:153-195; everything displayed in PDT per
-        # SURVEY §2.7 — date.InPdt).
-        h = F.hour(F.from_utc_timestamp(F.col("first_ts"), "America/Los_Angeles"))
-        if opt.tod_start_hour <= opt.tod_end_hour:
-            in_window = (h >= opt.tod_start_hour) & (h <= opt.tod_end_hour)
-        else:  # window wraps midnight, e.g. 22 -> 5 (the night-noise query)
-            in_window = (h >= opt.tod_start_hour) | (h <= opt.tod_end_hour)
+        # Time-of-day anchors on the *interesting* timestamps, not the
+        # flight's start (report/report.go:153-195): with restrictors,
+        # the intersection entry/exit times; else with requested
+        # waypoints, their crossing times; else (an extension — the
+        # reference would find no anchor) the flight's first_ts. ANY
+        # anchor inside the PDT window accepts.
+        def in_window(ts_col):
+            h = F.hour(F.from_utc_timestamp(ts_col, "America/Los_Angeles"))
+            if opt.tod_start_hour <= opt.tod_end_hour:
+                return (h >= opt.tod_start_hour) & (h <= opt.tod_end_hour)
+            # window wraps midnight, e.g. 22 -> 5 (the night-noise query)
+            return (h >= opt.tod_start_hour) | (h <= opt.tod_end_hour)
+
+        if inters is not None:
+            # report.go:155-165: every intersection start, plus end for
+            # non-point intersections, for restrictors that actually hit.
+            hit = inters.filter(F.col("i_entry") >= 0)
+            meets = (
+                hit.withColumn(
+                    "_in",
+                    (
+                        in_window(F.col("entry_ts"))
+                        | (
+                            (F.col("i_exit") != F.col("i_entry"))
+                            & in_window(F.col("exit_ts"))
+                        )
+                    ).cast("int"),
+                )
+                .groupBy("flight_id")
+                .agg(F.max("_in").alias("_meets_tod"))
+            )
+            flights = flights.join(F.broadcast(meets), "flight_id", "left")
+            tod_ok = F.col("_meets_tod") == 1  # no hit rows -> null -> fails
+        elif opt.waypoints:
+            # report.go:166-173: the requested waypoints' crossing times
+            tod_ok = F.lit(False)
+            for w in opt.waypoints:
+                t = F.col("waypoints").getItem(w)
+                tod_ok = tod_ok | (t.isNotNull() & in_window(t))
+        else:
+            tod_ok = in_window(F.col("first_ts"))
         flights = flights.withColumn(
             "outcome",
             F.when(
-                (F.col("outcome") == LABEL_PREPROCESSED) & ~in_window,
-                F.lit("[B] Eliminated: outside time-of-day window"),
+                (F.col("outcome") == LABEL_PREPROCESSED)
+                & ~F.coalesce(tod_ok, F.lit(False)),
+                F.lit(LABEL_TOD_FAILED),
             ).otherwise(F.col("outcome")),
         )
+        if "_meets_tod" in flights.columns:
+            flights = flights.drop("_meets_tod")
     return flights, inters
 
 

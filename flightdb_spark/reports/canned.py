@@ -15,7 +15,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.geo import haversine_km
-from . import LABEL_PREPROCESSED, Options, handle_report, preprocess
+from . import (
+    LABEL_PREPROCESSED,
+    Options,
+    handle_report,
+    preprocess,
+    select_preferred_track,
+)
 
 # SFO reference point (the reference gets it from geo/sfo's airport table).
 SFO_LAT, SFO_LON = 37.6189, -122.3750
@@ -40,21 +46,6 @@ def _pdt(col):
     return F.from_utc_timestamp(col, "America/Los_Angeles")
 
 
-def select_preferred_track(tp: DataFrame, spec: tuple[str, ...]) -> DataFrame:
-    """Keep each flight's most-preferred available track
-    (PreferredTrack, flight.go:173-178): rank sources by the spec,
-    keep rows of the per-flight minimum rank. One window shuffle on
-    (flight_id), which matches the table's natural clustering."""
-    rank = F.lit(None).cast("int")
-    for i, s in reversed(list(enumerate(spec))):
-        rank = F.when(F.col("track") == s, F.lit(i)).otherwise(rank)
-    ranked = tp.withColumn("_rank", rank).filter(F.col("_rank").isNotNull())
-    best = F.min("_rank").over(W.partitionBy("flight_id"))
-    return ranked.withColumn("_best", best).filter(F.col("_rank") == F.col("_best")).drop(
-        "_rank", "_best"
-    )
-
-
 def _with_point_index(tp: DataFrame) -> DataFrame:
     """0-based per-(flight, track) point index, the reference's array
     index i — needed wherever reports output I/J indices."""
@@ -74,8 +65,20 @@ def _first_area_entry(inters: DataFrame) -> DataFrame:
     )
 
 
-def _entry_exit_points(inters: DataFrame, tp: DataFrame) -> DataFrame:
-    """Join the entry/exit trackpoint values onto first-area rows."""
+def _entry_exit_points(
+    inters: DataFrame, tp: DataFrame, spec: tuple[str, ...] = ()
+) -> DataFrame:
+    """Join the entry/exit trackpoint values onto first-area rows.
+
+    The join keys on (flight_id, ts): restrict tp to the same preferred
+    track the crawl used, then dedupe to one row per key, so a second
+    source carrying an identical timestamp cannot fan the left join out
+    and duplicate report rows."""
+    if spec and "track" in tp.columns:
+        tp = select_preferred_track(tp, spec)
+    tp = tp.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("flight_id", "ts").orderBy("track"))
+    ).filter(F.col("_rn") == 1).drop("_rn")
     first = _first_area_entry(inters)
     entry = tp.select(
         "flight_id",
@@ -118,7 +121,7 @@ def list_report(spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: Opt
     ]
     out = labeled.select("flight_id", "outcome", "first_ts", *cols)
     if inters is not None:
-        pts = _entry_exit_points(inters, tp)
+        pts = _entry_exit_points(inters, tp, opt.track_spec)
         out = out.join(pts, "flight_id", "left")
         alt, gs = F.col("entry_alt"), F.col("entry_gs")
         when_ts = F.col("entry_ts")
@@ -156,7 +159,7 @@ def altitudebands(spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: O
     labeled, inters = preprocess(flights, tp, opt)
     if inters is None:
         raise ValueError("altitudebands requires a geo restrictor (region)")
-    pts = _entry_exit_points(inters, tp)
+    pts = _entry_exit_points(inters, tp, opt.track_spec)
     out = labeled.join(pts, "flight_id", "left")
     # avg of entry/exit altitude (altitudestacking.go:33: Start + (End-Start)/2)
     avg_alt = F.col("entry_alt") + (F.col("exit_alt") - F.col("entry_alt")) / 2.0

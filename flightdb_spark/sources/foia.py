@@ -23,8 +23,19 @@ from ..functions.callsign import callsign_type, flight_number, icao_prefix
 # Airport groups for tag derivation (flightpath.go:82-97 hardcodes these
 # for NorCal; kept as data).
 NORCAL_AIRPORTS = {"SFO", "SJC", "OAK"}
-OCEANIC_KEYWORDS = {"HNL", "OGG", "NRT", "HND", "ICN", "SYD", "TPE", "PVG"}
-SW_AIRPORTS = {"LAX", "SAN", "SNA", "PHX", "LAS", "BUR", "ONT"}
+# flightpath.go:82-87 OceanicAirports — IATA codes plus the 4-letter ICAO
+# forms, because FOIA data uses ICAO codes for non-US airports.
+OCEANIC_KEYWORDS = {
+    "LIH", "OGG", "HNL", "KOA", "NRT", "HND", "KIX", "PVG", "PEK", "CAN",
+    "CTU", "WUH", "HKG", "TPE", "ICN", "MNL", "NHL", "SYD", "VRD", "AKL",
+    "NZAA", "ZGGG", "ZUUU", "VHHH", "RJTT", "PHNL", "RKSI", "RJBB", "PHKO",
+    "PHLI", "RPLL", "RJAA", "ZBAA", "PHOG", "ZSPD", "YSSY", "RCTP", "ZHHH",
+}
+# flightpath.go:89-92 SouthwestAirports
+SW_AIRPORTS = {
+    "PHX", "TUS", "SBP", "LAX", "LGB", "BUR", "ONT", "SNA", "DCA",
+    "SBA", "PSP", "SAN",
+}
 
 
 def read_foia_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -217,3 +217,71 @@ def test_time_of_day_window_wraps_midnight(spark):
     res_d = run_report("list", spark, _flights(spark), _trackpoints(spark), day)
     assert res_n.rows.count() == 0
     assert res_d.rows.count() == 3
+
+
+def _tod_fixture(spark):
+    """Two flights crossing BOX. X departs 21:50 PDT (outside a 22->5
+    night window) but enters the box at 22:10 PDT; Y departs 22:30 PDT
+    (inside the window) but, with 4-hour point spacing, enters at 06:30
+    PDT the next morning (outside)."""
+    tx = datetime(2024, 6, 2, 4, 50)  # 21:50 PDT Jun 1
+    ty = datetime(2024, 6, 2, 5, 30)  # 22:30 PDT Jun 1
+    flights = spark.createDataFrame(
+        [
+            ("X", "UALX", "B738", "LAX", "SFO", tx, tx + timedelta(minutes=40),
+             ["AL"], {"WPA": tx + timedelta(minutes=20)}),
+            ("Y", "UALY", "B738", "LAX", "SFO", ty, ty + timedelta(hours=16),
+             ["AL"], {"WPA": ty + timedelta(hours=8)}),
+        ],
+        "flight_id string, callsign string, equip_type string, orig string, "
+        "dest string, first_ts timestamp, last_ts timestamp, tags array<string>, "
+        "waypoints map<string,timestamp>",
+    )
+    rows = []
+    for i in range(5):  # enters BOX (lat>=37.41) at i=2
+        rows.append(("X", "ADSB", tx + timedelta(minutes=10 * i),
+                     37.3 + 0.1 * i, -122.0, 5000.0, 250.0))
+        rows.append(("Y", "ADSB", ty + timedelta(hours=4 * i),
+                     37.3 + 0.1 * i, -122.0, 5000.0, 250.0))
+    tp = spark.createDataFrame(
+        rows,
+        "flight_id string, track string, ts timestamp, lat double, lon double, "
+        "alt_ft double, groundspeed_kt double",
+    )
+    return flights, tp
+
+
+def test_tod_anchors_on_intersection_times(spark):
+    # report/report.go:155-165: with a restrictor, ToD tests the
+    # intersection entry/exit hours, NOT the flight's first_ts.
+    flights, tp = _tod_fixture(spark)
+    night = Options(restrictors=(BOX,), tod_start_hour=22, tod_end_hour=5)
+    res = run_report("list", spark, flights, tp, night)
+    ids = {r["flight_id"] for r in res.rows.collect()}
+    assert ids == {"X"}  # X crosses in-window despite pre-window start
+    funnel = {r["outcome"]: r["n"] for r in res.funnel.collect()}
+    assert funnel.get("[Bb] Failed TimeOfDay restrictions") == 1  # Y
+
+
+def test_tod_anchors_on_waypoint_times(spark):
+    # report/report.go:166-173: no restrictor -> requested waypoints'
+    # crossing times anchor the window. X crosses WPA at 22:10 PDT,
+    # Y at 06:30 PDT next day.
+    flights, tp = _tod_fixture(spark)
+    night = Options(waypoints=("WPA",), tod_start_hour=22, tod_end_hour=5)
+    res = run_report("list", spark, flights, tp, night)
+    ids = {r["flight_id"] for r in res.rows.collect()}
+    assert ids == {"X"}
+
+
+def test_positive_tag_and_waypoint_selection(spark):
+    # Options.tags / Options.waypoints are applied as query filters
+    # (fquery.go ByTags/ByWaypoints) — flights lacking them never
+    # enter the funnel.
+    res = run_report("list", spark, _flights(spark), _trackpoints(spark),
+                     Options(tags=("GA",)))
+    assert {r["flight_id"] for r in res.rows.collect()} == {"FB"}
+    res2 = run_report("list", spark, _flights(spark), _trackpoints(spark),
+                      Options(waypoints=("WPA",)))
+    assert {r["flight_id"] for r in res2.rows.collect()} == {"FA"}
+    assert res2.funnel.count() == 1  # only the accepted label remains
