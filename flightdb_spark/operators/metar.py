@@ -31,33 +31,47 @@ def asof_join_metar(
     metars: DataFrame,
     ts_col: str = "ts",
     station: str | None = None,
+    station_col: str | None = None,
 ) -> DataFrame:
     """Attach `altimeter_inhg` + `metar_time` to each trackpoint row.
 
     `metars` schema: (station string, report_time timestamp,
     altimeter_inhg double, raw string). Lookup rule (metar.go:94-100):
-    take the report stored for hour(t); if missing or its report_time is
-    after t, take the report for hour(t)-1; else none.
+    take the report stored for hour(t) at the point's station; if
+    missing or its report_time is after t, take the report for
+    hour(t)-1; else none.
+
+    The archive is per-station (metar.go:37-45 keys Archive by station
+    upstream), so every lookup here is keyed by (station, hour):
+    ``station_col`` names a station column on ``tp``; otherwise the
+    single ``station`` argument applies to every row. One of the two is
+    required — an hour-only join would silently collapse multi-station
+    tables to whichever station reported latest each hour.
     """
-    if station is not None:
+    if station_col is None and station is None:
+        raise ValueError("asof_join_metar needs station= or station_col=")
+    if station is not None and station_col is None:
         metars = metars.filter(F.col("station") == station)
-    # one report per hour, latest wins — the archive invariant the
-    # reference maintains by construction (hour-indexed [24]Report,
-    # metar.go:37-45). Without this, a SPECI in the same hour (or a
-    # second station when station=None) would duplicate every joined
-    # trackpoint row.
+    # one report per (station, hour), latest wins — the archive invariant
+    # the reference maintains on Add (metar.go:125-141: hour-indexed
+    # [24]Report per day, later report_time wins). Without this a SPECI
+    # in the same hour would duplicate every joined trackpoint row.
     m = (
-        metars.groupBy(F.date_trunc("hour", F.col("report_time")).alias("_m_hour"))
+        metars.groupBy(
+            F.col("station").alias("_m_station"),
+            F.date_trunc("hour", F.col("report_time")).alias("_m_hour"),
+        )
         .agg(
             F.max_by(
                 F.struct(F.col("report_time"), F.col("altimeter_inhg")),
                 F.col("report_time"),
             ).alias("_r")
         )
-        .select("_m_hour", F.col("_r.report_time"), F.col("_r.altimeter_inhg"))
+        .select("_m_station", "_m_hour", F.col("_r.report_time"), F.col("_r.altimeter_inhg"))
     )
     cur = F.broadcast(
         m.select(
+            F.col("_m_station"),
             F.col("_m_hour"),
             F.col("report_time").alias("_cur_time"),
             F.col("altimeter_inhg").alias("_cur_inhg"),
@@ -65,17 +79,29 @@ def asof_join_metar(
     )
     prv = F.broadcast(
         m.select(
+            F.col("_m_station"),
             (F.col("_m_hour") + F.expr("INTERVAL 1 HOUR")).alias("_m_hour"),
             F.col("report_time").alias("_prv_time"),
             F.col("altimeter_inhg").alias("_prv_inhg"),
         )
     )
-    t = tp.withColumn("_tp_hour", F.date_trunc("hour", F.col(ts_col)))
+    tp_station = F.col(station_col) if station_col else F.lit(station)
+    t = tp.withColumn("_tp_hour", F.date_trunc("hour", F.col(ts_col))).withColumn(
+        "_tp_station", tp_station
+    )
     joined = (
-        t.join(cur, t["_tp_hour"] == cur["_m_hour"], "left")
-        .drop("_m_hour")
-        .join(prv, t["_tp_hour"] == prv["_m_hour"], "left")
-        .drop("_m_hour")
+        t.join(
+            cur,
+            (t["_tp_hour"] == cur["_m_hour"]) & (t["_tp_station"] == cur["_m_station"]),
+            "left",
+        )
+        .drop("_m_hour", "_m_station")
+        .join(
+            prv,
+            (t["_tp_hour"] == prv["_m_hour"]) & (t["_tp_station"] == prv["_m_station"]),
+            "left",
+        )
+        .drop("_m_hour", "_m_station")
     )
     use_prev = F.col("_cur_time").isNull() | (F.col("_cur_time") > F.col(ts_col))
     return (
@@ -87,7 +113,7 @@ def asof_join_metar(
             "metar_time",
             F.when(use_prev, F.col("_prv_time")).otherwise(F.col("_cur_time")),
         )
-        .drop("_tp_hour", "_cur_time", "_cur_inhg", "_prv_time", "_prv_inhg")
+        .drop("_tp_hour", "_tp_station", "_cur_time", "_cur_inhg", "_prv_time", "_prv_inhg")
     )
 
 
