@@ -60,6 +60,55 @@ def symmetric_hausdorff(tp: DataFrame) -> DataFrame:
     )
 
 
+def directed_hausdorff_via_pairs(tp: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Directed Hausdorff flight_a→flight_b restricted to a candidate
+    pair list — the 100 TB path. Points reach each other only through
+    two *equi*-joins on the pair columns (never a `flight_a != flight_b`
+    theta-join), so cost tracks |pairs| × points-per-flight², not n²
+    over the fleet. ``pairs`` is (flight_a, flight_b), directed."""
+    pts_a = tp.select(
+        F.col("flight_id").alias("flight_a"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+    )
+    pts_b = tp.select(
+        F.col("flight_id").alias("flight_b"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+    )
+    d = haversine_km(F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"))
+    per_point = (
+        pairs.join(pts_a, "flight_a")
+        .join(pts_b, "flight_b")
+        .groupBy("flight_a", "flight_b", "alat", "alon")
+        .agg(F.min(d).alias("_min_d"))
+    )
+    return per_point.groupBy("flight_a", "flight_b").agg(
+        F.max("_min_d").alias("hausdorff_km")
+    )
+
+
+def symmetric_hausdorff_grid(tp: DataFrame, grid_deg: float = GRID_DEG) -> DataFrame:
+    """Scale-safe symmetric Hausdorff: grid candidate pairs → pair-gated
+    directed distances both ways → max per unordered pair. On flights
+    that share ≥1 grid cell this equals symmetric_hausdorff exactly
+    (the grid only *prunes* pairs, it never changes a computed value)."""
+    pairs = candidate_pairs_by_grid(tp, grid_deg)
+    both = pairs.select("flight_a", "flight_b").union(
+        pairs.select("flight_b", "flight_a")  # positional: reversed direction
+    )
+    d = directed_hausdorff_via_pairs(tp.select("flight_id", "lat", "lon"), both)
+    return (
+        d.select(
+            F.least("flight_a", "flight_b").alias("flight_a"),
+            F.greatest("flight_a", "flight_b").alias("flight_b"),
+            "hausdorff_km",
+        )
+        .groupBy("flight_a", "flight_b")
+        .agg(F.max("hausdorff_km").alias("hausdorff_km"))
+    )
+
+
 def candidate_pairs_by_grid(tp: DataFrame, grid_deg: float = GRID_DEG) -> DataFrame:
     """Scale path: flights sharing ≥1 coarse grid cell become candidate
     pairs (equi-join on the cell id — cost tracks co-located flights,

@@ -160,14 +160,86 @@ def q45_market_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q46_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory similarity: symmetric Hausdorff distance between
     flight tracks (operators/trajectory.py) — pair join + two-level
-    aggregation, all JVM-side; the grid-bucket variant is the 100 TB
-    candidate-generation path."""
+    aggregation, all JVM-side. This all-pairs form is the small-n
+    oracle anchor; q47 is the grid-gated 100 TB path."""
     from ..operators.trajectory import symmetric_hausdorff
 
     tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 8).select(
         "flight_id", "lat", "lon"
     )
     out = symmetric_hausdorff(tp)
+    return out.select(
+        "flight_a", "flight_b", F.round("hausdorff_km", 3).alias("hausdorff_km")
+    )
+
+
+# Grid candidate generation, mirrored in SQL for the oracle: distinct
+# 0.5°-cells per flight; one side expanded to its 3×3 neighborhood;
+# flights sharing a cell become an unordered candidate pair.
+_GRID_PAIRS_SQL = """
+    cells AS (
+      SELECT DISTINCT flight_id,
+             CAST(FLOOR(lat / 0.5) AS BIGINT) AS cy,
+             CAST(FLOOR(lon / 0.5) AS BIGINT) AS cx
+      FROM pts
+    ),
+    cells_b AS (
+      SELECT DISTINCT flight_id, cy + dy AS cy, cx + dx AS cx
+      FROM cells, (VALUES (-1), (0), (1)) d1(dy), (VALUES (-1), (0), (1)) d2(dx)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.flight_id AS flight_a, b.flight_id AS flight_b
+      FROM cells a JOIN cells_b b ON a.cy = b.cy AND a.cx = b.cx
+      WHERE a.flight_id < b.flight_id
+    )
+"""
+
+
+@query(
+    "q47_hausdorff_grid",
+    oracle=f"""
+    WITH {SYNTH_TP_CTE},
+    pts AS (
+      SELECT flight_id, lat, lon FROM trackpoints WHERE flight_id < 12
+    ),
+    {_GRID_PAIRS_SQL},
+    both_dirs AS (
+      SELECT flight_a, flight_b FROM pairs
+      UNION ALL
+      SELECT flight_b, flight_a FROM pairs
+    ),
+    dists AS (
+      SELECT p.flight_a, p.flight_b, a.lat AS alat, a.lon AS alon,
+             MIN({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon',
+                                       lat2='b.lat', lon2='b.lon')}) AS min_d
+      FROM both_dirs p
+      JOIN pts a ON a.flight_id = p.flight_a
+      JOIN pts b ON b.flight_id = p.flight_b
+      GROUP BY p.flight_a, p.flight_b, a.lat, a.lon
+    ),
+    directed AS (
+      SELECT flight_a, flight_b, MAX(min_d) AS h FROM dists
+      GROUP BY flight_a, flight_b
+    )
+    SELECT LEAST(flight_a, flight_b) AS flight_a,
+           GREATEST(flight_a, flight_b) AS flight_b,
+           ROUND(MAX(h), 3) AS hausdorff_km
+    FROM directed GROUP BY 1, 2
+    """,
+)
+def q47_hausdorff_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-gated symmetric Hausdorff — the scale path: candidate pairs
+    from a 0.5° cell equi-join (operators/trajectory.py
+    candidate_pairs_by_grid), distances computed only through the pair
+    list (directed_hausdorff_via_pairs). No point-level theta-join
+    anywhere in the plan; the oracle replays the identical gating in
+    SQL, so pruning divergence would fail the row-count match."""
+    from ..operators.trajectory import symmetric_hausdorff_grid
+
+    tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 12).select(
+        "flight_id", "lat", "lon"
+    )
+    out = symmetric_hausdorff_grid(tp)
     return out.select(
         "flight_a", "flight_b", F.round("hausdorff_km", 3).alias("hausdorff_km")
     )

@@ -159,3 +159,31 @@ def test_trajectory_hausdorff_and_grid(spark):
              for r in candidate_pairs_by_grid(tp).collect()}
     assert ("fa", "fb") in pairs          # share a 0.5-deg cell
     assert ("fa", "fc") not in pairs      # never co-located
+
+
+def test_hausdorff_grid_matches_exact_on_candidates(spark):
+    from flightdb_spark.operators.trajectory import (
+        candidate_pairs_by_grid,
+        symmetric_hausdorff,
+        symmetric_hausdorff_grid,
+    )
+
+    rows = []
+    for i in range(5):
+        rows.append(("fa", 37.0 + 0.01 * i, -122.0))
+        rows.append(("fb", 37.0 + 0.01 * i, -122.1))
+        rows.append(("fc", 45.0 + 0.01 * i, -100.0))
+        rows.append(("fd", 45.0 + 0.01 * i, -100.05))
+    tp = spark.createDataFrame(rows, "flight_id string, lat double, lon double")
+    exact = {(r["flight_a"], r["flight_b"]): r["hausdorff_km"]
+             for r in symmetric_hausdorff(tp).collect()}
+    gated = {(r["flight_a"], r["flight_b"]): r["hausdorff_km"]
+             for r in symmetric_hausdorff_grid(tp).collect()}
+    pairs = {(r["flight_a"], r["flight_b"])
+             for r in candidate_pairs_by_grid(tp).collect()}
+    # the grid only prunes: every surviving pair's value is exact
+    assert set(gated) == pairs
+    for p, v in gated.items():
+        assert v == pytest.approx(exact[p], rel=1e-9)
+    # and the far pairs were pruned, not computed
+    assert ("fa", "fc") not in gated and ("fa", "fb") in gated
