@@ -169,6 +169,119 @@ def _bucket_spark(v: str = "v") -> str:
     )
 
 
+# --- banded multi-probe LSH near-dup (q48) -----------------------------------
+# 4 bands × 4 planes (plane index p = band*4 + r, same deterministic
+# integer planes as q42). A pair is a candidate when its band buckets
+# are within Hamming distance 1 in ANY band — implemented as a one-sided
+# probe expansion (exact bucket ⋈ {bucket, bucket^1, ^2, ^4, ^8}), the
+# same trick as the trajectory grid's 3×3 neighborhood. For cos≥0.3
+# pairs this gives measured recall ≈0.9 vs the exact q41 (see
+# tests/test_queries_oracle.py::test_q48_recall_vs_exact); recall rises
+# with similarity, so true near-dups (cos≥0.9) are essentially never
+# missed while the candidate set stays a bucket join, not n².
+B_BANDS = 4
+R_PLANES = 4
+PROBE_MASKS = [0] + [1 << r for r in range(R_PLANES)]
+
+
+def _band_bucket_spark(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_spark(band * R_PLANES + r)} >= 0D THEN {1 << r} ELSE 0 END)"
+        for r in range(R_PLANES)
+    )
+
+
+def _band_bucket_duck(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_duck(band * R_PLANES + r)} >= 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(R_PLANES)
+    )
+
+
+@query(
+    "q48_lsh_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    bb AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {band} AS band, {_band_bucket_duck(band)} AS bkt FROM e"
+          for band in range(B_BANDS))}
+    ),
+    probes AS (
+      SELECT vec_id, band, xor(bkt, m) AS bkt
+      FROM bb, (VALUES {", ".join(f"({m})" for m in PROBE_MASKS)}) ms(m)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, p.vec_id AS vec_b
+      FROM bb a JOIN probes p
+        ON a.band = p.band AND a.bkt = p.bkt AND a.vec_id < p.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim,
+           ea.label = eb.label AS same_label
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    """,
+)
+def q48_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded near-dup through banded multi-probe LSH — the 100 TB
+    shape for q41's semantics: candidates from a (band, bucket) equi-join
+    with Hamming-1 probe expansion, exact cosine + threshold only on the
+    surviving pairs. Shuffles on the bucket key; never materializes n²."""
+    e = _emb(spark, sf_dir).withColumn("nrm", F.expr(f"sqrt({_dot('v', 'v')})"))
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.expr(_band_bucket_spark(band)).cast("int").alias("bkt"),
+            )
+            for band in range(B_BANDS)
+        ]
+    )
+    bb = e.select("vec_id", F.explode(bands_expr).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
+    )
+    probes = bb.select(
+        "vec_id",
+        "band",
+        F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("m"),
+        F.col("bkt").alias("b0"),
+    ).select("vec_id", "band", F.expr("int(b0) ^ m").alias("bkt"))
+    cand = (
+        bb.alias("a")
+        .join(
+            probes.alias("p"),
+            (F.col("a.band") == F.col("p.band"))
+            & (F.col("a.bkt") == F.col("p.bkt"))
+            & (F.col("a.vec_id") < F.col("p.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("p.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("label").alias("la"), F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("label").alias("lb"), F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(f"({_dot('va', 'vb')})") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cos, 6).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 @query(
     "q42_lsh_ann",
     oracle=f"""

@@ -48,3 +48,22 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_q48_recall_vs_exact(spark, sf_dir):
+    """Documented recall bound for the LSH-gated near-dup (q48) vs the
+    exact all-pairs q41: at sf0.01 the banded multi-probe gate recovers
+    ~0.89 of cos>=0.3 pairs (877/990), and recall rises with similarity
+    — pairs at cos>=0.5 are essentially never missed."""
+    exact = REGISTRY["q41_embedding_near_dup"].fn(spark, sf_dir).toPandas()
+    gated = REGISTRY["q48_lsh_near_dup"].fn(spark, sf_dir).toPandas()
+    e_pairs = {(r.vec_a, r.vec_b) for r in exact.itertuples()}
+    g_pairs = {(r.vec_a, r.vec_b) for r in gated.itertuples()}
+    assert g_pairs <= e_pairs  # LSH only prunes, never invents pairs
+    recall = len(g_pairs) / len(e_pairs)
+    assert recall >= 0.8, f"recall {recall:.3f} dropped below documented bound"
+    hi = exact[exact.cos_sim >= 0.5]
+    hi_pairs = {(r.vec_a, r.vec_b) for r in hi.itertuples()}
+    if hi_pairs:
+        hi_recall = len(hi_pairs & g_pairs) / len(hi_pairs)
+        assert hi_recall >= 0.95
