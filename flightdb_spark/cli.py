@@ -1,0 +1,96 @@
+"""fdb — command-line lookups over a flights parquet lake.
+
+The reference's only non-HTTP entry point is a flag-driven query
+builder (cmd/fdb/fdb.go:80-97: -icao / -callsign / -foia / -limit
+compose an FQuery ordered by -LastUpdate) that prints one line per
+match (fdb.go:101-124: identity, start time, point count, idspec).
+Same surface here: argparse → api.py predicates → orderBy/limit →
+formatted lines. The Spark plan is a pushed-down scan + top-k; no
+driver-side filtering.
+
+Usage:
+    python -m flightdb_spark.cli --flights /path/to/flights.parquet \
+        [--icao A12345] [--callsign UAL123] [--foia] [--tags AL,SFO] \
+        [--idspec A12345@2024-06-01T12:00:00] [--limit 40] [--utc]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import api
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fdb", description=__doc__.splitlines()[0])
+    p.add_argument("--flights", required=True, help="flights parquet path")
+    p.add_argument("--icao", default="", help="ICAO id for airframe (6-digit hex)")
+    p.add_argument("--callsign", default="", help="callsign or registration")
+    p.add_argument("--foia", action="store_true", help="FOIA data only")
+    p.add_argument("--tags", default="", help="comma-separated tag AND-list")
+    p.add_argument("--idspec", default="", help="idspec string (ID@epoch or ID@s:e)")
+    p.add_argument("--limit", type=int, default=40, help="how many matches")
+    p.add_argument("--utc", action="store_true",
+                   help="print times in UTC (default PDT, like the reference)")
+    return p
+
+
+def query_from_args(flights: DataFrame, args: argparse.Namespace) -> DataFrame:
+    """fdb.go:80-97 queryFromArgs, over a DataFrame."""
+    pred = F.lit(True)
+    if args.foia:
+        pred = pred & api.by_tags(["FOIA"])
+    if args.tags:
+        pred = pred & api.by_tags([t for t in args.tags.split(",") if t])
+    if args.icao:
+        pred = pred & api.by_icao_id(args.icao)
+    if args.callsign:
+        pred = pred & api.by_callsign(args.callsign)
+    if args.idspec:
+        pred = pred & api.by_idspec(args.idspec)
+    return flights.filter(pred).orderBy(F.desc("last_ts")).limit(args.limit)
+
+
+def format_rows(rows: list) -> list[str]:
+    """fdb.go:113-124: '[ i] identity start npts idspec'."""
+    out = []
+    for i, r in enumerate(rows):
+        ident = r["callsign"] or r["icao_id"] or r["flight_id"]
+        ts = r["first_ts"]
+        npts = r["n_points"] or 0
+        out.append(f"[{i:2d}] {ident:>25.25s} {ts.isoformat()} {npts:4d}pts "
+                   f"{r['icao_id'] or ''}@{int(ts.timestamp())}")
+    return out
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("fdb-cli")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    try:
+        flights = spark.read.parquet(args.flights)
+        if not args.utc:
+            spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        if "n_points" not in flights.columns:
+            flights = flights.withColumn("n_points", F.lit(None).cast("int"))
+        rows = query_from_args(flights, args).collect()
+        for line in format_rows(rows):
+            print(line)
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,6 +78,10 @@ class Options:
     logic: str = "all"  # GRS ALL/ANY (georestrictorset.go:17-27)
     track_spec: tuple[str, ...] = ("FOIA", "ADSB", "MLAT", "fr24")
     altitude_tolerance: float = 0.0  # degrees for levelflight, ft for classb
+    # altitude band for closest-approach (ClosestTo, track.go:849-863);
+    # alt_max = 0 disables the check, as in the reference
+    alt_min: float = 0.0
+    alt_max: float = 0.0
     ref_distance_km: float = 0.0
     refpoint: tuple[str, float, float] | None = None  # (name, lat, lon)
     refpoint2: tuple[str, float, float] | None = None

@@ -186,6 +186,15 @@ def closestpoint(spark: SparkSession, flights: DataFrame, tp: DataFrame, opt: Op
     _name, rlat, rlon = opt.refpoint
     labeled, _ = preprocess(flights, tp, opt)
     picked = _with_point_index(select_preferred_track(tp, opt.track_spec or ("ADSB", "FA", "fr24")))
+    if opt.alt_max > 0:
+        # ClosestTo's altitude band (track.go:849-863): only in-band
+        # points compete for the argmin. (Where the reference would fall
+        # back to index 0 when *no* point is in band — its iMin starts
+        # at 0 — we reject the flight instead, which is the documented
+        # intent of its "-1" contract.)
+        picked = picked.filter(
+            (F.col("alt_ft") >= opt.alt_min) & (F.col("alt_ft") <= opt.alt_max)
+        )
     dist = haversine_km(F.col("lat"), F.col("lon"), F.lit(rlat), F.lit(rlon))
     closest = (
         picked.withColumn("_dist_km", dist)

