@@ -10,10 +10,12 @@ recent flight for that icao, or starts a new flight
     (kExtensionMaxGap, track.go:25);
   - fragment strictly before the track (out-of-order delivery): accept
     iff gap <= 30 min (3x, track.go:454-462);
-  - time overlap: accept iff the tracks also overlap in space
-    (track.go:464-476 — the reference compares contiguous-box covers,
-    track.go:376-402; we use padded bounding-box overlap, which is the
-    same test at box-granularity 1).
+  - time overlap: accept iff the tracks also overlap in space over the
+    overlapping time window (track.go:464-476 via Compare,
+    track.go:322-369: trim both tracks to the window with one point of
+    padding, then compare their contiguous-box covers — operators/
+    boxes.py — so two tracks in disjoint areas whose full bounding
+    boxes overlap do NOT glue).
 
 ADSB and MLAT accumulate into *separate* tracks of one flight; the
 "current accumulation track" is the most recently updated of the two
@@ -40,9 +42,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.boxes import tracks_space_overlap
+
 EXTENSION_MAX_GAP_S = 600.0  # kExtensionMaxGap = 10 min (track.go:25)
 PREFIX_MAX_GAP_S = 3 * EXTENSION_MAX_GAP_S  # track.go:454-462
-SPACE_PAD_DEG = 0.05  # bbox pad for the space-overlap test
 
 
 @dataclass
@@ -101,10 +104,30 @@ def _time_disposition(t1: _Track, ts2: list) -> tuple[str, float]:
     return "overlap", 0.0
 
 
-def _bbox_overlap(t1: _Track, lat2, lon2, pad: float = SPACE_PAD_DEG) -> bool:
-    a = (min(t1.lat) - pad, max(t1.lat) + pad, min(t1.lon) - pad, max(t1.lon) + pad)
-    b = (min(lat2), max(lat2), min(lon2), max(lon2))
-    return a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]
+def _padded_trim(ts, lat, lon, s: float, e: float):
+    """PaddedTrimToTimes(s, e, pad=1) (track.go:?): the points inside
+    [s, e] plus one point of context each side."""
+    ts = np.asarray(ts, float)
+    idx = np.nonzero((ts >= s) & (ts <= e))[0]
+    if len(idx) == 0:
+        # window falls between samples: keep the bracketing pair
+        after = np.searchsorted(ts, s)
+        lo, hi = max(after - 1, 0), min(after + 1, len(ts))
+    else:
+        lo, hi = max(idx[0] - 1, 0), min(idx[-1] + 2, len(ts))
+    la = np.asarray(lat, float)
+    lo_ = np.asarray(lon, float)
+    return ts[lo:hi], la[lo:hi], lo_[lo:hi]
+
+
+def _space_overlap_in_window(t1: _Track, ts2, lat2, lon2) -> bool:
+    """Compare's overlap branch (track.go:360-369): trim both tracks to
+    the shared time window (1-point pad), then box-cover overlap."""
+    s = max(t1.ts[0], ts2[0])
+    e = min(t1.ts[-1], ts2[-1])
+    a = _padded_trim(t1.ts, t1.lat, t1.lon, s, e)
+    b = _padded_trim(ts2, lat2, lon2, s, e)
+    return tracks_space_overlap(*a, *b)
 
 
 def plausible_contribution(t1: _Track, ts2, lat2, lon2) -> bool:
@@ -114,7 +137,18 @@ def plausible_contribution(t1: _Track, ts2, lat2, lon2) -> bool:
         return gap <= EXTENSION_MAX_GAP_S
     if kind == "before":
         return gap <= PREFIX_MAX_GAP_S
-    return _bbox_overlap(t1, lat2, lon2)
+    return _space_overlap_in_window(t1, ts2, lat2, lon2)
+
+
+def plausible_extension(t1: _Track, ts2, lat2, lon2) -> bool:
+    """PlausibleExtension (track.go:407-440): like contribution, but a
+    fragment from the *past* is never an extension."""
+    kind, gap = _time_disposition(t1, ts2)
+    if kind == "before":
+        return False
+    if kind == "after":
+        return gap <= EXTENSION_MAX_GAP_S
+    return _space_overlap_in_window(t1, ts2, lat2, lon2)
 
 
 def process_fragments(
