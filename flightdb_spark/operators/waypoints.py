@@ -97,6 +97,31 @@ def match_waypoints(tp: DataFrame, waypoints: DataFrame) -> DataFrame:
     )
 
 
+def match_waypoints_points(
+    ts: list, lat: list, lon: list, fixes: dict[str, tuple[float, float]]
+) -> dict[str, float]:
+    """Pure-Python MatchWaypoints over one point array (flightpath.go:
+    26-43): first segment intersecting a fix's 1-km snap box wins, the
+    crossing time is the segment END. Used by the streaming assembler's
+    incremental per-fragment matching (addtrackfragment.go:123-136) —
+    fragments are tiny, so the per-row loop is bounded and stays off
+    the hot DataFrame path (match_waypoints above is the batch op)."""
+    out: dict[str, float] = {}
+    half_lat = WAYPOINT_SNAP_KM / 2.0 / KM_PER_DEG_LAT
+    for name, (wlat, wlon) in fixes.items():
+        half_lon = (WAYPOINT_SNAP_KM / 2.0) / (
+            KM_PER_DEG_LAT * math.cos(math.radians(wlat))
+        )
+        box = (wlat - half_lat, wlat + half_lat, wlon - half_lon, wlon + half_lon)
+        for i in range(1, len(ts)):
+            if segment_intersects_box(
+                (lat[i - 1], lon[i - 1]), (lat[i], lon[i]), *box
+            ):
+                out[name] = ts[i]
+                break
+    return out
+
+
 def set_waypoints(flights: DataFrame, crossings: DataFrame) -> DataFrame:
     """Fold crossings back into the flights table's waypoints map
     (SetWaypoint, flight.go; AnalyseWaypoints full-reset semantics)."""

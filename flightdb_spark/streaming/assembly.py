@@ -82,8 +82,11 @@ class _Track:
 class OpenFlight:
     icao: str
     callsign: str = ""
+    registration: str = ""  # airframe overlay (addtrackfragment.go:111-119)
+    equip_type: str = ""
     tracks: dict = field(default_factory=dict)  # source -> _Track
     last_updated: dict = field(default_factory=dict)  # source -> seq no
+    waypoints: dict = field(default_factory=dict)  # wp -> crossing epoch
 
     @property
     def first_epoch(self) -> float:
@@ -166,8 +169,43 @@ def plausible_extension(t1: _Track, ts2, lat2, lon2) -> bool:
     return _space_overlap_in_window(t1, ts2, lat2, lon2)
 
 
+def _enrich_with_fragment(
+    f: OpenFlight,
+    fr: dict,
+    prev_tp: tuple[float, float, float] | None,
+    airframes: dict | None,
+    fixes: dict | None,
+) -> None:
+    """The incremental per-fragment enrichment the reference runs after
+    gluing (addtrackfragment.go:111-136): airframe overlay if the
+    flight still lacks a registration; prefix the fragment with the
+    point that preceded it so the waypoint matcher sees the line across
+    the inter-fragment gap; match the (prefixed) fragment's segments
+    against the fix table and record crossings."""
+    if airframes and not f.registration:
+        af = airframes.get(f.icao)
+        if af:  # fill-blanks only (OverlayAirframe, airframe.go:21-25)
+            f.registration = af.get("registration") or ""
+            if not f.equip_type:
+                f.equip_type = af.get("equip_type") or ""
+    if fixes:
+        from ..operators.waypoints import match_waypoints_points
+
+        ts, lat, lon = fr["ts"], fr["lat"], fr["lon"]
+        if prev_tp is not None:
+            ts = [prev_tp[0]] + list(ts)
+            lat = [prev_tp[1]] + list(lat)
+            lon = [prev_tp[2]] + list(lon)
+        for wp, t in match_waypoints_points(ts, lat, lon, fixes).items():
+            f.waypoints[wp] = t  # SetWaypoint overwrites (flight.go:125-127)
+
+
 def process_fragments(
-    frags: list[dict], flights: list[OpenFlight] | None = None, seq0: int = 0
+    frags: list[dict],
+    flights: list[OpenFlight] | None = None,
+    seq0: int = 0,
+    airframes: dict | None = None,
+    fixes: dict | None = None,
 ) -> list[OpenFlight]:
     """Assemble one airframe's fragments (arrival order) into flights.
 
@@ -176,7 +214,12 @@ def process_fragments(
     trackfragment.go:21-42). Returns finalized + still-open flights,
     oldest first. Mirrors AddTrackFragment's control flow
     (addtrackfragment.go:36-108). `flights`/`seq0` seed the scan with
-    an already-open flight (the streaming state)."""
+    an already-open flight (the streaming state).
+
+    `airframes` ({icao -> {registration, equip_type}}) and `fixes`
+    ({name -> (lat, lon)}) are the reference's in-memory caches
+    (ref.AirframeCache, sfo.KFixes); when given, each fragment also
+    runs the incremental enrichment of addtrackfragment.go:111-136."""
     flights = flights if flights is not None else []
     seq = seq0
     for fr in frags:
@@ -188,15 +231,25 @@ def process_fragments(
             if acc is None or plausible_contribution(acc, fr["ts"], fr["lat"], fr["lon"]):
                 if not f.callsign and fr.get("callsign"):
                     f.callsign = fr["callsign"]  # backfill (addtrackfragment.go:77-80)
+                # If the frag strictly extends this source's track, note
+                # the preceding point BEFORE merging (addtrackfragment.
+                # go:88-98): the waypoint matcher below then looks at
+                # the line across the inter-fragment gap.
+                prev_tp = None
+                t = f.tracks.get(src)
+                if t is not None and t.ts and t.ts[-1] < fr["ts"][0]:
+                    prev_tp = (t.ts[-1], t.lat[-1], t.lon[-1])
                 f.tracks.setdefault(src, _Track()).merge(
                     fr["ts"], fr["lat"], fr["lon"], fr["alt"]
                 )
                 f.last_updated[src] = seq
+                _enrich_with_fragment(f, fr, prev_tp, airframes, fixes)
                 continue
         nf = OpenFlight(icao=fr["icao"], callsign=fr.get("callsign") or "")
         nf.tracks[src] = _Track()
         nf.tracks[src].merge(fr["ts"], fr["lat"], fr["lon"], fr["alt"])
         nf.last_updated[src] = seq
+        _enrich_with_fragment(nf, fr, None, airframes, fixes)
         flights.append(nf)
     return flights
 
@@ -206,7 +259,8 @@ def process_fragments(
 # ---------------------------------------------------------------------------
 
 ASSEMBLED_SCHEMA = (
-    "flight_id string, icao_id string, callsign string, track string, "
+    "flight_id string, icao_id string, callsign string, registration string, "
+    "waypoints string, track string, "
     "ts timestamp, lat double, lon double, alt_ft double"
 )
 
@@ -233,10 +287,11 @@ def _flights_to_pdf(flights: list[OpenFlight]) -> pd.DataFrame:
     rows = []
     for f in flights:
         fid = f.flight_id
+        wp_js = json.dumps(f.waypoints, sort_keys=True) if f.waypoints else ""
         for src, t in f.tracks.items():
             for i in range(len(t.ts)):
                 rows.append(
-                    (fid, f.icao, f.callsign, src,
+                    (fid, f.icao, f.callsign, f.registration, wp_js, src,
                      # float-seconds -> ns picks up sub-µs noise Arrow
                      # refuses to truncate; round to µs explicitly
                      pd.Timestamp(int(round(t.ts[i] * 1e6)), unit="us"),
@@ -244,18 +299,27 @@ def _flights_to_pdf(flights: list[OpenFlight]) -> pd.DataFrame:
                 )
     return pd.DataFrame(
         rows,
-        columns=["flight_id", "icao_id", "callsign", "track", "ts", "lat", "lon", "alt_ft"],
+        columns=["flight_id", "icao_id", "callsign", "registration", "waypoints",
+                 "track", "ts", "lat", "lon", "alt_ft"],
     )
 
 
-def assemble_batch(fragment_points: DataFrame) -> DataFrame:
+def assemble_batch(
+    fragment_points: DataFrame,
+    airframes: dict | None = None,
+    fixes: dict | None = None,
+) -> DataFrame:
     """Batch assembly: fragment points (icao_id, frag_idx, track,
     callsign, ts, lat, lon, alt_ft) → flight-assigned trackpoints.
     One Arrow group per airframe — exactly the reference's per-icao
-    serialization, but all airframes in parallel."""
+    serialization, but all airframes in parallel. `airframes`/`fixes`
+    are small driver-side caches captured into the Arrow workers'
+    closure (the reference's ref.AirframeCache / sfo.KFixes shape)."""
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _flights_to_pdf(process_fragments(_pdf_to_frags(pdf)))
+        return _flights_to_pdf(
+            process_fragments(_pdf_to_frags(pdf), airframes=airframes, fixes=fixes)
+        )
 
     return fragment_points.groupBy("icao_id").applyInPandas(_assemble, ASSEMBLED_SCHEMA)
 
@@ -275,6 +339,9 @@ def _flight_to_json(f: OpenFlight) -> str:
         {
             "icao": f.icao,
             "callsign": f.callsign,
+            "registration": f.registration,
+            "equip_type": f.equip_type,
+            "waypoints": f.waypoints,
             "last_updated": f.last_updated,
             "tracks": {
                 s: {"ts": t.ts, "lat": t.lat, "lon": t.lon, "alt": t.alt}
@@ -287,6 +354,9 @@ def _flight_to_json(f: OpenFlight) -> str:
 def _flight_from_json(js: str) -> OpenFlight:
     d = json.loads(js)
     f = OpenFlight(icao=d["icao"], callsign=d["callsign"])
+    f.registration = d.get("registration", "")
+    f.equip_type = d.get("equip_type", "")
+    f.waypoints = dict(d.get("waypoints", {}))
     f.last_updated = {k: int(v) for k, v in d["last_updated"].items()}
     for s, t in d["tracks"].items():
         tr = _Track()
@@ -295,7 +365,11 @@ def _flight_from_json(js: str) -> OpenFlight:
     return f
 
 
-def assemble_stream(fragment_points: DataFrame) -> DataFrame:
+def assemble_stream(
+    fragment_points: DataFrame,
+    airframes: dict | None = None,
+    fixes: dict | None = None,
+) -> DataFrame:
     """Streaming assembly: fragment points → finalized flights' points.
 
     State machine per icao (applyInPandasWithState): merge arriving
@@ -303,7 +377,14 @@ def assemble_stream(fragment_points: DataFrame) -> DataFrame:
     fragment starts a NEW flight, the previous one is finalized and
     emitted; a processing-time timeout (30 min — the watermark-ish
     staleness bound, SURVEY §2.9) flushes the open flight. Input must
-    carry the same columns as assemble_batch."""
+    carry the same columns as assemble_batch.
+
+    With `airframes`/`fixes` the state fn ALSO runs the reference's
+    incremental per-fragment enrichment (addtrackfragment.go:111-136):
+    airframe overlay on first sight, and waypoint matching that sees
+    the line across the inter-fragment gap — a fix crossed between two
+    fragments is attributed to the open flight as it happens, not on a
+    later batch re-pass."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def _fn(key, pdfs, state: GroupState):
@@ -323,7 +404,9 @@ def assemble_stream(fragment_points: DataFrame) -> DataFrame:
                 frags.extend(_pdf_to_frags(pdf))
             seed = [open_f] if open_f else []
             seq0 = max(open_f.last_updated.values(), default=0) if open_f else 0
-            assembled = process_fragments(frags, seed, seq0)
+            assembled = process_fragments(
+                frags, seed, seq0, airframes=airframes, fixes=fixes
+            )
             for f in assembled[:-1]:  # all but the newest are closed
                 out.append(_flights_to_pdf([f]))
             state.update((_flight_to_json(assembled[-1]),))

@@ -98,6 +98,46 @@ def test_deterministic_flight_id():
     assert fl[0].flight_id == f"A23A23_{int(E0 - 120)}"
 
 
+# --- in-state incremental enrichment (addtrackfragment.go:111-136) -------------
+GAP_FIX = {"GAPWP": (37.05, -122.0)}  # sits between the two fragments below
+
+
+def _gap_frags():
+    """frag1 ends at lat 37.04, frag2 starts at 37.06: the GAPWP fix at
+    37.05 is crossed only by the line BETWEEN the fragments."""
+    f1 = frag(E0, n=5, dt=10.0, lat0=37.0, dlat=0.01)
+    f2 = frag(E0 + 60, n=5, dt=10.0, lat0=37.06, dlat=0.01)
+    return f1, f2
+
+
+def test_waypoint_crossed_in_inter_fragment_gap():
+    f1, f2 = _gap_frags()
+    fl = process_fragments([f1, f2], fixes=GAP_FIX)
+    assert len(fl) == 1
+    # crossing ts = segment END = frag2's first point (flightpath.go:37)
+    assert fl[0].waypoints == {"GAPWP": f2["ts"][0]}
+    # without the previous-point prefix the fix is NOT in either frag
+    fl_solo = process_fragments([f1], fixes=GAP_FIX)
+    assert fl_solo[0].waypoints == {}
+    fl_solo2 = process_fragments([f2], fixes=GAP_FIX)
+    assert fl_solo2[0].waypoints == {}
+
+
+def test_waypoint_inside_fragment_matches():
+    f1 = frag(E0, n=5, dt=10.0, lat0=37.03, dlat=0.01)  # passes 37.05
+    fl = process_fragments([f1], fixes=GAP_FIX)
+    assert "GAPWP" in fl[0].waypoints
+
+
+def test_airframe_overlay_in_state():
+    af = {"A23A23": {"registration": "N12345", "equip_type": "B738"}}
+    fl = process_fragments([frag(E0)], airframes=af)
+    assert fl[0].registration == "N12345" and fl[0].equip_type == "B738"
+    # unknown icao: stays blank
+    fl2 = process_fragments([frag(E0, icao="FFFFFF")], airframes=af)
+    assert fl2[0].registration == ""
+
+
 # --- misordered-fragments regression ------------------------------------------
 import json
 from pathlib import Path
@@ -214,11 +254,11 @@ def test_real_misordered_fixture_stream(spark, tmp_path):
         # frag_idx must be globally increasing (arrival order)
         df = _frag_points_df(spark, ch)
         df = df.withColumn("frag_idx", F.col("frag_idx") + F.lit(i * 50))
-        df.write.parquet(str(src / f"b{i}"))
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
     sentinel = frag(last_ts + 7200, icao="A5BB1B")
     _frag_points_df(spark, [sentinel]).withColumn(
         "frag_idx", F.col("frag_idx") + F.lit(999)
-    ).write.parquet(str(src / "b9"))
+    ).coalesce(1).write.parquet(str(src / "b9"))
     # file streams process oldest-mtime first: pin batch order explicitly
     import os
     for i, d in enumerate(sorted(src.iterdir())):
@@ -279,6 +319,54 @@ def test_assemble_stream_smoke(spark, tmp_path):
     # flight 1 was closed (by the arrival of the 2h-later fragment) and emitted
     assert got.count() == 15
     assert got.select("flight_id").distinct().count() == 1
+
+
+def test_stream_incremental_enrichment(spark, tmp_path):
+    """The gap-crossing fix is attributed in-state: frag1 and frag2
+    arrive in separate micro-batches; the emitted flight carries GAPWP
+    (ts = frag2's first point) and the overlaid registration."""
+    import os
+
+    f1, f2 = _gap_frags()
+    src = tmp_path / "frags"
+    src.mkdir()
+    _frag_points_df(spark, [f1]).coalesce(1).write.parquet(str(src / "b1"))
+    _frag_points_df(spark, [f2]).withColumn(
+        "frag_idx", F.col("frag_idx") + F.lit(1)
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    _frag_points_df(spark, [frag(E0 + 7200 + 3600)]).withColumn(
+        "frag_idx", F.col("frag_idx") + F.lit(2)
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    for i, d in enumerate(sorted(src.iterdir())):
+        for p in d.rglob("*"):
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream_in = (
+        spark.readStream.schema(
+            "icao_id string, frag_idx long, track string, callsign string, "
+            "ts timestamp, lat double, lon double, alt_ft double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    af = {"A23A23": {"registration": "N12345", "equip_type": "B738"}}
+    q = (
+        assemble_stream(stream_in, airframes=af, fixes=GAP_FIX)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import json as _json
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    first = got.filter(F.col("flight_id") == f"A23A23_{int(E0)}")
+    assert first.count() == 10
+    row = first.select("waypoints", "registration").first()
+    assert row["registration"] == "N12345"
+    assert _json.loads(row["waypoints"]) == {"GAPWP": f2["ts"][0]}
 
 
 def test_dedup_recent_stream(spark, tmp_path):
