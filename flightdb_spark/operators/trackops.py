@@ -45,13 +45,43 @@ def padded_trim_to_times(tp: DataFrame, s: datetime, e: datetime, pad: int = 0) 
     )
 
 
-def sample_every(tp: DataFrame, seconds: float) -> DataFrame:
+def sample_every(tp: DataFrame, seconds: float, tiebreak: str | None = None) -> DataFrame:
     """≥1 point per time bucket (SampleEvery, track.go:604-631; the
     floor-division bucketing noted in SURVEY §2.4 — same guarantee as
-    the reference's greedy walk at bucket granularity)."""
+    the reference's greedy walk at bucket granularity). `tiebreak`
+    names a column that makes the bucket winner deterministic when
+    timestamps collide."""
     bucket = F.floor(F.unix_timestamp("ts") / F.lit(seconds))
-    w = W.partitionBy("flight_id", "track", bucket).orderBy("ts")
+    order = [F.col("ts").asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy("flight_id", "track", bucket).orderBy(*order)
     return tp.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def as_lines_sampled_every(
+    tp: DataFrame, seconds: float, tiebreak: str | None = None
+) -> DataFrame:
+    """Track → line segments, ≥1 per time bucket (AsLinesSampledEvery,
+    track.go:784-802). The reference's greedy walk cuts a line whenever
+    more than `d` has elapsed since the last cut; the set-based twin
+    downsamples to one point per bucket (same ≥1-per-duration guarantee
+    as sample_every) and lag-pairs consecutive survivors into lines.
+    One row per segment: (flight_id, track, t0, t1, lat0, lon0, lat1,
+    lon1) — the waypoint matcher and complaint range join consume this
+    shape."""
+    pts = sample_every(tp, seconds, tiebreak=tiebreak)
+    w = _w()
+    return (
+        pts.withColumn("lat0", F.lag("lat").over(w))
+        .withColumn("lon0", F.lag("lon").over(w))
+        .withColumn("t0", F.lag("ts").over(w))
+        .filter(F.col("lat0").isNotNull())
+        .select(
+            "flight_id", "track",
+            "t0", F.col("ts").alias("t1"),
+            "lat0", "lon0",
+            F.col("lat").alias("lat1"), F.col("lon").alias("lon1"),
+        )
+    )
 
 
 def sample_every_dist(tp_with_dist: DataFrame, km: float) -> DataFrame:

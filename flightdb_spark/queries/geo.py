@@ -330,3 +330,38 @@ def q27_restrictor_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries.join(exits, "flight_id", "left")
         .select("flight_id", "entry_idx", "exit_idx", F.lit(True).alias("satisfied"))
     )
+
+
+@query(
+    "q49_lines_sampled",
+    oracle=f"""
+    WITH {SYNTH_TP_CTE},
+    bucketed AS (
+      SELECT flight_id, ts, lat, lon,
+             ROW_NUMBER() OVER (PARTITION BY flight_id, epoch_us(ts) // 600000000
+                                ORDER BY ts, event_id) AS rn
+      FROM trackpoints
+    ),
+    pts AS (SELECT flight_id, ts, lat, lon FROM bucketed WHERE rn = 1),
+    segs AS (
+      SELECT flight_id,
+             LAG(ts)  OVER w AS t0, ts AS t1,
+             LAG(lat) OVER w AS lat0, LAG(lon) OVER w AS lon0,
+             lat AS lat1, lon AS lon1
+      FROM pts
+      WINDOW w AS (PARTITION BY flight_id ORDER BY ts)
+    )
+    SELECT flight_id, t0, t1, lat0, lon0, lat1, lon1
+    FROM segs WHERE lat0 IS NOT NULL
+    """,
+)
+def q49_lines_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track → line segments, ≥1 per 10-minute bucket
+    (AsLinesSampledEvery, track.go:784-802): bucket-downsample then
+    lag-pair consecutive survivors. The named operator behind the
+    waypoint matcher's segment builder; one narrow window per flight,
+    no extra shuffle beyond the sample."""
+    from ..operators.trackops import as_lines_sampled_every
+
+    tp = synth_trackpoints(spark, sf_dir).withColumn("track", F.lit("ADSB"))
+    return as_lines_sampled_every(tp, 600.0, tiebreak="event_id").drop("track")

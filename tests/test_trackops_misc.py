@@ -50,6 +50,20 @@ def test_sample_every(tp):
     assert got == 4
 
 
+def test_as_lines_sampled_every(tp):
+    from flightdb_spark.operators.trackops import as_lines_sampled_every
+
+    # 4 sampled points -> 3 consecutive line segments, time-ordered
+    segs = as_lines_sampled_every(tp, 30.0).orderBy("t0").collect()
+    assert len(segs) == 3
+    for s in segs:
+        assert s["t0"] < s["t1"]
+        assert s["lat1"] > s["lat0"]  # northbound track
+    # segments chain: each segment starts where the previous ended
+    for a, b in zip(segs, segs[1:]):
+        assert a["t1"] == b["t0"] and a["lat1"] == b["lat0"]
+
+
 def test_windowed_average(tp):
     out = windowed_average_at(tp, T0 + timedelta(seconds=45), 30.0).collect()[0]
     # points at 30,40,50,60 s -> lats 37.03..37.06 avg 37.045
