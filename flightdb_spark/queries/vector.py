@@ -340,3 +340,112 @@ def q42_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --- IVF ANN (q50) -----------------------------------------------------------
+# Coarse quantizer: K deterministic centroids (the vectors with
+# vec_id < K — stable in any engine, no k-means RNG). Every vector is
+# assigned to its max-cosine centroid MAP-SIDE: the K centroids are
+# collapsed into ONE broadcast row and the argmax runs as a
+# higher-order-function fold per row, so assignment adds no shuffle at
+# all. Queries probe their nprobe=3 nearest cells; candidates come from
+# a cell equi-join (like an IVF inverted list), exact cosine re-ranks.
+# The synthetic embeddings are uniform (no cluster structure — IVF's
+# worst case): measured recall@5 vs exact q40 is 0.56 at sf0.001 and
+# 0.72 at sf0.01 (tests/test_queries_oracle.py::test_q50_recall_vs_
+# exact); on real, clusterable embeddings the same shape recalls far
+# higher per probed fraction, and K grows with sqrt(n) at scale.
+N_CENTROIDS = 8
+N_PROBE = 3
+
+# per-row argmax over the broadcast centroid array: struct ordering
+# makes array_max pick (max score, then max -id => min id)
+_BEST_CELLS = f"""
+slice(reverse(array_sort(transform(cents, c -> struct(
+  aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / c.nrm AS s,
+  -c.id AS negid)))), 1, {{n}})
+"""
+
+
+@query(
+    "q50_ivf_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+    asg AS (
+      SELECT e.vec_id, e.v, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, cv) / sqrt(list_inner_product(cv, cv)) DESC,
+                        cid) AS rn
+      FROM e, cents
+    ),
+    cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+    qprobe AS (SELECT vec_id, v, cid AS cell FROM asg
+               WHERE rn <= {N_PROBE} AND vec_id % 100 = 0),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM qprobe q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def q50_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids, map-side cell
+    assignment (one broadcast row of centroids + an HOF argmax — zero
+    shuffle), nprobe=3 probe expansion, cell equi-join for candidates,
+    exact cosine re-rank. The inverted-file sibling of q42's LSH path;
+    at 100 TB the corpus side shuffles once on the cell key and cells
+    can be written as partition values for pruned probes."""
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.struct(
+                F.col("vec_id").cast("int").alias("id"),
+                F.col("v").alias("cv"),
+                F.expr(f"sqrt({_dot('v', 'v')})").alias("nrm"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    base = e.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "vnorm", F.expr(f"sqrt({_dot('v', 'v')})")
+    )
+    corpus = base.withColumn(
+        "cell", -F.expr(_BEST_CELLS.format(n=1))[0]["negid"]
+    ).select("vec_id", "v", "vnorm", "cell")
+    probes = (
+        base.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+            F.explode(F.expr(_BEST_CELLS.format(n=N_PROBE))).alias("probe"),
+        )
+        .select("query_id", "qv", "qnorm", (-F.col("probe")["negid"]).alias("qcell"))
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(f"({_dot('qv', 'v')})") / (F.col("qnorm") * F.col("vnorm")), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
