@@ -86,20 +86,27 @@ def derive_tags(callsign: F.Column, orig: F.Column, dest: F.Column) -> F.Column:
     dest_tag = F.when(dest.isNotNull() & (dest != ""), F.array(F.concat(F.lit(":"), dest))).otherwise(
         F.array().cast("array<string>")
     )
-    norcal = F.when(
-        orig.isin(*NORCAL_AIRPORTS) | dest.isin(*NORCAL_AIRPORTS), F.array(F.lit(":NORCAL:"))
-    ).otherwise(F.array().cast("array<string>"))
-    sw = F.when(dest.isin(*SW_AIRPORTS) | orig.isin(*SW_AIRPORTS), F.array(F.lit(":SW:"))).otherwise(
-        F.array().cast("array<string>")
-    )
-    oceanic = F.when(
-        dest.isin(*OCEANIC_KEYWORDS) | orig.isin(*OCEANIC_KEYWORDS),
-        F.array(F.lit(":OCEANIC:")),
-    ).otherwise(F.array().cast("array<string>"))
+    def group(airports: set, stem: str) -> F.Column:
+        # SetAirportComboTagsFor (flightpath.go:76-79): origin match sets
+        # "STEM:", destination match sets ":STEM", either sets ":STEM:".
+        empty = F.array().cast("array<string>")
+        om = orig.isin(*airports)
+        dm = dest.isin(*airports)
+        return F.array_union(
+            F.when(om, F.array(F.lit(f"{stem}:"))).otherwise(empty),
+            F.array_union(
+                F.when(dm, F.array(F.lit(f":{stem}"))).otherwise(empty),
+                F.when(om | dm, F.array(F.lit(f":{stem}:"))).otherwise(empty),
+            ),
+        )
+
     return F.array_union(
         F.array_union(F.array_union(base, al), F.array_union(ga, orig_tag)),
         F.array_union(
-            F.array_union(dest_tag, norcal), F.array_union(sw, oceanic)
+            F.array_union(dest_tag, group(NORCAL_AIRPORTS, "NORCAL")),
+            F.array_union(
+                group(SW_AIRPORTS, "SW"), group(OCEANIC_KEYWORDS, "OCEANIC")
+            ),
         ),
     )
 

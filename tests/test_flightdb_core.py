@@ -97,6 +97,10 @@ def test_foia_ingest(spark, tmp_path):
     assert f1["callsign_prefix"] == "AAA" and f1["number"] == 1234
     assert "FOIA" in f1["tags"] and "AL" in f1["tags"]
     assert "SFO:" in f1["tags"] and ":LAX" in f1["tags"] and ":NORCAL:" in f1["tags"]
+    # directional group tags (SetAirportComboTagsFor, flightpath.go:76-79):
+    # SFO origin -> NORCAL:, LAX dest -> :SW (LAX is a SouthwestAirport)
+    assert "NORCAL:" in f1["tags"] and ":SW" in f1["tags"] and ":SW:" in f1["tags"]
+    assert ":NORCAL" not in f1["tags"] and "SW:" not in f1["tags"]
     f3 = fl["N839AL_20170401500"]
     assert f3["registration"] == "N839AL" and "GA" in f3["tags"]
     # trackpoints: altitude ×100, UTC timestamps, midnight straddle intact
