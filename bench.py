@@ -36,6 +36,14 @@ HEADLINE = [
     "q37_media_metadata",
     "q40_cosine_topk",
     "q45_market_rollup",
+    # scale paths: bucketed ANN, grid-gated trajectory sim, banded near-dup,
+    # IVF ANN, CC dedup clusters, repetition filters
+    "q42_lsh_ann",
+    "q47_hausdorff_grid",
+    "q48_lsh_near_dup",
+    "q50_ivf_ann",
+    "q51_dedup_clusters",
+    "q52_repetition_stats",
 ]
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..tables import load_table
 from . import query
@@ -390,4 +391,319 @@ def q36_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_re_tokens"
         ),
         F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_distinct_tokens"),
+    )
+
+
+# --- dedup cluster resolution (connected components) -------------------------------
+def _dedup_clusters_oracle() -> str:
+    mins = ", ".join(f"MIN(md5(concat('{s}:', sh))) AS minhash_{s}" for s in _MINHASH_SEEDS)
+    unions = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {s} AS band, minhash_{s} AS h FROM sigs" for s in _MINHASH_SEEDS
+    )
+    return f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {mins} FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {unions}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    """
+
+
+@query("q51_dedup_clusters", oracle=_dedup_clusters_oracle())
+def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: connected components over the LSH
+    candidate-pair edge set, canonical doc = min doc_id per component.
+    The step a real pipeline runs after q31 — candidate pairs alone
+    over-delete (A~B, B~C must keep ONE of {A,B,C}, not zero).
+
+    Spark side is iterative min-label propagation with pointer jumping:
+    each round every node takes min(own label, neighbor labels,
+    label-of-label). The jump step halves chain depth per round, so
+    convergence is O(log diameter) — a 1M-node path needs ~20 rounds,
+    not 1M (same doubling trick as large-star/small-star, Kiveris et
+    al., "Connected Components in MapReduce"). Two shuffles per round
+    on doc_id, lineage truncated by localCheckpoint (at cluster scale
+    use a reliable checkpoint dir); the loop exits on the first
+    converged round (a scalar count per round, never row data, crosses
+    to the driver)."""
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
+            for s in _MINHASH_SEEDS
+        ]
+    )
+    bands = None
+    for s in _MINHASH_SEEDS:
+        b = sigs.select(
+            "doc_id", F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    # Each round unions three label sources and takes the per-node min:
+    # own label, neighbor labels, label-of-label (pointer jump). The
+    # union+aggregate shape matters: expressing the same round as
+    # labels LEFT JOIN (derived-from-labels) — the same leaf appearing
+    # on both sides of nested joins — triggers exponential per-round
+    # analyzer cost even with checkpointed inputs, while union keeps
+    # every round flat (measured: constant ~0.7 s/round vs 5× growth).
+    prev_sum = None
+    for _ in range(32):  # O(log diameter) with jumping: covers 2^32 nodes
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so an unchanged sum means a fixpoint
+        # — one scalar aggregate per round, no self-join
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# --- repetition stats (Gopher-style filters, word-level) ---------------------------
+@query(
+    "q52_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    ta AS (
+      SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok, COUNT(*) AS n_dist
+      FROM tc GROUP BY doc_id
+    ),
+    bgs AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK.replace('- 1)', ')').replace('[i:i+2]', '[i:i+1]')}) AS bg
+      FROM documents
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+    ba AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg, COUNT(*) AS n_dist_bg
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ta.doc_id,
+           ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           ROUND(1 - CAST(n_dist AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+           ROUND(CAST(top_bg AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+           ROUND(1 - CAST(n_dist_bg AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+    FROM ta JOIN ba ON ta.doc_id = ba.doc_id
+    """,
+)
+def q52_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (the Gopher/MassiveText rules, word-level since
+    this corpus has no newlines): top-token fraction, duplicate-token
+    fraction, top-bigram fraction, duplicate-bigram fraction. Explode →
+    two-level aggregate — partial (map-side) agg absorbs the explode
+    fan-out, one shuffle per n-gram order on doc_id."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    ta = (
+        toks.groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.max("count").alias("top_tok"),
+            F.count(F.lit(1)).alias("n_dist"),
+        )
+    )
+    bigram = (
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"
+    )
+    bgs = docs.select("doc_id", F.explode(F.expr(bigram)).alias("bg"))
+    ba = (
+        bgs.groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bg"),
+            F.count(F.lit(1)).alias("n_dist_bg"),
+        )
+    )
+    return ta.join(ba, "doc_id").select(
+        "doc_id",
+        F.round(F.col("top_tok").cast("double") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(1 - F.col("n_dist").cast("double") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+        F.round(F.col("top_bg").cast("double") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        F.round(1 - F.col("n_dist_bg").cast("double") / F.col("n_bigrams"), 6).alias("dup_bigram_frac"),
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------------
+@query(
+    "q53_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS stratum_n
+      FROM documents
+    )
+    SELECT doc_id, source, lang, rn AS sample_rank, stratum_n
+    FROM ranked WHERE rn <= CEIL(0.1 * stratum_n)
+    """,
+)
+def q53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per (source, lang): rank by
+    content-free hash of the key, keep the top decile of each stratum.
+    Reproducible across engines and runs (no RNG), single window shuffle
+    on the stratum key; at 100 TB skewed strata ride AQE skew-split."""
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = W.partitionBy("source", "lang")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("stratum_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("sample_rank") <= F.ceil(0.1 * F.col("stratum_n")))
+    )
+
+
+# --- per-language vocabulary top-k --------------------------------------------------
+@query(
+    "q54_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+      FROM counts
+    )
+    SELECT lang, tok, n, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q54_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-10 tokens per language. Explode → count
+    (map-side partial agg eats the token fan-out) → per-lang top-k via
+    WindowGroupLimit (partial top-k before the final shuffle)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# --- benchmark decontamination ------------------------------------------------------
+@query(
+    "q55_decontamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES_DUCK}) AS sh FROM documents WHERE doc_id < 5
+    ),
+    shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents WHERE doc_id >= 5
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(DISTINCT s.sh) AS n_shingles,
+             COUNT(DISTINCT CASE WHEN b.sh IS NOT NULL THEN s.sh END) AS n_contaminated
+      FROM shingled s LEFT JOIN bench b ON s.sh = b.sh
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_frac
+    FROM per_doc WHERE n_contaminated > 0
+    """,
+)
+def q55_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's word
+    3-grams that appear in a held-out benchmark set (here docs 0-4).
+    The benchmark shingle set is tiny relative to the corpus → broadcast
+    hash join against the exploded corpus, so the corpus never shuffles;
+    per-doc aggregate is the single shuffle."""
+    docs = _docs(spark, sf_dir)
+    sh = F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+    bench = docs.filter(F.col("doc_id") < 5).select(sh).distinct()
+    shingled = docs.filter(F.col("doc_id") >= 5).select("doc_id", sh)
+    joined = shingled.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "sh", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shingles"),
+            F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("sh"))).alias(
+                "n_contaminated"
+            ),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination_frac"),
+        )
     )
