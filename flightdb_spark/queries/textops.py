@@ -707,3 +707,73 @@ def q55_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_frac"),
         )
     )
+
+
+# --- sketch statistics (HLL / quantile digests) ------------------------------------
+@query("q56_sketch_stats", oracle=None)  # sketch internals differ per engine
+def q56_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus statistics per language: HyperLogLog distinct
+    content hashes (approx_count_distinct, rsd=2%) and a quantile digest
+    of doc lengths (approx_percentile p50/p90). At 100 TB these are the
+    only viable shapes — both sketches merge associatively, so partial
+    aggregation happens map-side and the shuffle carries fixed-size
+    sketch buffers, not values. Rows-only for the driver (engine sketch
+    internals differ); tests pin accuracy against exact counts at small
+    SF (test_sketch_stats_tolerance)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_distinct"),
+            F.percentile_approx("n_chars", [0.5, 0.9], 10000).alias("len_p50_p90"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "approx_distinct",
+            F.col("len_p50_p90")[0].alias("len_p50"),
+            F.col("len_p50_p90")[1].alias("len_p90"),
+        )
+    )
+
+
+# --- weighted source mixing --------------------------------------------------------
+# Per-language sampling rates as 4-hex-digit thresholds on a content-free
+# hash: keep doc iff substr(md5(doc_id), 1, 4) < threshold. Lexicographic
+# compare of fixed-width lowercase hex is identical in any engine, so the
+# mix is reproducible everywhere with zero RNG.
+_MIX_RATES = [("en", "ffff", 1.0), ("fr", "8000", 0.5), ("de", "8000", 0.5),
+              ("es", "4000", 0.25), ("zh", "4000", 0.25)]
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(f"WHEN '{l}' THEN '{t}'" for l, t, _ in _MIX_RATES)
+    rates = " ".join(f"WHEN '{l}' THEN {r}" for l, _, r in _MIX_RATES)
+    return f"""
+    SELECT doc_id, lang, source,
+           CAST(CASE lang {rates} END AS DOUBLE) AS target_rate
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 4) < (CASE lang {cases} END)
+      OR CASE lang {cases} END = 'ffff'
+    """
+
+
+@query("q57_weighted_mix", oracle=_mix_oracle())
+def q57_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: down-sample each language to its target rate with a
+    deterministic hash threshold (the way a 100 TB pre-training mix is
+    actually drawn — reproducible, no RNG, no shuffle at all: the filter
+    is a pure column predicate evaluated in the scan stage)."""
+    docs = _docs(spark, sf_dir)
+    thr = F.lit(None).cast("string")
+    rate = F.lit(None).cast("double")
+    for l, t, r in reversed(_MIX_RATES):
+        thr = F.when(F.col("lang") == l, F.lit(t)).otherwise(thr)
+        rate = F.when(F.col("lang") == l, F.lit(r)).otherwise(rate)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        docs.withColumn("_thr", thr)
+        .filter((h < F.col("_thr")) | (F.col("_thr") == "ffff"))
+        .select("doc_id", "lang", "source", rate.alias("target_rate"))
+    )

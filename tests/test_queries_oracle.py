@@ -81,3 +81,54 @@ def test_q50_recall_vs_exact(spark, sf_dir):
     g = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
     recall = len(e & g) / len(e)
     assert recall >= 0.5, f"recall {recall:.3f} dropped below documented bound"
+
+
+def test_sketch_stats_tolerance(spark, sf_dir, duck):
+    """q56 is rows-only for the driver (HLL/quantile internals are
+    engine-specific); pin its accuracy against exact values here.
+    rsd=2% -> allow 5% slack on distinct counts; percentile_approx with
+    accuracy=10000 is exact at this cardinality up to interpolation."""
+    s = REGISTRY["q56_sketch_stats"].fn(spark, sf_dir).toPandas().set_index("lang")
+    exact = duck.execute(
+        """
+        SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+               quantile_disc(n_chars, 0.5) AS p50
+        FROM documents GROUP BY lang
+        """
+    ).fetchdf().set_index("lang")
+    for lang, row in exact.iterrows():
+        got = s.loc[lang]
+        assert got["n_docs"] == row["n_docs"]
+        assert abs(got["approx_distinct"] - row["n_distinct"]) <= max(2, 0.05 * row["n_distinct"])
+        assert abs(got["len_p50"] - row["p50"]) <= 0.1 * row["p50"] + 50
+
+
+def test_q51_matches_bruteforce_union_find(spark, sf_dir):
+    """Independent check of the distributed connected-components loop:
+    recompute components with a driver-side union-find over the same
+    LSH candidate edges (q31) and compare cluster partitions exactly."""
+    pairs = REGISTRY["q31_lsh_candidate_pairs"].fn(spark, sf_dir).toPandas()
+    got = REGISTRY["q51_dedup_clusters"].fn(spark, sf_dir).toPandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs.itertuples():
+        union(r.doc_a, r.doc_b)
+    want = {d: find(d) for d in parent}
+    # path-compress fully so every node points at the component min
+    want = {d: find(d) for d in parent}
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.doc_id] == r.cluster_id, (r.doc_id, r.cluster_id, want[r.doc_id])
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
