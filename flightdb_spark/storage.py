@@ -1,0 +1,76 @@
+"""Storage layout jobs: bucketing and compaction.
+
+At 100 TB the dominant costs of the per-flight operators (derived
+columns q13, windows, assembly, enrichment) are (a) the exchange on
+flight_id that every window/groupBy needs and (b) scans over
+millions of tiny files. Both are storage-layout problems, solved once
+at write time rather than per query:
+
+- ``bucketize``: write a table hash-bucketed AND sorted by its natural
+  key via ``bucketBy(...).sortBy(...).saveAsTable``. Spark records the
+  bucketing in the catalog; subsequent groupBy/window/join on the key
+  read co-located, pre-sorted buckets and plan NO Exchange (verified in
+  test_storage::test_bucketed_window_has_no_exchange). Two tables
+  bucketed the same way join with neither side shuffling.
+- ``compact``: coalesce a directory of small parquet files into
+  range-partitioned, key-sorted files of a target size. Range
+  partitioning gives non-overlapping key ranges per file, so min/max
+  row-group pruning turns key lookups into single-file reads
+  (the quadtree-replacement story at the storage layer: the reference
+  packs tracks into datastore blobs keyed by flight,
+  /root/reference/fgae/db.go; here layout does that job).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def bucketize(
+    df: DataFrame,
+    table: str,
+    key: str,
+    *,
+    buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed+sorted managed table. ``buckets``
+    should be sized so one bucket of the largest table fits an executor
+    (at 100 TB / 1000 executors: thousands of buckets, not 32)."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    w = w.sortBy(*(sort_cols or (key,)))
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    key: str,
+    target_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory as ~target_mb files, range-partitioned
+    and sorted by ``key``. Returns the output file count. Range (not
+    hash) partitioning keeps per-file key ranges disjoint so min/max
+    statistics prune to one file per key lookup."""
+    df = spark.read.parquet(src_dir)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))

@@ -1,0 +1,76 @@
+"""Storage-layout jobs: bucketing eliminates the Exchange, compaction
+reduces file count and keeps data identical."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flightdb_spark.storage import bucketize, compact
+
+
+def test_bucketed_window_has_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS tp_bucketed")
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("flight_id"), F.col("id").alias("ts")
+    )
+    bucketize(df, "tp_bucketed", "flight_id", buckets=8,
+              sort_cols=("flight_id", "ts"), path=str(tmp_path / "tp_bucketed"))
+    t = spark.table("tp_bucketed")
+
+    # groupBy on the bucket key: no Exchange in the plan
+    agg_plan = t.groupBy("flight_id").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan, agg_plan
+
+    # window on the bucket key: no Exchange either
+    w = W.partitionBy("flight_id").orderBy("ts")
+    win_plan = t.withColumn("rn", F.row_number().over(w))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in win_plan, win_plan
+
+    # co-bucketed self-join: force sort-merge (broadcast would win at
+    # this toy size) and verify neither side shuffles
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_plan = (
+            t.alias("a").join(spark.table("tp_bucketed").alias("b"), "flight_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" not in join_plan, join_plan
+        assert "SortMergeJoin" in join_plan, join_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS tp_bucketed")
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "small_files")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+
+    out = str(tmp_path / "compacted")
+    n_out = compact(spark, src, out, key="k", target_mb=1)
+    assert n_out < n_in
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.exceptAll(df).count() == 0
+
+    # range partitioning: per-file key ranges are disjoint
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
