@@ -2,9 +2,14 @@
 
 Media blobs are synthesized deterministically from document text
 (multimodal.synth_media) so DuckDB can recompute the byte-level
-metadata as an oracle. The decode/feature stage (q38) and frame
-sampling (q39) are rows-only checks: their outputs are deterministic
-but not reasonably SQL-expressible.
+metadata as an oracle. Even the decode/feature stage (q38) and frame
+sampling (q39) are fully oracle-checked: the fake decode is byte
+arithmetic, and since this corpus is pure ASCII (verified: max
+codepoint 121, no empty docs) DuckDB can rebuild the same byte
+histogram from characters. The exact 64-dim feature vectors are pinned
+in tests/test_multimodal.py; the oracle compares scalar summaries
+(integer bin counts are exact, max_frac is a single IEEE division so
+it is bit-identical across engines).
 """
 
 from __future__ import annotations
@@ -42,22 +47,83 @@ def q37_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(synth_media(_docs(spark, sf_dir)))
 
 
-@query("q38_media_features")  # rows-only: mapInPandas decode isn't SQL
+@query(
+    "q38_media_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, ascii(unnest(regexp_extract_all(text, '.'))) % 64 AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, b, COUNT(*)::DOUBLE AS c FROM chars GROUP BY doc_id, b
+    ),
+    counts2 AS (
+      SELECT doc_id, b, c, MAX(c) OVER (PARTITION BY doc_id) AS maxc
+      FROM counts
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_nonzero_bins,
+             MAX(c) AS maxc,
+             SUM(c) AS s,
+             MIN(b) FILTER (WHERE c = maxc) AS am
+      FROM counts2 GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+           64 AS dim,
+           n_nonzero_bins,
+           am AS argmax_bin,
+           maxc / s AS max_frac
+    FROM agg
+    """,
+)
 def q38_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction via Arrow-batched mapInPandas
-    (deterministic fake decode; see multimodal.decode_media)."""
+    (deterministic fake decode; see multimodal.decode_media). The full
+    64-dim histogram feature comes back from Python; the query surfaces
+    scalar summaries of it (nonzero bins, argmax bin, max fraction)
+    that the oracle recomputes from characters — exact because bin
+    counts are small integers and max_frac is one double division."""
     feats = decode_media(synth_media(_docs(spark, sf_dir)), out_dim=64)
+    mx = F.array_max("feature")
     return feats.select(
         "media_id",
         "kind",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
         F.size("feature").alias("dim"),
+        F.size(F.filter("feature", lambda x: x > 0)).alias("n_nonzero_bins"),
+        (F.array_position("feature", mx) - 1).cast("long").alias("argmax_bin"),
+        mx.alias("max_frac"),
     )
 
 
-@query("q39_frame_sample")  # rows-only: frame extraction isn't SQL
+@query(
+    "q39_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(CAST(text AS BLOB)) AS blen,
+             (octet_length(CAST(text AS BLOB)) % 24 + 1) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, text,
+             GREATEST(blen // n, 1) AS flen,
+             list_distinct(list_transform([0, 1, 2, 3],
+               i -> LEAST((i * GREATEST(n - 1, 1)) // 3, n - 1))) AS idxs
+      FROM v
+    ),
+    e AS (SELECT media_id, text, flen, unnest(idxs) AS fi FROM f)
+    SELECT media_id,
+           COUNT(*) AS n_frames_sampled,
+           SUM(length(substr(text, (fi * flen + 1)::INT, flen::INT)))::BIGINT AS sampled_bytes
+    FROM e GROUP BY media_id
+    """,
+)
 def q39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evenly-spaced frame sampling from video blobs (k=4)."""
+    """Evenly-spaced frame sampling from video blobs (k=4). Fully
+    byte-deterministic, so the oracle rebuilds the same frame index
+    set and substring lengths from the ASCII text."""
     frames = sample_frames(synth_media(_docs(spark, sf_dir)), k=4)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
