@@ -7,7 +7,7 @@ sampling (q39) are fully oracle-checked: the fake decode is byte
 arithmetic, and since this corpus is pure ASCII (verified: max
 codepoint 121, no empty docs) DuckDB can rebuild the same byte
 histogram from characters. The exact 64-dim feature vectors are pinned
-in tests/test_multimodal.py; the oracle compares scalar summaries
+in tests/test_flightdb_core.py; the oracle compares scalar summaries
 (integer bin counts are exact, max_frac is a single IEEE division so
 it is bit-identical across engines).
 """
