@@ -1,0 +1,145 @@
+"""Reusable text near-dup pipeline operators (the library behind
+queries/textops.py q30/q31/q51).
+
+Each stage is a plain DataFrame -> DataFrame function so a user can
+compose their own pipeline (different shingle width, seed count,
+banding, bucket cap) instead of the fixed registry queries. All hashes
+are md5 so results are engine-reproducible.
+
+100 TB shapes:
+- shingles/minhash: explode -> one aggregate on the doc key.
+- lsh_candidate_pairs: the self-join key is the (band, minhash) bucket,
+  never the doc pair. ``max_bucket`` guards the one way this can still
+  blow up: a degenerate bucket (empty strings, boilerplate) with m
+  members contributes m² pairs — cap it and those docs simply skip that
+  band (they usually collide again in another band if genuinely
+  similar; boilerplate-only collisions are the thing being dropped).
+- connected_components: min-label propagation + pointer jumping,
+  O(log diameter) rounds, one checkpoint per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_SHINGLE_TMPL = (
+    "CASE WHEN size(split({col}, ' ')) < {n} THEN array() "
+    "ELSE transform(sequence(1, size(split({col}, ' ')) - {nm1}), "
+    "i -> concat_ws(' ', slice(split({col}, ' '), i, {n}))) END"
+)
+
+
+def shingles(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Word n-gram shingles, one row per (doc, shingle occurrence)."""
+    expr = _SHINGLE_TMPL.format(col=text_col, n=n, nm1=n - 1)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("sh")
+    )
+
+
+def minhash_signatures(shingled: DataFrame, *, seeds: tuple[int, ...]) -> DataFrame:
+    """Seeded-md5 MinHash signature per doc (one column per seed)."""
+    return shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
+            for s in seeds
+        ]
+    )
+
+
+def lsh_bands(sigs: DataFrame, *, seeds: tuple[int, ...]) -> DataFrame:
+    """Unpivot the signature to (doc_id, band, h) rows, one per seed."""
+    bands = None
+    for s in seeds:
+        b = sigs.select(
+            "doc_id", F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def lsh_candidate_pairs(bands: DataFrame, *, max_bucket: int | None = None) -> DataFrame:
+    """Docs sharing any band bucket -> (doc_a < doc_b, n_shared_bands).
+    ``max_bucket`` drops buckets with more members than the cap before
+    the self-join (the m² guard for boilerplate buckets)."""
+    if max_bucket is not None:
+        sizes = W.partitionBy("band", "h")
+        bands = (
+            bands.withColumn("_m", F.count(F.lit(1)).over(sizes))
+            .filter(F.col("_m") <= max_bucket)
+            .drop("_m")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+    )
+
+
+def connected_components(
+    pairs: DataFrame, *, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 32
+) -> DataFrame:
+    """(doc_id, cluster_id = min doc id in component) over an undirected
+    edge list. Min-label propagation with pointer jumping: each round
+    every node takes min(own, neighbor labels, label-of-label), so a
+    component of diameter d converges in O(log d) rounds. One shuffle
+    per round on doc_id; lineage truncated by localCheckpoint (swap in
+    a reliable checkpoint dir on a cluster).
+
+    The round body is union+aggregate deliberately: the same semantics
+    as nested left-joins of a frame with its own derivative triggers
+    exponential per-round analyzer cost (measured in round 2), while
+    union stays flat.
+    """
+    p = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    edges = p.union(p.select(F.col("dst"), F.col("src"))).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so an unchanged sum means a fixpoint
+        # — one scalar aggregate per round, no row data to the driver
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Cluster resolution: components + size + canonical flag
+    (canonical = min doc_id, i.e. doc_id == cluster_id)."""
+    comp = connected_components(pairs)
+    w = W.partitionBy("cluster_id")
+    return (
+        comp.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

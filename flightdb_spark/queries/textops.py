@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators import textdedup
 from ..tables import load_table
 from . import query
 
@@ -111,9 +112,7 @@ def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the usual (a*x+b) mod p family so signatures are reproducible in
     any engine. Explode → groupBy(doc_id): one shuffle."""
     docs = _docs(spark, sf_dir)
-    shingled = docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
-    )
+    shingled = textdedup.shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
         for s in _MINHASH_SEEDS
@@ -149,33 +148,10 @@ def q31_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The self-join is on (band, hash) — at 100 TB the join key is the
     bucket, never the doc pair, so cost tracks collisions not n²."""
     docs = _docs(spark, sf_dir)
-    shingled = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
-    sigs = shingled.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
-            for s in _MINHASH_SEEDS
-        ]
-    )
-    bands = None
-    for s in _MINHASH_SEEDS:
-        b = sigs.select(
-            "doc_id", F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
-    )
+    shingled = textdedup.shingles(docs)
+    sigs = textdedup.minhash_signatures(shingled, seeds=tuple(_MINHASH_SEEDS))
+    bands = textdedup.lsh_bands(sigs, seeds=tuple(_MINHASH_SEEDS))
+    return textdedup.lsh_candidate_pairs(bands)
 
 
 # --- n-gram Jaccard near-dup -----------------------------------------------------
@@ -450,75 +426,13 @@ def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id, lineage truncated by localCheckpoint (at cluster scale
     use a reliable checkpoint dir); the loop exits on the first
     converged round (a scalar count per round, never row data, crosses
-    to the driver)."""
+    to the driver). Implementation: operators/textdedup.py."""
     docs = _docs(spark, sf_dir)
-    shingled = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
-    sigs = shingled.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
-            for s in _MINHASH_SEEDS
-        ]
-    )
-    bands = None
-    for s in _MINHASH_SEEDS:
-        b = sigs.select(
-            "doc_id", F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-    )
-    edges = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # Each round unions three label sources and takes the per-node min:
-    # own label, neighbor labels, label-of-label (pointer jump). The
-    # union+aggregate shape matters: expressing the same round as
-    # labels LEFT JOIN (derived-from-labels) — the same leaf appearing
-    # on both sides of nested joins — triggers exponential per-round
-    # analyzer cost even with checkpointed inputs, while union keeps
-    # every round flat (measured: constant ~0.7 s/round vs 5× growth).
-    prev_sum = None
-    for _ in range(32):  # O(log diameter) with jumping: covers 2^32 nodes
-        nbr = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("label"))
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .unionByName(jump)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        # labels only ever decrease, so an unchanged sum means a fixpoint
-        # — one scalar aggregate per round, no self-join
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    w = W.partitionBy("cluster_id")
-    return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn("n_members", F.count(F.lit(1)).over(w))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
-    )
+    shingled = textdedup.shingles(docs)
+    sigs = textdedup.minhash_signatures(shingled, seeds=tuple(_MINHASH_SEEDS))
+    bands = textdedup.lsh_bands(sigs, seeds=tuple(_MINHASH_SEEDS))
+    pairs = textdedup.lsh_candidate_pairs(bands)
+    return textdedup.dedup_clusters(pairs)
 
 
 # --- repetition stats (Gopher-style filters, word-level) ---------------------------

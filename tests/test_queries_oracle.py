@@ -132,3 +132,19 @@ def test_q51_matches_bruteforce_union_find(spark, sf_dir):
     for r in got.itertuples():
         assert want[r.doc_id] == r.cluster_id, (r.doc_id, r.cluster_id, want[r.doc_id])
         assert r.is_canonical == (r.doc_id == r.cluster_id)
+
+
+def test_lsh_bucket_cap_drops_megabuckets(spark):
+    """operators/textdedup.lsh_candidate_pairs(max_bucket=...) must drop
+    pairs that only co-occur in an over-cap bucket while keeping pairs
+    that share a small bucket too."""
+    from flightdb_spark.operators.textdedup import lsh_candidate_pairs
+
+    rows = [(d, 0, "hot") for d in range(10)]          # 10-doc boilerplate bucket
+    rows += [(1, 1, "cold"), (2, 1, "cold")]           # real near-dup pair
+    bands = spark.createDataFrame(rows, "doc_id long, band int, h string")
+    uncapped = lsh_candidate_pairs(bands).count()
+    assert uncapped == 45  # C(10,2) hot pairs; the cold (1,2) merges into its hot row
+    capped = lsh_candidate_pairs(bands, max_bucket=5).toPandas()
+    assert len(capped) == 1
+    assert (capped.doc_a[0], capped.doc_b[0]) == (1, 2)
