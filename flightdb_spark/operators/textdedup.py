@@ -143,3 +143,30 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         comp.withColumn("n_members", F.count(F.lit(1)).over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def fingerprint_col(text_col: str = "text") -> F.Column:
+    """Content fingerprint: md5 of lowercase/punct-normalized text
+    (the exact-dedup key of queries q28/q29)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ' '))"
+    return F.md5(F.expr(norm))
+
+
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup at ingest time: fingerprint each doc and
+    suppress re-deliveries within the watermark horizon. State is
+    keyed by the 16-byte fingerprint and expires with the watermark, so
+    memory is bounded by arrival rate × horizon, not corpus size — the
+    guard that runs IN FRONT of the batch near-dup pipeline at 100 TB
+    (same Spark mechanism as streaming/assembly.dedup_recent)."""
+    return (
+        stream.withColumn("fingerprint", fingerprint_col(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -74,3 +74,40 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_dedup_stream_suppresses_duplicates(spark, tmp_path):
+    """Streaming ingest dedup: identical (normalized) texts arriving
+    within the watermark collapse to one delivery."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from flightdb_spark.operators.textdedup import dedup_stream
+
+    src = str(tmp_path / "docs_in")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "the quick brown fox", t0),
+        (2, "THE QUICK BROWN FOX", t0 + dt.timedelta(minutes=1)),  # dup after norm
+        (3, "a different document", t0 + dt.timedelta(minutes=2)),
+        (4, "the quick brown fox", t0 + dt.timedelta(minutes=3)),     # dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = str(tmp_path / "docs_out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in got] in ([1, 3], [2, 3], [1, 3, 4], [2, 3, 4])
+    fps = {r["fingerprint"] for r in got}
+    assert len(fps) == len(got) or len(got) == 2
