@@ -157,11 +157,48 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
+def resize_raw(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over the RAW byte grid — a real resample,
+    no codec needed: the blob is interpreted as a row-major
+    (meta.height × meta.width) uint8 grid (zero-padded when the payload
+    is shorter), and the output samples src[i*h//H, j*w//W]. This is
+    the exact arithmetic a nearest-neighbor image downscale performs
+    after decode; for codec formats (PNG/JPEG) `resize_image_stub`
+    below marks where the decoder slots in front of this."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_idx = np.arange(out_h)
+        cols_idx = np.arange(out_w)
+        for pdf in batches:
+            out_blobs, checksums = [], []
+            for blob, w, h in zip(pdf["blob"], pdf["width"], pdf["height"]):
+                arr = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
+                grid = np.zeros(int(w) * int(h), dtype=np.uint8)
+                grid[: min(arr.size, grid.size)] = arr[: grid.size]
+                grid = grid.reshape(int(h), int(w))
+                sampled = grid[np.ix_(rows_idx * int(h) // out_h, cols_idx * int(w) // out_w)]
+                out_blobs.append(sampled.tobytes())
+                checksums.append(int(sampled.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": out_blobs,
+                    "checksum": checksums,
+                }
+            )
+
+    flat = media.filter(F.col("kind") == "image").select(
+        "media_id", "blob", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return flat.mapInPandas(_resize, "media_id long, resized binary, checksum long")
+
+
 def resize_image_stub(media: DataFrame, w: int, h: int) -> DataFrame:
-    """Image resize — STUB. Real implementation requires a codec
-    (PIL.Image.resize) absent from this container; the operator raises
-    rather than silently fake an image transform. The mapInPandas
-    signature is the supported contract."""
+    """Codec-format image resize — STUB. Decoding PNG/JPEG requires a
+    codec (PIL) absent from this container; the operator raises rather
+    than silently fake a decode. The real resample arithmetic is
+    implemented and tested in `resize_raw` above — a codec build plugs
+    PIL.Image.open in front of the same sampling."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(

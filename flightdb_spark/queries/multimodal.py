@@ -129,3 +129,45 @@ def q39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
     )
+
+
+@query(
+    "q58_image_resize",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(CAST(text AS BLOB)) AS blen,
+             (octet_length(CAST(text AS BLOB)) % 640 + 1) AS w,
+             (octet_length(CAST(text AS BLOB)) % 480 + 1) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT media_id, text, blen,
+             ((k // 16) * h // 16) * w + ((k % 16) * w // 16) AS src
+      FROM img, (SELECT unnest(range(0, 256)) AS k)
+    ),
+    samp AS (
+      SELECT media_id,
+             CASE WHEN src < blen THEN ascii(substr(text, (src + 1)::INT, 1))
+                  ELSE 0 END AS b
+      FROM px
+    )
+    SELECT media_id, 16 AS out_w, 16 AS out_h, SUM(b)::BIGINT AS checksum
+    FROM samp GROUP BY media_id
+    """,
+)
+def q58_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every image blob to 16×16 over the raw
+    byte grid (multimodal.resize_raw, Arrow-batched mapInPandas). The
+    oracle replays the identical index arithmetic in SQL — the grid is
+    zero-padded utf-8 text bytes, so every sampled byte is recomputable
+    from characters."""
+    from ..multimodal import resize_raw
+
+    resized = resize_raw(synth_media(_docs(spark, sf_dir)), 16, 16)
+    return resized.select(
+        "media_id",
+        F.lit(16).alias("out_w"),
+        F.lit(16).alias("out_h"),
+        "checksum",
+    )

@@ -148,3 +148,20 @@ def test_lsh_bucket_cap_drops_megabuckets(spark):
     capped = lsh_candidate_pairs(bands, max_bucket=5).toPandas()
     assert len(capped) == 1
     assert (capped.doc_a[0], capped.doc_b[0]) == (1, 2)
+
+
+def test_resize_raw_exact_values(spark):
+    """Pin resize_raw's sampling on a hand-checkable 2x4 grid -> 2x2."""
+    from flightdb_spark.multimodal import resize_raw
+
+    rows = [(1, "image", bytes([10, 20, 30, 40, 50, 60, 70, 80]),
+             {"mime": "image/raw", "width": 4, "height": 2, "channels": 1,
+              "sample_rate": None, "duration_s": None, "n_frames": None})]
+    schema = ("media_id long, kind string, blob binary, "
+              "meta struct<mime:string,width:int,height:int,channels:int,"
+              "sample_rate:int,duration_s:double,n_frames:int>")
+    media = spark.createDataFrame(rows, schema)
+    got = resize_raw(media, 2, 2).collect()[0]
+    # rows sampled at i*2//2 = [0,1]; cols at j*4//2 = [0,2]
+    assert list(got["resized"]) == [10, 30, 50, 70]
+    assert got["checksum"] == 160
