@@ -111,3 +111,39 @@ def test_dedup_stream_suppresses_duplicates(spark, tmp_path):
     assert [r["doc_id"] for r in got] in ([1, 3], [2, 3], [1, 3, 4], [2, 3, 4])
     fps = {r["fingerprint"] for r in got}
     assert len(fps) == len(got) or len(got) == 2
+
+
+def test_salted_agg_matches_plain(spark):
+    from flightdb_spark.operators.skew import salted_agg
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 8, "HOT").otherwise(F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    got = salted_agg(
+        df, "k",
+        {"n": ("*", "count"), "sv": ("v", "sum"), "mx": ("v", "max")},
+        n_salts=8,
+    ).toPandas().set_index("k").sort_index()
+    want = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.max("v").alias("mx"))
+        .toPandas().set_index("k").sort_index()
+    )
+    assert got.equals(want)
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    from flightdb_spark.operators.skew import salted_broadcast_join
+
+    big = spark.range(5_000).select(
+        F.when(F.col("id") % 5 < 4, "HOT").otherwise(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim"), ("1", "one"), ("7", "seven")], "k string, d string"
+    )
+    got = salted_broadcast_join(big, dim, "k", n_salts=4)
+    want = big.join(dim, "k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
