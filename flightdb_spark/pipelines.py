@@ -1,0 +1,105 @@
+"""End-to-end training-data pipeline: the operators composed the way a
+real 100 TB pre-training data build runs them.
+
+    raw docs
+      -> quality gate        (pure column predicates, scan-stage)
+      -> exact dedup         (one shuffle on the content fingerprint)
+      -> near-dup resolution (MinHash -> LSH pairs -> components;
+                              keep each cluster's canonical doc)
+      -> language mix        (deterministic hash-threshold sampling)
+
+Every stage is one of the tested operators (operators/textdedup.py,
+queries/textops.py semantics); this module only sequences them. Scale
+notes per stage are in the operator docstrings and PLANS.md.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .operators import textdedup
+
+
+@dataclass
+class PipelineConfig:
+    min_chars: int = 100
+    max_top_token_frac: float = 0.5
+    minhash_seeds: tuple[int, ...] = (0, 1, 2, 3)
+    lsh_max_bucket: int | None = 10_000
+    lang_rates: tuple[tuple[str, str], ...] = (
+        ("en", "ffff"), ("fr", "8000"), ("de", "8000"),
+        ("es", "4000"), ("zh", "4000"),
+    )  # 4-hex-digit keep thresholds on md5(doc_id)
+    stage_counts: dict = field(default_factory=dict)  # filled by run()
+
+
+def quality_gate(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Drop short docs and docs dominated by one repeated token (the
+    q52 repetition stat as a gate). The length test is a scan-stage
+    predicate; the repetition test is explode -> one shuffle on doc_id,
+    and only the (small) reject set crosses back as a broadcast
+    anti-join."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    frac = (
+        toks.groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("top_frac"))
+    )
+    bad = frac.filter(F.col("top_frac") > cfg.max_top_token_frac).select("doc_id")
+    return docs.filter(F.length("text") >= cfg.min_chars).join(
+        F.broadcast(bad), "doc_id", "anti"
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep one doc per normalized content fingerprint (min doc_id)."""
+    w_min = F.min("doc_id").over(W.partitionBy("_fp"))
+    return (
+        docs.withColumn("_fp", textdedup.fingerprint_col("text"))
+        .withColumn("_keep", F.col("doc_id") == w_min)
+        .filter("_keep")
+        .drop("_fp", "_keep")
+    )
+
+
+def near_dedup(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Drop non-canonical members of every LSH near-dup cluster."""
+    shingled = textdedup.shingles(docs)
+    sigs = textdedup.minhash_signatures(shingled, seeds=cfg.minhash_seeds)
+    bands = textdedup.lsh_bands(sigs, seeds=cfg.minhash_seeds)
+    pairs = textdedup.lsh_candidate_pairs(bands, max_bucket=cfg.lsh_max_bucket)
+    clusters = textdedup.dedup_clusters(pairs)
+    losers = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "anti")
+
+
+def language_mix(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Deterministic per-language down-sampling (scan-stage filter)."""
+    thr = F.lit(None).cast("string")
+    for lang, t in reversed(cfg.lang_rates):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return docs.withColumn("_thr", thr).filter(
+        (h < F.col("_thr")) | (F.col("_thr") == "ffff")
+    ).drop("_thr")
+
+
+def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Run the full pipeline, recording per-stage survivor counts in
+    cfg.stage_counts (each count is one scalar aggregate — acceptable
+    job boundaries; drop them for a single-job production run)."""
+    cfg = cfg or PipelineConfig()
+    stages = [
+        ("raw", docs),
+        ("quality", quality_gate(docs, cfg)),
+    ]
+    stages.append(("exact_dedup", exact_dedup(stages[-1][1])))
+    stages.append(("near_dedup", near_dedup(stages[-1][1], cfg)))
+    stages.append(("mix", language_mix(stages[-1][1], cfg)))
+    for name, df in stages:
+        cfg.stage_counts[name] = df.count()
+    return stages[-1][1]

@@ -1,0 +1,47 @@
+"""End-to-end training-data pipeline: stage counts shrink monotonically,
+each stage's semantics match its standalone operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flightdb_spark import pipelines
+from flightdb_spark.operators import textdedup
+from flightdb_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_end_to_end(spark):
+    docs = load_table(spark, SF, "documents")
+    cfg = pipelines.PipelineConfig(min_chars=50)
+    out = pipelines.run(docs, cfg)
+    c = cfg.stage_counts
+    assert c["raw"] == 500
+    # monotone shrink, nothing degenerate
+    assert c["raw"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"] >= c["mix"]
+    assert c["mix"] > 0
+    # survivors are real docs with intact columns
+    assert out.columns == docs.columns
+    assert out.join(docs, "doc_id", "semi").count() == c["mix"]
+
+
+def test_pipeline_near_dedup_keeps_exactly_canonicals(spark):
+    docs = load_table(spark, SF, "documents")
+    cfg = pipelines.PipelineConfig()
+    survivors = pipelines.near_dedup(docs, cfg)
+    shingled = textdedup.shingles(docs)
+    sigs = textdedup.minhash_signatures(shingled, seeds=cfg.minhash_seeds)
+    bands = textdedup.lsh_bands(sigs, seeds=cfg.minhash_seeds)
+    clusters = textdedup.dedup_clusters(
+        textdedup.lsh_candidate_pairs(bands, max_bucket=cfg.lsh_max_bucket)
+    )
+    n_losers = clusters.filter(~F.col("is_canonical")).count()
+    assert survivors.count() == docs.count() - n_losers
+
+
+def test_exact_dedup_keeps_min_doc_per_fingerprint(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other text"), (4, "SAME TEXT")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in pipelines.exact_dedup(docs).collect())
+    assert kept == [1, 3]  # 2 and 4 (case-dup) collapse into 1
