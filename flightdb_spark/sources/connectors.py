@@ -126,3 +126,23 @@ def normalize_fr24_track(raw: DataFrame) -> DataFrame:
         F.col("speed").cast("double").alias("groundspeed_kt"),
         F.col("heading").cast("double").alias("heading_deg"),
     )
+
+
+def normalize_fr24_details(raw: DataFrame) -> DataFrame:
+    """fr24 live-details payload (ParseCurrentDetails, fr24/fr24.go:
+    249-265): flight/status plus unix-epoch schedule fields → one
+    schedule row per flight, the input shape of
+    operators/enrich.enrich_schedule. Epochs become UTC timestamps
+    exactly as the reference's time.Unix(...).UTC()."""
+    return raw.select(
+        F.col("flight").alias("flight_number"),
+        F.col("status").alias("status"),
+        F.timestamp_seconds(F.col("dep_schd").cast("long")).alias("scheduled_departure_utc"),
+        F.timestamp_seconds(F.col("arr_schd").cast("long")).alias("scheduled_arrival_utc"),
+        F.timestamp_seconds(F.col("eta").cast("long")).alias("eta_utc"),
+        F.col("from_tz_offset").alias("origin_tz_offset"),
+        F.col("to_tz_offset").alias("destination_tz_offset"),
+        F.col("from_iata").alias("orig"),
+        F.col("to_iata").alias("dest"),
+        F.lit("fr24").alias("data_source"),
+    )

@@ -154,3 +154,23 @@ def test_fr24_track_normalizer(spark):
     r = normalize_fr24_track(raw).collect()[0]
     assert r["track"] == "fr24" and r["alt_ft"] == 10000.0
     assert r["ts"] == datetime(2024, 6, 1, 18, 0)
+
+
+def test_normalize_fr24_details_golden(spark):
+    """Reference golden (fr24/fr24_test.go:122-136): BA287 liveDetails
+    arr_schd 1442015700 -> '2015-09-11 23:55:00 UTC'."""
+    from flightdb_spark.sources.connectors import normalize_fr24_details
+
+    raw = spark.createDataFrame(
+        [("BA287", "landed", 1441976400, 1442015700, 1442015551,
+          "1.00", "-7.00", "LHR", "SFO")],
+        "flight string, status string, dep_schd long, arr_schd long, "
+        "eta long, from_tz_offset string, to_tz_offset string, "
+        "from_iata string, to_iata string",
+    )
+    row = normalize_fr24_details(raw).collect()[0]
+    assert str(row["scheduled_arrival_utc"]) == "2015-09-11 23:55:00"
+    assert str(row["scheduled_departure_utc"]) == "2015-09-11 13:00:00"
+    assert row["flight_number"] == "BA287" and row["status"] == "landed"
+    assert row["orig"] == "LHR" and row["dest"] == "SFO"
+    assert row["origin_tz_offset"] == "1.00"
