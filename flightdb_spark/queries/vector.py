@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators import vectors
 from ..tables import load_table
 from . import query
 
@@ -30,9 +31,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# dot(a, b) as a Spark SQL expression over array<double>
-def _dot(a: str, b: str) -> str:
-    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+# Spark-side expression builders live in operators/vectors.py (the
+# reusable ANN library); the DuckDB twins below exist only for oracles.
+_dot = vectors.dot_expr
 
 
 _COS_SPARK = (
@@ -67,33 +68,10 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python in the loop. At scale the corpus side stays partitioned and
     each partition emits its local top-k before the final merge."""
     e = _emb(spark, sf_dir)
-    # hoist the norms out of the pair loop: corpus-side ||v|| once per
-    # row, probe-side ||q|| once before broadcast — 3 array folds per
-    # pair become 1 (the plan otherwise recomputes both norms per pair)
-    corpus = e.withColumn("vnorm", F.expr(f"sqrt({_dot('v', 'v')})"))
-    probes = (
-        e.filter(F.col("vec_id") % 100 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .withColumn("qnorm", F.expr(f"sqrt({_dot('qv', 'qv')})"))
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    pairs = (
-        corpus.alias("b")
-        .join(F.broadcast(probes).alias("a"), F.col("b.vec_id") != F.col("a.query_id"))
-        .select(
-            "query_id",
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.round(
-                F.expr(f"({_dot('qv', 'v')})") / (F.col("qnorm") * F.col("vnorm")),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return vectors.cosine_topk(e, probes, TOP_K)
 
 
 @query(
@@ -114,27 +92,7 @@ def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold — the
     semantic-dedup primitive. Exact all-pairs here (correctness anchor);
     q42 is the LSH-bucketed variant that scales."""
-    e = _emb(spark, sf_dir).withColumn("nrm", F.expr(f"sqrt({_dot('v', 'v')})"))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("label").alias("la"), F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("label").alias("lb"), F.col("nrm").alias("nb"),
-    )
-    # norms hoisted out of the pair loop (computed once per row, not per pair)
-    cos = F.expr(f"({_dot('va', 'vb')})") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cos, 6).alias("cos_sim"),
-            (F.col("la") == F.col("lb")).alias("same_label"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    return vectors.near_dup_pairs(_emb(spark, sf_dir), 0.3)
 
 
 # --- hyperplane LSH ANN ------------------------------------------------------------
@@ -148,11 +106,7 @@ def _plane_dot_duck(p: int) -> str:
 
 
 def _plane_dot_spark(p: int, v: str = "v") -> str:
-    return (
-        f"aggregate(transform(sequence(0, {DIM - 1}), "
-        f"d -> element_at({v}, d + 1) * ((({p} * 67 + d * 13) % 19) - 9)), "
-        f"0D, (acc, x) -> acc + x)"
-    )
+    return vectors.plane_dot_expr(p, v, DIM)
 
 
 def _bucket_duck() -> str:
@@ -163,10 +117,7 @@ def _bucket_duck() -> str:
 
 
 def _bucket_spark(v: str = "v") -> str:
-    return " + ".join(
-        f"(CASE WHEN {_plane_dot_spark(p, v)} >= 0D THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
+    return vectors.bucket_expr(N_PLANES, v, DIM)
 
 
 # --- banded multi-probe LSH near-dup (q48) -----------------------------------
@@ -185,10 +136,7 @@ PROBE_MASKS = [0] + [1 << r for r in range(R_PLANES)]
 
 
 def _band_bucket_spark(band: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN {_plane_dot_spark(band * R_PLANES + r)} >= 0D THEN {1 << r} ELSE 0 END)"
-        for r in range(R_PLANES)
-    )
+    return vectors.bucket_expr(R_PLANES, "v", DIM, first_plane=band * R_PLANES)
 
 
 def _band_bucket_duck(band: int) -> str:

@@ -165,3 +165,27 @@ def test_resize_raw_exact_values(spark):
     # rows sampled at i*2//2 = [0,1]; cols at j*4//2 = [0,2]
     assert list(got["resized"]) == [10, 30, 50, 70]
     assert got["checksum"] == 160
+
+
+def test_vectors_library_custom_probes(spark, sf_dir):
+    """The ANN library works against an arbitrary probe set (not the
+    registry's fixed vec_id%100): top-1 of a probe that IS a corpus
+    vector must be its own near-identical twin or a high-cos neighbor,
+    and ranks must be 1..k per probe."""
+    from pyspark.sql import functions as F
+
+    from flightdb_spark.operators.vectors import cosine_topk
+    from flightdb_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.filter(F.col("vec_id").isin(3, 17)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out = cosine_topk(e, probes, 3).toPandas()
+    assert set(out.query_id) == {3, 17}
+    for q in (3, 17):
+        ranks = sorted(out[out.query_id == q]["rank"])
+        assert ranks == [1, 2, 3]
+        assert q not in set(out[out.query_id == q].neighbor_id)
