@@ -107,3 +107,39 @@ def test_indicated_altitude_formula_monotone(alt, inhg):
     assert math.isclose(corrected - alt, 1000.0 * (inhg - STANDARD_INHG))
     if abs(inhg - STANDARD_INHG) < 1e-12:
         assert math.isclose(corrected, alt)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed CC (min-label + pointer jumping) equals a union-find
+    ground truth on arbitrary random graphs — including self-loops,
+    parallel edges, chains, and disconnected nodes."""
+    from flightdb_spark.operators.textdedup import connected_components
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
