@@ -691,3 +691,100 @@ def q57_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((h < F.col("_thr")) | (F.col("_thr") == "ffff"))
         .select("doc_id", "lang", "source", rate.alias("target_rate"))
     )
+
+
+# --- sequence packing (concat-then-chunk) ------------------------------------------
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+@query(
+    "q59_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           (start_offset // {PACK_BUDGET})::BIGINT AS bin_id,
+           (start_offset % {PACK_BUDGET})::BIGINT AS bin_offset
+    FROM cum
+    """,
+)
+def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing, concat-then-chunk semantics:
+    docs are laid end-to-end in doc_id order and cut into
+    {PACK_BUDGET}-token training sequences; each doc learns its global
+    start offset (prefix-sum window), its bin, and its offset within
+    the bin. The single ORDER BY window is the one global-order
+    operation in the whole pipeline — at 100 TB run it per shard
+    (partitionBy(shard) + window) exactly like tokenizer-sharded
+    packing does, which this generalizes."""
+    docs = _docs(spark, sf_dir)
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("bin_id", (F.col("start_offset") / PACK_BUDGET).cast("long"))
+        .withColumn("bin_offset", F.col("start_offset") % PACK_BUDGET)
+    )
+
+
+# --- overlapping token chunking -----------------------------------------------------
+CHUNK = 64
+STRIDE = 56  # CHUNK - 8 overlap
+
+
+@query(
+    "q60_token_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, GREATEST((len(tk) - {CHUNK} + {STRIDE} - 1) // {STRIDE}, 0) + 1)) AS chunk_idx,
+             len(tk) AS n_tokens
+      FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {STRIDE} AS tok_start,
+           LEAST(chunk_idx * {STRIDE} + {CHUNK}, n_tokens) - chunk_idx * {STRIDE} AS n_chunk_tokens
+    FROM chunks
+    WHERE chunk_idx * {STRIDE} < n_tokens
+    """,
+)
+def q60_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (the RAG/embedding prep op): windows
+    of {CHUNK} tokens at stride {STRIDE} (8-token overlap), one row per
+    chunk with its token span. Pure explode of a computed index range —
+    no shuffle at all; chunk text extraction is a slice() on the same
+    row when needed."""
+    docs = _docs(spark, sf_dir)
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    n_chunks = F.greatest(
+        F.floor((n - CHUNK + STRIDE - 1) / STRIDE).cast("long"), F.lit(0)
+    ) + 1
+    return (
+        docs.select("doc_id", n.alias("n_tokens"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx") * STRIDE < F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * STRIDE).alias("tok_start"),
+            (
+                F.least(F.col("chunk_idx") * F.lit(STRIDE) + CHUNK, F.col("n_tokens"))
+                - F.col("chunk_idx") * STRIDE
+            ).alias("n_chunk_tokens"),
+        )
+    )
