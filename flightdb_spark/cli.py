@@ -18,11 +18,15 @@ from __future__ import annotations
 
 import argparse
 import sys
+from datetime import datetime, timezone
+from zoneinfo import ZoneInfo
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import api
+
+PDT_TZ = "America/Los_Angeles"
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -55,15 +59,22 @@ def query_from_args(flights: DataFrame, args: argparse.Namespace) -> DataFrame:
     return flights.filter(pred).orderBy(F.desc("last_ts")).limit(args.limit)
 
 
-def format_rows(rows: list) -> list[str]:
-    """fdb.go:113-124: '[ i] identity start npts idspec'."""
+def format_rows(rows: list, tz: str = PDT_TZ) -> list[str]:
+    """fdb.go:113-124: '[ i] identity start npts idspec'.
+
+    Display timezone is applied here, from the row's epoch seconds —
+    NOT via spark.sql.session.timeZone, which does not affect how
+    collect() materializes TimestampType (those come back in the
+    driver's OS timezone)."""
+    zone = timezone.utc if tz == "UTC" else ZoneInfo(tz)
     out = []
     for i, r in enumerate(rows):
         ident = r["callsign"] or r["icao_id"] or r["flight_id"]
-        ts = r["first_ts"]
+        epoch = r["first_epoch"]
+        ts = datetime.fromtimestamp(epoch, zone)
         npts = r["n_points"] or 0
         out.append(f"[{i:2d}] {ident:>25.25s} {ts.isoformat()} {npts:4d}pts "
-                   f"{r['icao_id'] or ''}@{int(ts.timestamp())}")
+                   f"{r['icao_id'] or ''}@{epoch}")
     return out
 
 
@@ -79,12 +90,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
     try:
         flights = spark.read.parquet(args.flights)
-        if not args.utc:
-            spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
         if "n_points" not in flights.columns:
             flights = flights.withColumn("n_points", F.lit(None).cast("int"))
-        rows = query_from_args(flights, args).collect()
-        for line in format_rows(rows):
+        # Epoch seconds are timezone-unambiguous across the collect()
+        # boundary; the display zone is applied driver-side.
+        rows = (
+            query_from_args(flights, args)
+            .withColumn("first_epoch", F.unix_timestamp("first_ts"))
+            .collect()
+        )
+        for line in format_rows(rows, tz="UTC" if args.utc else PDT_TZ):
             print(line)
         return 0
     finally:

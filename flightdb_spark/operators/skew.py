@@ -73,7 +73,16 @@ def salted_broadcast_join(
     """Join ``big`` against a small ``dim`` on ``key`` with the big side
     salted and the dim replicated across salts, so downstream stages
     that inherit the (key, salt) distribution never see one hot
-    partition. The replicated dim is still broadcast."""
+    partition. The replicated dim is still broadcast.
+
+    Only inner/left are supported: for right/full joins every dim key
+    unmatched in ``big`` would surface once per salt replica (n_salts
+    duplicate rows), silently corrupting the outer side."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_broadcast_join supports how='inner'/'left', got {how!r}: "
+            "right/full would emit each unmatched dim key once per salt replica"
+        )
     salted = with_salt(big, n_salts)
     rep = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))

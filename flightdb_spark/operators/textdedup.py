@@ -107,7 +107,6 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = None
     for _ in range(max_rounds):
         nbr = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
@@ -124,13 +123,19 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        # labels only ever decrease, so an unchanged sum means a fixpoint
-        # — one scalar aggregate per round, no row data to the driver
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # Fixpoint test must work for ANY id type (string md5 keys as
+        # much as ints), so compare labels row-for-row instead of
+        # summing them: both frames are checkpointed, and isEmpty()
+        # stops at the first changed row.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        converged = changed.isEmpty()
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -58,7 +58,12 @@ def test_cli_format():
         def __getitem__(self, k):
             return dict.__getitem__(self, k)
 
+    epoch = 1717264800  # 2024-06-01T18:00:00Z
     rows = [R(callsign="UAL123", icao_id="A12345", flight_id="F1",
-              first_ts=T0, n_points=120)]
-    lines = format_rows(rows)
-    assert lines[0].startswith("[ 0]") and "120pts" in lines[0] and "UAL123" in lines[0]
+              first_epoch=epoch, n_points=120)]
+    utc = format_rows(rows, tz="UTC")
+    assert utc[0].startswith("[ 0]") and "120pts" in utc[0] and "UAL123" in utc[0]
+    assert "2024-06-01T18:00:00+00:00" in utc[0] and f"@{epoch}" in utc[0]
+    # default display is PDT regardless of driver OS timezone
+    pdt = format_rows(rows)
+    assert "2024-06-01T11:00:00-07:00" in pdt[0]

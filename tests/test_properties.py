@@ -143,3 +143,17 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_connected_components_string_ids_long_chain(spark):
+    """Non-numeric doc ids (md5 keys) on a diameter-6 path: the
+    convergence test must not rely on arithmetic over labels (sum of a
+    string column is NULL every round), or the loop exits after one
+    round and the far end of the chain never reaches the min label."""
+    from flightdb_spark.operators.textdedup import connected_components
+
+    chain = [f"doc_{c}" for c in "abcdefg"]
+    pairs = list(zip(chain, chain[1:]))
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {d: "doc_a" for d in chain}

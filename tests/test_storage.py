@@ -147,3 +147,9 @@ def test_salted_broadcast_join_matches_plain(spark):
     want = big.join(dim, "k")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # right/full would replicate unmatched dim keys once per salt — refused
+    import pytest
+
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_broadcast_join(big, dim, "k", n_salts=4, how=bad)
