@@ -41,15 +41,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects.
-        # Read nanos as long and truncate to microseconds (integer `div`,
-        # not float division — epoch-nanos exceed 2^53). This matches
-        # DuckDB's ns→us truncation so oracles agree.
+        # events.ts has shipped as TIMESTAMP(NANOS), TIMESTAMP(MICROS),
+        # and (via nanosAsLong) bigint across testdata generations.
+        # Normalize every variant to session-zone TIMESTAMP (UTC) so the
+        # engine and the DuckDB oracle agree regardless of which parquet
+        # vintage is on disk.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # Epoch-nanos: integer `div` (nanos exceed 2^53, float division
+            # would lose precision), truncation matches DuckDB's ns→us.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            # Wall-clock micros: reinterpret as UTC instants (session tz is
+            # pinned to UTC above, so the cast is a pure type change).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
