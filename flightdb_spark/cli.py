@@ -71,10 +71,11 @@ def format_rows(rows: list, tz: str = PDT_TZ) -> list[str]:
     for i, r in enumerate(rows):
         ident = r["callsign"] or r["icao_id"] or r["flight_id"]
         epoch = r["first_epoch"]
-        ts = datetime.fromtimestamp(epoch, zone)
+        ts_str = "-" if epoch is None else datetime.fromtimestamp(epoch, zone).isoformat()
+        epoch_str = "" if epoch is None else f"{epoch:.6f}".rstrip("0").rstrip(".")
         npts = r["n_points"] or 0
-        out.append(f"[{i:2d}] {ident:>25.25s} {ts.isoformat()} {npts:4d}pts "
-                   f"{r['icao_id'] or ''}@{epoch}")
+        out.append(f"[{i:2d}] {ident:>25.25s} {ts_str} {npts:4d}pts "
+                   f"{r['icao_id'] or ''}@{epoch_str}")
     return out
 
 
@@ -93,10 +94,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if "n_points" not in flights.columns:
             flights = flights.withColumn("n_points", F.lit(None).cast("int"))
         # Epoch seconds are timezone-unambiguous across the collect()
-        # boundary; the display zone is applied driver-side.
+        # boundary; the display zone is applied driver-side. A double cast
+        # keeps sub-second precision (unix_timestamp truncates to seconds).
         rows = (
             query_from_args(flights, args)
-            .withColumn("first_epoch", F.unix_timestamp("first_ts"))
+            .withColumn("first_epoch", F.col("first_ts").cast("double"))
             .collect()
         )
         for line in format_rows(rows, tz="UTC" if args.utc else PDT_TZ):

@@ -75,13 +75,21 @@ def salted_broadcast_join(
     that inherit the (key, salt) distribution never see one hot
     partition. The replicated dim is still broadcast.
 
-    Only inner/left are supported: for right/full joins every dim key
-    unmatched in ``big`` would surface once per salt replica (n_salts
-    duplicate rows), silently corrupting the outer side."""
-    if how not in ("inner", "left", "leftouter", "left_outer"):
+    Right/full joins are rejected: every dim key unmatched in ``big``
+    would surface once per salt replica (n_salts duplicate rows),
+    silently corrupting the outer side. Semi/anti are safe — each big
+    row carries exactly one salt and the dim is replicated across all
+    salts, so per-row existence semantics are preserved."""
+    allowed = (
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    )
+    if how not in allowed:
         raise ValueError(
-            f"salted_broadcast_join supports how='inner'/'left', got {how!r}: "
-            "right/full would emit each unmatched dim key once per salt replica"
+            f"salted_broadcast_join supports how='inner'/'left'/'semi'/'anti', "
+            f"got {how!r}: right/full would emit each unmatched dim key once "
+            "per salt replica"
         )
     salted = with_salt(big, n_salts)
     rep = dim.withColumn(

@@ -67,3 +67,19 @@ def test_cli_format():
     # default display is PDT regardless of driver OS timezone
     pdt = format_rows(rows)
     assert "2024-06-01T11:00:00-07:00" in pdt[0]
+
+
+def test_cli_format_null_timestamp():
+    # A flight with no trackpoints has NULL first_ts; the row must still
+    # render instead of raising on datetime.fromtimestamp(None).
+    rows = [dict(callsign=None, icao_id="A99999", flight_id="F9",
+                 first_epoch=None, n_points=None)]
+    line = format_rows(rows, tz="UTC")[0]
+    assert "A99999" in line and " - " in line and line.endswith("@")
+
+
+def test_cli_format_subsecond():
+    rows = [dict(callsign="X", icao_id="A", flight_id="F",
+                 first_epoch=1717264800.25, n_points=1)]
+    line = format_rows(rows, tz="UTC")[0]
+    assert "2024-06-01T18:00:00.250000+00:00" in line and "@1717264800.25" in line
