@@ -20,9 +20,26 @@ are md5 so results are engine-reproducible.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+# MinHash base hash: one md5 per shingle, folded to a 60-bit int. Each
+# seed then applies a deterministic xor-mask permutation over that int —
+# 1 digest + S integer ops per shingle instead of S digests, and the
+# signature/shuffle columns are longs, not 32-char strings. Both
+# fragments compute bit-identical values (verified against DuckDB).
+MINHASH_BASE_SPARK = "cast(conv(substring(md5({sh}),1,15),16,10) as bigint)"
+MINHASH_BASE_DUCK = "(('0x' || substr(md5({sh}),1,15))::BIGINT)"
+
+
+def minhash_mask(seed: int) -> int:
+    """Deterministic 60-bit xor mask for one seed (shared with the
+    DuckDB oracles, which inline the same constant)."""
+    return int(hashlib.md5(f"minhash-mask:{seed}".encode()).hexdigest()[:15], 16)
+
 
 _SHINGLE_TMPL = (
     "CASE WHEN size(split({col}, ' ')) < {n} THEN array() "
@@ -41,10 +58,16 @@ def shingles(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(shingled: DataFrame, *, seeds: tuple[int, ...]) -> DataFrame:
-    """Seeded-md5 MinHash signature per doc (one column per seed)."""
-    return shingled.groupBy("doc_id").agg(
+    """MinHash signature per doc (one bigint column per seed): min over
+    xor-mask permutations of the shared 60-bit md5 base hash."""
+    hashed = shingled.withColumn(
+        "_mh", F.expr(MINHASH_BASE_SPARK.format(sh="sh"))
+    )
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
+            F.min(F.col("_mh").bitwiseXOR(F.lit(minhash_mask(s)))).alias(
+                f"minhash_{s}"
+            )
             for s in seeds
         ]
     )
@@ -107,33 +130,38 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("label"))
+        # Carry the previous label through the aggregation (labels has
+        # exactly one row per doc, so min(_old) IS the old label). The
+        # fixpoint test then becomes a filter over the checkpointed
+        # result instead of a join of two label frames — one fewer
+        # shuffle per round — and works for ANY id type (string md5
+        # keys as much as ints).
+        merged = labels.withColumn("_old", F.col("label")).unionByName(
+            nbr, allowMissingColumns=True
         )
+        if rnd > 0:
+            # Pointer jumping (label <- label-of-label) is an identity
+            # in round 0 where every label is still the node itself.
+            jump = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.doc_id"))
+                .select(
+                    F.col("x.doc_id").alias("doc_id"),
+                    F.col("y.label").alias("label"),
+                )
+            )
+            merged = merged.unionByName(jump, allowMissingColumns=True)
         new_labels = (
-            labels.unionByName(nbr)
-            .unionByName(jump)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            merged.groupBy("doc_id")
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             .localCheckpoint()
         )
-        # Fixpoint test must work for ANY id type (string md5 keys as
-        # much as ints), so compare labels row-for-row instead of
-        # summing them: both frames are checkpointed, and isEmpty()
-        # stops at the first changed row.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        converged = changed.isEmpty()
-        labels = new_labels
+        converged = new_labels.filter(F.col("label") != F.col("_old")).isEmpty()
+        labels = new_labels.drop("_old")
         if converged:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -18,12 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import decode_media, media_metadata, sample_frames, synth_media
-from ..tables import load_table
+from ..tables import ensure_parallelism, load_table
 from . import query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Arrow-batched decode stages are per-row expensive: spread a
+    # single-file local scan across cores (no-op on a real cluster).
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
 
 
 @query(

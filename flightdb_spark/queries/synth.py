@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import ensure_parallelism, load_table
 
 # SQL view of the same derivation, for DuckDB oracles (events is a
 # pre-registered view on the driver side).
@@ -45,7 +45,9 @@ trackpoints AS (
 
 def synth_trackpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame twin of SYNTH_TP_CTE (same arithmetic, DataFrame API)."""
-    ev = load_table(spark, sf_dir, "events")
+    # Per-point trig downstream: spread a single-file local scan
+    # across cores (no-op on a real cluster).
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     return ev.select(
         F.col("user_id").alias("flight_id"),
         "ts",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..operators import textdedup
-from ..tables import load_table
+from ..tables import ensure_parallelism, load_table
 from . import query
 
 # --- shared helpers -----------------------------------------------------------
@@ -44,7 +44,9 @@ _NORMALIZE_SPARK = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' '))"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Shingling / regex scoring is per-row expensive: spread a
+    # single-file local scan across cores (no-op on a real cluster).
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
 
 
 # --- exact dedup ---------------------------------------------------------------
@@ -91,10 +93,16 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH --------------------------------------------------------------
-def _minhash_oracle() -> str:
-    mins = ",\n           ".join(
-        f"MIN(md5(concat('{s}:', sh))) AS minhash_{s}" for s in _MINHASH_SEEDS
+def _minhash_mins_duck() -> str:
+    base = textdedup.MINHASH_BASE_DUCK.format(sh="sh")
+    return ", ".join(
+        f"MIN(xor({base}, {textdedup.minhash_mask(s)})) AS minhash_{s}"
+        for s in _MINHASH_SEEDS
     )
+
+
+def _minhash_oracle() -> str:
+    mins = _minhash_mins_duck()
     return f"""
     WITH shingled AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
@@ -108,20 +116,27 @@ def _minhash_oracle() -> str:
 
 @query("q30_minhash_signatures", oracle=_minhash_oracle())
 def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over word 3-gram shingles. Seeded md5 stands in
-    for the usual (a*x+b) mod p family so signatures are reproducible in
-    any engine. Explode → groupBy(doc_id): one shuffle."""
+    """MinHash signatures over word 3-gram shingles. One md5 per shingle
+    folded to a 60-bit int, then a deterministic xor-mask permutation per
+    seed stands in for the usual (a*x+b) mod p family — reproducible in
+    any engine, one digest instead of one per seed, and bigint (not
+    32-char string) agg buffers. Explode → groupBy(doc_id): one shuffle."""
     docs = _docs(spark, sf_dir)
     shingled = textdedup.shingles(docs)
+    hashed = shingled.withColumn(
+        "_mh", F.expr(textdedup.MINHASH_BASE_SPARK.format(sh="sh"))
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"minhash_{s}")
+        F.min(F.col("_mh").bitwiseXOR(F.lit(textdedup.minhash_mask(s)))).alias(
+            f"minhash_{s}"
+        )
         for s in _MINHASH_SEEDS
     ]
-    return shingled.groupBy("doc_id").agg(*aggs, F.countDistinct("sh").alias("n_shingles"))
+    return hashed.groupBy("doc_id").agg(*aggs, F.countDistinct("sh").alias("n_shingles"))
 
 
 def _lsh_pairs_oracle() -> str:
-    mins = ", ".join(f"MIN(md5(concat('{s}:', sh))) AS minhash_{s}" for s in _MINHASH_SEEDS)
+    mins = _minhash_mins_duck()
     unions = "\n      UNION ALL\n".join(
         f"SELECT doc_id, {s} AS band, minhash_{s} AS h FROM sigs" for s in _MINHASH_SEEDS
     )
@@ -372,7 +387,7 @@ def q36_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dedup cluster resolution (connected components) -------------------------------
 def _dedup_clusters_oracle() -> str:
-    mins = ", ".join(f"MIN(md5(concat('{s}:', sh))) AS minhash_{s}" for s in _MINHASH_SEEDS)
+    mins = _minhash_mins_duck()
     unions = "\n      UNION ALL\n".join(
         f"SELECT doc_id, {s} AS band, minhash_{s} AS h FROM sigs" for s in _MINHASH_SEEDS
     )
@@ -786,5 +801,355 @@ def q60_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("chunk_idx") * F.lit(STRIDE) + CHUNK, F.col("n_tokens"))
                 - F.col("chunk_idx") * STRIDE
             ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+# --- TF-IDF top terms ---------------------------------------------------------------
+@query(
+    "q61_tfidf_topterms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q61_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Term and doc frequencies are two
+    aggregates over the exploded words; the corpus size joins in as a
+    broadcast single-row frame (constant equi-key, never a cross join of
+    data); ranking is a per-doc window. Ties rank on the ROUNDED score
+    then term so both engines agree bit-for-bit. At 100 TB the df table
+    is the only corpus-wide aggregate and it's tiny (vocab-sized)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("_k", F.lit(1))
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n), "_k")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= 3)
+
+
+# --- BM25 scoring -------------------------------------------------------------------
+BM25_TERMS = ["table", "spark", "fast"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return f"""
+    WITH q(term) AS (VALUES {terms}),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT w.doc_id, w.term, COUNT(*) AS tf
+      FROM words w JOIN q USING (term) GROUP BY w.doc_id, w.term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM words JOIN q USING (term)
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+             ) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ROUND(score, 6) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 20
+    """
+
+
+@query("q66_bm25_topk", oracle=_bm25_oracle())
+def q66_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed term set (k1=1.2, b=0.75). The query
+    terms prefilter the exploded words with a broadcast semi-join shape
+    (isin on a 3-term list), so tf/df aggregate only matching rows;
+    corpus stats (N, avgdl) ride along as a broadcast single-row frame.
+    The final global top-k is a window over the scored docs only —
+    cheap, because only docs containing a query term survive."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = (
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).withColumn("_k", F.lit(1))
+    )
+    words = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(BM25_TERMS))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(stats), "_k")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        )
+        .filter(F.col("rk") <= 20)
+    )
+
+
+# --- PII redaction ------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]+"
+
+
+@query(
+    "q62_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact user' || doc_id || '@example.com now'
+                  WHEN doc_id % 7 = 0
+                    THEN text || ' call 415-555-0' || (doc_id % 100) || ' today'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    WHERE doc_id % 10 = 0 OR doc_id % 7 = 0
+    """,
+)
+def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) as pure JVM
+    regex column ops — count the hits, replace with typed placeholder
+    tokens, fingerprint the redacted text. The synthetic corpus carries
+    no PII, so the query plants deterministic addresses/numbers first
+    (same injection in the oracle) — the operator under test is the
+    regex scrub, which at 100 TB is a map-only stage, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    injected = (
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 415-555-0"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    aug = docs.select("doc_id", injected.alias("text")).filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0)
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# --- per-source quality gate --------------------------------------------------------
+@query(
+    "q63_source_quality_gate",
+    oracle="""
+    WITH feats AS (
+      SELECT source,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS avg_stop_ratio,
+           (ROUND(AVG(n_chars), 6) >= 280.0) AS keep
+    FROM feats GROUP BY source
+    """,
+)
+def q63_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality gate (the C4/RefinedWeb move of dropping
+    whole low-quality sources): per-source doc counts + mean length +
+    mean stopword ratio, with a keep/drop verdict on the aggregate.
+    One shuffle on source; the verdict keys a later broadcast semi-join
+    that filters the corpus without rescanning feature columns."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))).alias(
+            "n_stop"
+        ),
+    )
+    agg = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 6).alias(
+            "avg_stop_ratio"
+        ),
+    )
+    return agg.withColumn("keep", F.col("avg_chars") >= 280.0)
+
+
+# --- deterministic train/val/test split ---------------------------------------------
+@query(
+    "q64_split_assignment",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN bucket < 52429 THEN 'train'
+                  WHEN bucket < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q64_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment from a content
+    hash of the doc key (16-bit bucket: <52429 train, <58982 val, rest
+    test) — stable across runs, engines and reshuffles, the property
+    random() splits lack. Map-only assignment; the summary is one
+    shuffle on (split, lang)."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,4),16,10) as bigint)"
+    )
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 52429, "train")
+        .when(bucket < 58982, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# --- per-language percentile length filter ------------------------------------------
+@query(
+    "q65_percentile_filter",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pct
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM pr WHERE pct >= 0.05 AND pct <= 0.95
+    GROUP BY lang
+    """,
+)
+def q65_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier trim: drop docs outside the [p5, p95]
+    length band of their language (the Gopher/LLaMA doc-length filter,
+    made exact). percent_rank assigns tied lengths the same rank, so
+    the cut is deterministic. One shuffle on lang for the window; at
+    100 TB swap percent_rank for approx_percentile thresholds computed
+    per-language and broadcast back (q56 shows the sketch shape)."""
+    docs = _docs(spark, sf_dir)
+    pct = F.percent_rank().over(W.partitionBy("lang").orderBy("n_chars"))
+    pr = docs.select("doc_id", "lang", "n_chars").withColumn("pct", pct)
+    return (
+        pr.filter((F.col("pct") >= 0.05) & (F.col("pct") <= 0.95))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
         )
     )

@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import vectors
-from ..tables import load_table
+from ..tables import ensure_parallelism, load_table
 from . import query
 
 TOP_K = 5
@@ -26,7 +26,9 @@ N_PLANES = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # Plane dots / dot products are per-row expensive: spread a
+    # single-file local scan across cores (no-op on a real cluster).
+    return ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
 
@@ -396,4 +398,42 @@ def q50_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --- per-label centroids (the k-means/IVF training step) ---------------------------
+@query(
+    "q67_label_centroids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    dims AS (
+      SELECT label,
+             unnest(v) AS val,
+             generate_subscripts(v, 1) AS dim
+      FROM e
+    )
+    SELECT label, dim,
+           ROUND(AVG(val), 6) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM dims WHERE dim <= 8 GROUP BY label, dim
+    """,
+)
+def q67_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coordinates (first 8 dims shown): the update
+    step of Lloyd's k-means / the training step of an IVF index —
+    posexplode to (label, dim, val), one shuffle on the (label, dim)
+    composite key, AVG per cell. At 100 TB the dims stay bounded (the
+    embedding width), so the aggregate output is k×d rows — tiny — while
+    the map side streams; partial aggregation does the heavy lifting."""
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).withColumn("dim", F.col("pos") + 1)
+    return (
+        dims.filter(F.col("dim") <= 8)
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
     )

@@ -63,6 +63,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose partition count is below the
+    session's default parallelism.
+
+    The driver's test tables are single-file / single-row-group parquet,
+    which Spark can only scan as ONE task — every downstream map-side
+    stage (shingling, plane dots, per-point trig, Arrow batches) then
+    runs serial until the first shuffle. On a real cluster the input
+    arrives pre-split (many files / row groups), the condition is false,
+    and no exchange is inserted — so call sites keep their scan-adjacent
+    pushdown at scale while local runs use every core. Round-robin, not
+    keyed: callers that need co-location do their own keyed shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
