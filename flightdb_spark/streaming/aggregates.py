@@ -1,0 +1,77 @@
+"""Watermarked streaming aggregates over the events stream.
+
+Streaming twins of the batch registry queries: tumbling-window counts
+(q19/q20's window shape) and session-window stats (q14's shape), both
+bounded by event-time watermarks so state is evicted once late data can
+no longer arrive — the only state discipline that survives 100 TB/day
+ingest. Late rows inside the watermark merge into their window; rows
+later than the watermark are dropped by design (reference behavior:
+fdb's ingest tolerates misordered fragments within a bounded horizon,
+SURVEY §2.9).
+
+All aggregation is built-in windowed groupBy — no Python in the path;
+``applyInPandasWithState`` is reserved for genuinely custom state
+machines (streaming/assembly.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window event counts per event_type with late-data
+    tolerance = ``watermark``. Output one row per (window, event_type)
+    in append-compatible update mode; state for a window is dropped once
+    the watermark passes its end."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_user_stats(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session stats with a ``gap`` inactivity timeout
+    (session_window — dynamic-length windows that extend while events
+    keep arriving within the gap). A session closes, emits, and frees
+    its state when the watermark passes (last event + gap)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
