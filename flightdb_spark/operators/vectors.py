@@ -109,3 +109,98 @@ def near_dup_pairs(e: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans(
+    e: DataFrame,
+    k: int,
+    *,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    v_col: str = "v",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means over an ``array<double>`` column.
+    Returns ``(assignments, centroids)``: (id, cluster, sq_dist) and
+    (cluster, cv).
+
+    Spark shape per iteration — the q50/q67 steps composed into a loop:
+    the k centroids collapse into ONE broadcast row and assignment runs
+    as a per-row HOF argmin (zero shuffle, the q50 trick); the update
+    step is posexplode → aggregate on the (cluster, dim) composite key
+    (the q67 shape, k×d output rows), rebuilt into centroid arrays with
+    an ordered collect_list. One shuffle per iteration over k×d-bounded
+    data; the corpus itself never shuffles. Initialization is the k
+    vectors with the smallest md5(id) — deterministic and engine-
+    reproducible like lowest-id picks, but hash-spread across the
+    corpus (consecutive ids often share a real cluster, which strands
+    every seed in one blob); orderBy+limit is a distributed partial
+    top-k, no global window. Convergence = max centroid coordinate
+    shift <= ``tol``, tested with an isEmpty on the tiny joined
+    centroid frames. Lineage on the centroid frame is truncated per
+    round with localCheckpoint (k rows; swap in a reliable checkpoint
+    dir on a cluster)."""
+    src = e.select(F.col(id_col).alias("_id"), F.col(v_col).alias("v"))
+    pick = F.md5(F.col("_id").cast("string"))
+    wk = W.orderBy(pick, "_id")
+    cents = (
+        src.orderBy(pick, "_id")
+        .limit(k)
+        .select((F.row_number().over(wk) - 1).alias("cluster"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+    assign_expr = (
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, "
+        "(acc, x) -> acc + x) AS d, c.cluster AS cluster)))"
+    )
+    assigned = None
+    for _ in range(max_iters):
+        cents_row = cents.agg(
+            F.collect_list(F.struct("cluster", "cv")).alias("cents")
+        ).withColumn("_k", F.lit(1))
+        assigned = (
+            src.withColumn("_k", F.lit(1))
+            .join(F.broadcast(cents_row), "_k")
+            .withColumn("_best", F.expr(assign_expr))
+            .select(
+                "_id",
+                "v",
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best.d").alias("sq_dist"),
+            )
+        )
+        new_cents = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+        moved = (
+            new_cents.alias("n")
+            .join(cents.alias("o"), "cluster")
+            .withColumn(
+                "shift",
+                F.expr(
+                    "aggregate(zip_with(n.cv, o.cv, (x, y) -> abs(x - y)), 0D, "
+                    "(acc, x) -> greatest(acc, x))"
+                ),
+            )
+            .filter(F.col("shift") > tol)
+        )
+        converged = moved.isEmpty()
+        cents = new_cents
+        if converged:
+            break
+    final = (
+        assigned.select("_id", "cluster", F.round("sq_dist", 6).alias("sq_dist"))
+        .withColumnRenamed("_id", id_col)
+    )
+    return final, cents

@@ -128,3 +128,34 @@ def test_label_centroids_bounded(spark, sf_dir):
         | (F.col("centroid_val") > F.col("hi") + 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Lloyd's loop on three well-separated planted clusters: every
+    member lands with its plant-mates, centroids converge to the plant
+    means, and the loop exits before max_iters."""
+    from flightdb_spark.operators.vectors import kmeans
+
+    # 60 vectors in R^4: 3 groups of 20 around corners spaced 10 apart,
+    # deterministic jitter in [-0.5, 0.5)
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 3), d -> "
+            "  cast(10 * (id div 20) * (case when d = 0 then 1 else 0 end) "
+            "  + 10 * (id div 20) * (case when d = 1 then 1 else 0 end) "
+            "  + (pmod(id * 37 + d * 11, 100) / 100.0 - 0.5) as double))"
+        ).alias("v"),
+    )
+    assigned, cents = kmeans(df, 3, max_iters=10)
+    rows = assigned.collect()
+    # purity: group by planted cluster (vec_id div 20); each planted
+    # group maps to exactly one learned cluster, and the three differ
+    by_plant = {}
+    for r in rows:
+        by_plant.setdefault(r["vec_id"] // 20, set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in by_plant.values())
+    assert len({next(iter(v)) for v in by_plant.values()}) == 3
+    # centroids: first two coords near 0/10/20, jitter mean ~0
+    got = sorted(round(r["cv"][0]) for r in cents.collect())
+    assert got == [0, 10, 20]
