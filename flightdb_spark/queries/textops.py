@@ -5,8 +5,10 @@ dedup, MinHash signatures + LSH candidate pairs, n-gram Jaccard
 near-dup, SimHash, language scoring, quality scoring, token counting,
 document fingerprinting.
 
-Every hash is md5 (identical in Spark and DuckDB) so even MinHash/LSH
-is oracle-checkable — no engine-specific hash functions anywhere.
+Every hash is md5-derived (identical in Spark and DuckDB) so even
+MinHash/LSH is oracle-checkable — no engine-specific hash functions
+anywhere; MinHash folds one md5 per shingle to a 60-bit int and xor-
+permutes it per seed (operators/textdedup.py).
 At 100 TB these run as: shingle explode (flatMap, no shuffle) →
 per-doc aggregate (one shuffle on doc_id) → band-bucket self-join
 (shuffle on band hash, the LSH trick that avoids the O(n²) pair join).
