@@ -44,6 +44,10 @@ HEADLINE = [
     "q50_ivf_ann",
     "q51_dedup_clusters",
     "q52_repetition_stats",
+    # round 4: ranking/scoring + deterministic split + centroid update
+    "q61_tfidf_topterms",
+    "q64_split_assignment",
+    "q67_label_centroids",
 ]
 
 
