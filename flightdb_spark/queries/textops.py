@@ -1155,3 +1155,138 @@ def q65_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# --- out-of-vocabulary rate ---------------------------------------------------------
+VOCAB_MIN_COUNT = 50  # corpus count threshold for "in vocabulary"
+
+
+@query(
+    "q68_oov_rate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM words GROUP BY term HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+    ),
+    flagged AS (
+      SELECT w.doc_id,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words w LEFT JOIN vocab v ON w.term = v.term
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(oov)::BIGINT AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a corpus-derived
+    vocabulary (tokens seen >= VOCAB_MIN_COUNT times). The vocab
+    aggregate is vocabulary-sized — broadcast it and the corpus-side
+    membership test never shuffles; the per-doc aggregate is the one
+    exchange. The standard tokenizer-coverage gate before committing a
+    corpus to an expensive training run."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= VOCAB_MIN_COUNT)
+        .select("term")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    flagged = words.join(F.broadcast(vocab), "term", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+# --- bigram LM quality score --------------------------------------------------------
+@query(
+    "q69_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2
+    ),
+    bg_counts AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ),
+    ug_counts AS (
+      SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT w1) AS v FROM bigrams
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             ROUND(ln((c12 + 1.0) / (c1 + v)), 6) AS logp
+      FROM bigrams b
+      JOIN bg_counts USING (w1, w2)
+      JOIN ug_counts USING (w1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(logp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q69_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per doc (the KenLM-style
+    perplexity filter, trained and applied in one query): add-one
+    smoothed log P(w2|w1) averaged over each doc's bigrams. Counts come
+    from two aggregates over the exploded bigrams; the bigram-count
+    join keys on (w1, w2) — corpus-bounded, co-partitioned with the
+    scoring explode — and the vocab scalar rides a 1-row broadcast.
+    Per-bigram logp is rounded BEFORE the avg so Spark/DuckDB float
+    ordering cannot drift the aggregate."""
+    docs = _docs(spark, sf_dir)
+    tk = F.split("text", " ")
+    bigrams = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bigrams.agg(F.countDistinct("w1").alias("v")).withColumn("_k", F.lit(1))
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(ug_counts, ["w1"])
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab), "_k")
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
