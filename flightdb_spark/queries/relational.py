@@ -335,3 +335,68 @@ def q12_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0").select(
         "event_id", "user_id", "event_type"
     )
+
+
+# --- pivot / unpivot ---------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q70_pivot_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END)::BIGINT AS n_{t}"
+               for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def q70_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts fanned into one column per event
+    type. The value list is given explicitly so Spark skips the
+    distinct-values pre-pass (one job saved, stable column order) and
+    the plan is a single HashAggregate with conditional counters — one
+    shuffle on user_id, identical to the hand-written CASE form the
+    oracle uses."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred; the
+    # CASE-form oracle yields 0 there — align, and name columns n_<type>
+    for t in EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0))).withColumnRenamed(
+            t, f"n_{t}"
+        )
+    return out
+
+
+@query(
+    "q71_unpivot_longform",
+    oracle=f"""
+    WITH wide AS (
+      SELECT user_id,
+             {", ".join(
+                 f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END)::BIGINT AS n_{t}"
+                 for t in EVENT_TYPES)}
+      FROM events GROUP BY user_id
+    )
+    {" UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS metric, n_{t} AS n FROM wide"
+        for t in EVENT_TYPES)}
+    """,
+)
+def q71_unpivot_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-user counts back to long form via
+    ``DataFrame.unpivot`` — a zero-shuffle projection (each input row
+    expands to k output rows map-side); the only exchange in the plan
+    is the upstream pivot's groupBy."""
+    wide = q70_pivot_counts(spark, sf_dir)
+    return wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in EVENT_TYPES],
+        "metric",
+        "n",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
