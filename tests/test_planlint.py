@@ -1,0 +1,45 @@
+"""Physical-plan lint regression: every registry query stays free of
+CartesianProduct, row-at-a-time Python UDFs, and non-allowlisted
+global windows (tools/planlint.py)."""
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tools.planlint import GLOBAL_WINDOW_ALLOWED, _windowspec_args
+
+
+def _global_specs(plan: str) -> list:
+    hits = []
+    for args in _windowspec_args(plan):
+        spec = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if spec and all(" ASC" in a or " DESC" in a for a in spec):
+            hits.append(spec)
+    return hits
+
+
+def test_detector_shapes(spark):
+    g = spark.range(10).withColumn("r", F.row_number().over(W.orderBy("id")))
+    assert _global_specs(g._jdf.queryExecution().executedPlan().toString())
+    p = spark.range(10).withColumn(
+        "r", F.row_number().over(W.partitionBy(F.col("id") % 2).orderBy("id"))
+    )
+    assert not _global_specs(p._jdf.queryExecution().executedPlan().toString())
+    u = spark.range(10).withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy(F.col("id") % 2))
+    )
+    assert not _global_specs(u._jdf.queryExecution().executedPlan().toString())
+
+
+def test_registry_plans_clean(spark, sf_dir):
+    from flightdb_spark.queries import load_registry
+
+    bad = []
+    for name, qd in sorted(load_registry().items()):
+        plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython"))
+        if name not in GLOBAL_WINDOW_ALLOWED and _global_specs(plan):
+            bad.append((name, "global window"))
+    assert not bad, bad

@@ -1,0 +1,111 @@
+"""Physical-plan lint: sweep every registry query and flag scale
+antipatterns in the optimized plan.
+
+Checks (each a known 100 TB failure mode):
+- CartesianProduct          unbounded pair blow-up
+- BatchEvalPython           row-at-a-time Python UDF in the plan
+- global Window             `Window` with an empty partition spec moves
+                            ALL rows to one task (allowed only where a
+                            query's contract is a global order/top-k and
+                            the input is provably bounded — allowlist)
+- PythonMapInArrow absent   informational: Arrow batching is the only
+                            sanctioned Python boundary
+
+Usage: python tools/planlint.py [sf_dir]
+Exit 1 if any non-allowlisted finding.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flightdb_spark.queries import load_registry
+from flightdb_spark.session import get_spark
+
+# Queries whose contract REQUIRES a global-order window, with the reason
+# the single partition is bounded.
+GLOBAL_WINDOW_ALLOWED = {
+    # global top-k over already-aggregated scored docs (<= corpus docs
+    # containing a query term; WindowGroupLimit pre-truncates per
+    # partition before the single-task final ranking)
+    "q66_bm25_topk",
+    # contract is one corpus-wide concatenation order; PLANS.md documents
+    # the per-shard partitioning swap at scale
+    "q59_sequence_packing",
+    # global deterministic orderBy().limit(k) compiles to TakeOrdered,
+    # but the k-row ranked projection that follows is a global window
+    "q07_recent_topk",
+}
+
+
+def _windowspec_args(plan: str) -> list[list[str]]:
+    """Top-level comma-split args of every windowspecdefinition(...) in
+    the plan string (balanced-paren scan — frame specs nest two deep,
+    past what a regex comfortably matches)."""
+    out = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            break
+        j = i + len(marker)
+        depth, cur, args = 0, "", []
+        while j < len(plan):
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(cur.strip())
+                cur = ""
+                j += 1
+                continue
+            cur += ch
+            j += 1
+        args.append(cur.strip())
+        out.append(args)
+        i = j
+    return out
+
+
+def lint(sf_dir: str) -> int:
+    spark = get_spark("planlint")
+    reg = load_registry()
+    failures = []
+    for name, qd in sorted(reg.items()):
+        try:
+            df = qd.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - lint harness guard
+            failures.append((name, f"explain failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct in plan"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "row-at-a-time Python UDF (BatchEvalPython)"))
+        # global window: windowspecdefinition(args..., frame) whose args
+        # before the frame are ONLY order specs (`col ASC/DESC ...`) —
+        # a partitioned window lists at least one bare partition column
+        # first; a partitioned-unordered window lists only bare columns.
+        if name not in GLOBAL_WINDOW_ALLOWED:
+            for inner in _windowspec_args(plan):
+                spec = [a for a in inner if not a.startswith("specifiedwindowframe")]
+                if spec and all(" ASC" in a or " DESC" in a for a in spec):
+                    failures.append((name, "global Window (no partition spec)"))
+                    break
+    for name, why in failures:
+        print(f"FLAG  {name}: {why}")
+    print(f"{len(reg) - len({n for n, _ in failures})} clean, {len(failures)} flagged")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(lint(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
