@@ -243,3 +243,63 @@ def q47_hausdorff_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "flight_a", "flight_b", F.round("hausdorff_km", 3).alias("hausdorff_km")
     )
+
+
+@query(
+    "q72_cube_agg",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q72_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping-set combination (q45's rollup plus the
+    status-only slices). Spark compiles cube to a single Expand +
+    HashAggregate — one pass over the fact table, one shuffle on the
+    expanded grouping keys, regardless of how many grouping sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+@query(
+    "q73_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def q73_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no completed ('F') order — NOT EXISTS
+    as left_anti. The status filter prunes the build side BEFORE the
+    join (pushdown-eligible), the hash join only tests key presence (no
+    right-side row materialization), and a small build side broadcasts
+    so the big side never shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
