@@ -6,7 +6,9 @@ real 100 TB pre-training data build runs them.
       -> exact dedup         (one shuffle on the content fingerprint)
       -> near-dup resolution (MinHash -> LSH pairs -> components;
                               keep each cluster's canonical doc)
+      -> fluency gate        (corpus bigram LM, drop the worst tail)
       -> language mix        (deterministic hash-threshold sampling)
+      -> split assignment    (hash-stable train/val/test column)
 
 Every stage is one of the tested operators (operators/textdedup.py,
 queries/textops.py semantics); this module only sequences them. Scale
@@ -34,6 +36,7 @@ class PipelineConfig:
         ("en", "ffff"), ("fr", "8000"), ("de", "8000"),
         ("es", "4000"), ("zh", "4000"),
     )  # 4-hex-digit keep thresholds on md5(doc_id)
+    min_avg_logp: float = -12.0  # bigram-LM fluency floor (q69 semantics)
     stage_counts: dict = field(default_factory=dict)  # filled by run()
 
 
@@ -77,6 +80,52 @@ def near_dedup(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return docs.join(F.broadcast(losers), "doc_id", "anti")
 
 
+def fluency_gate(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Drop docs whose add-one-smoothed bigram log-likelihood (trained
+    on the surviving corpus itself, q69 semantics) falls below the
+    floor — the KenLM-style fluency filter. Count tables are corpus-
+    bounded; only the reject set crosses back, as a broadcast anti."""
+    tk = F.split("text", " ")
+    bigrams = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bigrams.agg(F.countDistinct("w1").alias("v")).withColumn("_k", F.lit(1))
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(ug_counts, ["w1"])
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab), "_k")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))).alias("lp"))
+    )
+    bad = scored.filter(F.col("lp") < cfg.min_avg_logp).select("doc_id")
+    return docs.join(F.broadcast(bad), "doc_id", "anti")
+
+
+def split_assignment(docs: DataFrame) -> DataFrame:
+    """Attach the hash-stable train/val/test column (q64 semantics)."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,4),16,10) as bigint)"
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < 52429, "train").when(bucket < 58982, "val").otherwise("test"),
+    )
+
+
 def language_mix(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Deterministic per-language down-sampling (scan-stage filter)."""
     thr = F.lit(None).cast("string")
@@ -99,7 +148,9 @@ def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     ]
     stages.append(("exact_dedup", exact_dedup(stages[-1][1])))
     stages.append(("near_dedup", near_dedup(stages[-1][1], cfg)))
+    stages.append(("fluency", fluency_gate(stages[-1][1], cfg)))
     stages.append(("mix", language_mix(stages[-1][1], cfg)))
+    stages.append(("split", split_assignment(stages[-1][1])))
     for name, df in stages:
         cfg.stage_counts[name] = df.count()
     return stages[-1][1]

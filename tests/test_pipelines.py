@@ -19,10 +19,14 @@ def test_pipeline_end_to_end(spark):
     c = cfg.stage_counts
     assert c["raw"] == 500
     # monotone shrink, nothing degenerate
-    assert c["raw"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"] >= c["mix"]
+    assert (
+        c["raw"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"]
+        >= c["fluency"] >= c["mix"] == c["split"]
+    )
     assert c["mix"] > 0
-    # survivors are real docs with intact columns
-    assert out.columns == docs.columns
+    # survivors are real docs with intact columns + the split assignment
+    assert out.columns == docs.columns + ["split"]
+    assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
     assert out.join(docs, "doc_id", "semi").count() == c["mix"]
 
 
