@@ -303,3 +303,55 @@ def q73_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q74_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+           ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q74_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (PERCENTILE_CONT):
+    Spark's `percentile` aggregate sorts within the group buffer — fine
+    while groups fit an executor (5 priorities here). At 100 TB use
+    approx_percentile (q56's sketch shape) or a two-pass histogram;
+    this is the exact anchor those approximations are judged against."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "q75_corr_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CORR(value, user_id), 4) AS corr_vu,
+           ROUND(COVAR_SAMP(value, user_id), 2) AS covar_vu,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q75_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, sample stddev — single-pass streaming aggregates
+    (Welford-style merge), so the shuffle carries fixed-size moment
+    buffers. Rounded to 4/2 decimals: the one-pass merge order differs
+    between engines in the low bits."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", "user_id"), 4).alias("corr_vu"),
+        F.round(F.covar_samp("value", "user_id"), 2).alias("covar_vu"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+    )
