@@ -75,3 +75,19 @@ def sessionized_user_stats(
             "last_ts",
         )
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (re-read-per-batch) static dimension. Spark broadcasts a
+    small dim automatically, so the streaming side never shuffles and
+    there is no state to watermark — the dim IS the state, refreshed
+    from storage each batch. The streaming twin of the airframe/
+    schedule enrichment joins (operators/enrich.py)."""
+    return stream.join(F.broadcast(dim), key, how)

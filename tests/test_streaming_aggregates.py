@@ -85,3 +85,32 @@ def test_session_window_gap_splits_sessions(spark, tmp_path):
     assert u7[0]["last_ts"] == T0 + dt.timedelta(minutes=10)
     u8 = got.filter(F.col("user_id") == 8).collect()
     assert len(u8) == 1 and u8[0]["n_events"] == 1
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from flightdb_spark.streaming.aggregates import enrich_stream_static
+
+    rows = [
+        (1, T0, 7, "click", 1.0),
+        (2, T0 + dt.timedelta(minutes=1), 8, "view", 2.0),
+        (3, T0 + dt.timedelta(minutes=2), 9, "click", 3.0),  # no dim row
+    ]
+    df = _mk(spark, rows)
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "trial")], "user_id long, tier string"
+    )
+    src = str(tmp_path / "es_in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        enrich_stream_static(stream, dim)
+        .writeStream.format("memory")
+        .queryName("es")
+        .option("checkpointLocation", str(tmp_path / "es_ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["tier"] for r in spark.table("es").collect()}
+    assert got == {1: "gold", 2: "trial", 3: None}
