@@ -894,11 +894,11 @@ def _bm25_oracle() -> str:
     ),
     scored AS (
       SELECT tf.doc_id,
-             SUM(
+             SUM(CAST(ROUND(
                ln((n_docs - df + 0.5) / (df + 0.5) + 1)
                * tf * ({BM25_K1} + 1)
                / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
-             ) AS score
+             , 9) AS DECIMAL(38,9))) AS score
       FROM tf
       JOIN dfreq USING (term)
       JOIN dl ON dl.doc_id = tf.doc_id
@@ -906,8 +906,9 @@ def _bm25_oracle() -> str:
       GROUP BY tf.doc_id
     ),
     ranked AS (
-      SELECT doc_id, ROUND(score, 6) AS bm25,
-             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+      SELECT doc_id, ROUND(CAST(score AS DOUBLE), 6) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY ROUND(CAST(score AS DOUBLE), 6) DESC,
+                                doc_id) AS rk
       FROM scored
     )
     SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 20
@@ -947,10 +948,18 @@ def q66_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(stats), "_k")
         .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+        # per-term scores round then sum exactly in decimal — partial-agg
+        # merge order cannot drift the hash
+        .agg(
+            F.sum(
+                F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("score")
+        )
     )
     return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        scored.select("doc_id", F.round(F.col("score").cast("double"), 6).alias("bm25"))
         .withColumn(
             "rk", F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
         )
@@ -1042,7 +1051,8 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            ROUND(AVG(n_chars), 6) AS avg_chars,
-           ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS avg_stop_ratio,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS avg_stop_ratio,
            (ROUND(AVG(n_chars), 6) >= 280.0) AS keep
     FROM feats GROUP BY source
     """,
@@ -1052,7 +1062,9 @@ def q63_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole low-quality sources): per-source doc counts + mean length +
     mean stopword ratio, with a keep/drop verdict on the aggregate.
     One shuffle on source; the verdict keys a later broadcast semi-join
-    that filters the corpus without rescanning feature columns."""
+    that filters the corpus without rescanning feature columns. The
+    ratio average accumulates in DECIMAL so the result is independent
+    of partial-agg merge order (double sums are not associative)."""
     docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     feats = docs.select(
@@ -1066,9 +1078,19 @@ def q63_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 6).alias(
-            "avg_stop_ratio"
-        ),
+        # decimal accumulation: partial-agg merge order varies run to run
+        # (round-robin scan repartition), and double sums drift in the
+        # low bits — per-row round -> exact decimal sum is order-free
+        # and bit-identical in both engines.
+        F.round(
+            F.sum(
+                F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_stop_ratio"),
     )
     return agg.withColumn("keep", F.col("avg_chars") >= 280.0)
 
@@ -1242,7 +1264,8 @@ def q68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(AVG(logp), 6) AS avg_logp
+           ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logp
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1288,5 +1311,11 @@ def q69_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("logp"), 6).alias("avg_logp"),
+        # exact decimal sum of the already-rounded logp: order-free, so
+        # partial-agg merge order cannot drift the value hash
+        F.round(
+            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logp"),
     )

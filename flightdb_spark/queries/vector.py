@@ -413,7 +413,8 @@ def q50_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     )
     SELECT label, dim,
-           ROUND(AVG(val), 6) AS centroid_val,
+           ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_val,
            COUNT(*) AS n_vecs
     FROM dims WHERE dim <= 8 GROUP BY label, dim
     """,
@@ -432,8 +433,14 @@ def q67_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dims.filter(F.col("dim") <= 8)
         .groupBy("label", "dim")
+        # decimal accumulation: order-free sum so the repartitioned scan
+        # cannot drift the rounded mean between runs/engines
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.round(
+                F.sum(F.round(F.col("val"), 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
