@@ -1319,3 +1319,40 @@ def q69_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logp"),
     )
+
+
+# --- frequency-ranked vocabulary building -------------------------------------------
+@query(
+    "q76_vocab_ids",
+    oracle="""
+    WITH counts AS (
+      SELECT unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS freq FROM counts GROUP BY token
+    )
+    SELECT token, freq,
+           (ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1)::BIGINT AS token_id
+    FROM vocab
+    QUALIFY token_id < 100
+    """,
+)
+def q76_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: global frequency-ranked token ids
+    (id 0 = most frequent; ties on the token string), top-100 emitted.
+    The global window runs over the AGGREGATED vocab — vocabulary-sized
+    (bounded by distinct tokens, not corpus rows), so the single
+    partition it implies holds thousands of rows at any corpus scale.
+    The corpus itself is one explode → one count aggregate."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))) - 1
+    return (
+        vocab.withColumn("token_id", rk.cast("long"))
+        .filter(F.col("token_id") < 100)
+    )

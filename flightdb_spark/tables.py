@@ -74,10 +74,18 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     arrives pre-split (many files / row groups), the condition is false,
     and no exchange is inserted — so call sites keep their scan-adjacent
     pushdown at scale while local runs use every core. Round-robin, not
-    keyed: callers that need co-location do their own keyed shuffle."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    keyed: callers that need co-location do their own keyed shuffle.
+
+    Uses classic-mode APIs (sparkContext / df.rdd) to inspect the scan;
+    under Spark Connect those don't exist, and the server's own file
+    splitting is in charge anyway — degrade to a no-op there."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n < target:
         return df.repartition(target)
     return df
 

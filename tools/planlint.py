@@ -39,6 +39,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # global deterministic orderBy().limit(k) compiles to TakeOrdered,
     # but the k-row ranked projection that follows is a global window
     "q07_recent_topk",
+    # frequency ranking runs over the AGGREGATED vocab — bounded by
+    # distinct tokens, not corpus rows
+    "q76_vocab_ids",
 }
 
 
