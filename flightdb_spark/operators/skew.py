@@ -28,12 +28,14 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, n_salts: int, *, cols: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic salt column in [0, n_salts): hash of ``cols`` (or
-    a stable per-row spread when no cols are given)."""
+    a stable per-row spread when no cols are given). pmod, not abs(%):
+    abs(Int.MinValue) overflows back to Int.MinValue on the JVM, and a
+    negative salt would silently miss every replicated dim row."""
     if cols:
-        h = F.abs(F.hash(*[F.col(c) for c in cols]))
+        h = F.hash(*[F.col(c) for c in cols])
     else:
-        h = F.abs(F.hash(F.monotonically_increasing_id()))
-    return df.withColumn("_salt", (h % n_salts).cast("int"))
+        h = F.hash(F.monotonically_increasing_id())
+    return df.withColumn("_salt", F.pmod(h, F.lit(n_salts)).cast("int"))
 
 
 def salted_agg(

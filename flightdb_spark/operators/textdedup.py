@@ -57,9 +57,13 @@ def shingles(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def minhash_signatures(shingled: DataFrame, *, seeds: tuple[int, ...]) -> DataFrame:
+def minhash_signatures(
+    shingled: DataFrame, *, seeds: tuple[int, ...], extra_aggs: tuple = ()
+) -> DataFrame:
     """MinHash signature per doc (one bigint column per seed): min over
-    xor-mask permutations of the shared 60-bit md5 base hash."""
+    xor-mask permutations of the shared 60-bit md5 base hash.
+    ``extra_aggs`` ride the same per-doc aggregation (e.g. q30 appends
+    countDistinct("sh")) so callers never re-implement the scheme."""
     hashed = shingled.withColumn(
         "_mh", F.expr(MINHASH_BASE_SPARK.format(sh="sh"))
     )
@@ -69,7 +73,8 @@ def minhash_signatures(shingled: DataFrame, *, seeds: tuple[int, ...]) -> DataFr
                 f"minhash_{s}"
             )
             for s in seeds
-        ]
+        ],
+        *extra_aggs,
     )
 
 

@@ -149,17 +149,19 @@ def kmeans(
         .select((F.row_number().over(wk) - 1).alias("cluster"), F.col("v").alias("cv"))
         .localCheckpoint()
     )
+    if max_iters < 1:
+        raise ValueError(f"kmeans needs max_iters >= 1, got {max_iters}")
     assign_expr = (
         "array_min(transform(cents, c -> struct("
         "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, "
         "(acc, x) -> acc + x) AS d, c.cluster AS cluster)))"
     )
-    assigned = None
-    for _ in range(max_iters):
-        cents_row = cents.agg(
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        cents_row = centroids.agg(
             F.collect_list(F.struct("cluster", "cv")).alias("cents")
         ).withColumn("_k", F.lit(1))
-        assigned = (
+        return (
             src.withColumn("_k", F.lit(1))
             .join(F.broadcast(cents_row), "_k")
             .withColumn("_best", F.expr(assign_expr))
@@ -170,7 +172,10 @@ def kmeans(
                 F.col("_best.d").alias("sq_dist"),
             )
         )
-        new_cents = (
+
+    for _ in range(max_iters):
+        assigned = assign(cents)
+        updated = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
@@ -180,6 +185,17 @@ def kmeans(
                     F.sort_array(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s["m"],
                 ).alias("cv")
+            )
+        )
+        # A cluster with zero assignments produces no update row; keep
+        # its previous centroid (standard Lloyd's choice) so the model
+        # always has exactly k clusters and the shift test sees them all.
+        new_cents = (
+            cents.alias("o")
+            .join(updated.alias("u"), "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("u.cv"), F.col("o.cv")).alias("cv"),
             )
             .localCheckpoint()
         )
@@ -199,8 +215,11 @@ def kmeans(
         cents = new_cents
         if converged:
             break
+    # Re-assign against the FINAL centroids so the returned pair is
+    # mutually consistent even when the loop exits on max_iters.
     final = (
-        assigned.select("_id", "cluster", F.round("sq_dist", 6).alias("sq_dist"))
+        assign(cents)
+        .select("_id", "cluster", F.round("sq_dist", 6).alias("sq_dist"))
         .withColumnRenamed("_id", id_col)
     )
     return final, cents

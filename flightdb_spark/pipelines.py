@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .operators import textdedup
+from .operators import textdedup, textprep
 
 
 @dataclass
@@ -82,48 +82,20 @@ def near_dedup(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def fluency_gate(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Drop docs whose add-one-smoothed bigram log-likelihood (trained
-    on the surviving corpus itself, q69 semantics) falls below the
-    floor — the KenLM-style fluency filter. Count tables are corpus-
-    bounded; only the reject set crosses back, as a broadcast anti."""
-    tk = F.split("text", " ")
-    bigrams = (
-        docs.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1), "
-                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
-    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bigrams.agg(F.countDistinct("w1").alias("v")).withColumn("_k", F.lit(1))
-    scored = (
-        bigrams.join(bg_counts, ["w1", "w2"])
-        .join(ug_counts, ["w1"])
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(vocab), "_k")
-        .groupBy("doc_id")
-        .agg(F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))).alias("lp"))
-    )
-    bad = scored.filter(F.col("lp") < cfg.min_avg_logp).select("doc_id")
+    on the surviving corpus itself) falls below the floor — the
+    KenLM-style fluency filter. Scoring is the SAME operator as q69
+    (operators/textprep.py, merge-order-deterministic decimal
+    accumulation); only the reject set crosses back, as a broadcast
+    anti."""
+    scored = textprep.bigram_avg_logp(docs)
+    bad = scored.filter(F.col("avg_logp") < cfg.min_avg_logp).select("doc_id")
     return docs.join(F.broadcast(bad), "doc_id", "anti")
 
 
 def split_assignment(docs: DataFrame) -> DataFrame:
-    """Attach the hash-stable train/val/test column (q64 semantics)."""
-    bucket = F.expr(
-        "cast(conv(substring(md5(cast(doc_id as string)),1,4),16,10) as bigint)"
-    )
-    return docs.withColumn(
-        "split",
-        F.when(bucket < 52429, "train").when(bucket < 58982, "val").otherwise("test"),
-    )
+    """Attach the hash-stable train/val/test column (the q64 operator,
+    shared via operators/textprep.py)."""
+    return docs.withColumn("split", textprep.split_col())
 
 
 def language_mix(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -147,8 +119,11 @@ def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         ("quality", quality_gate(docs, cfg)),
     ]
     stages.append(("exact_dedup", exact_dedup(stages[-1][1])))
-    stages.append(("near_dedup", near_dedup(stages[-1][1], cfg)))
-    stages.append(("fluency", fluency_gate(stages[-1][1], cfg)))
+    # Checkpoint after the expensive subgraphs (LSH/components; bigram
+    # LM): each later stage count and the returned frame would otherwise
+    # re-execute the full upstream lineage once per action.
+    stages.append(("near_dedup", near_dedup(stages[-1][1], cfg).localCheckpoint()))
+    stages.append(("fluency", fluency_gate(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("mix", language_mix(stages[-1][1], cfg)))
     stages.append(("split", split_assignment(stages[-1][1])))
     for name, df in stages:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..operators import textdedup
+from ..operators import textdedup, textprep
 from ..tables import ensure_parallelism, load_table
 from . import query
 
@@ -125,16 +125,11 @@ def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-char string) agg buffers. Explode → groupBy(doc_id): one shuffle."""
     docs = _docs(spark, sf_dir)
     shingled = textdedup.shingles(docs)
-    hashed = shingled.withColumn(
-        "_mh", F.expr(textdedup.MINHASH_BASE_SPARK.format(sh="sh"))
+    return textdedup.minhash_signatures(
+        shingled,
+        seeds=tuple(_MINHASH_SEEDS),
+        extra_aggs=(F.countDistinct("sh").alias("n_shingles"),),
     )
-    aggs = [
-        F.min(F.col("_mh").bitwiseXOR(F.lit(textdedup.minhash_mask(s)))).alias(
-            f"minhash_{s}"
-        )
-        for s in _MINHASH_SEEDS
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs, F.countDistinct("sh").alias("n_shingles"))
 
 
 def _lsh_pairs_oracle() -> str:
@@ -968,8 +963,8 @@ def q66_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- PII redaction ------------------------------------------------------------------
-_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
-_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]+"
+_EMAIL_RE = textprep.EMAIL_RE
+_PHONE_RE = textprep.PHONE_RE
 
 
 @query(
@@ -1001,33 +996,10 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same injection in the oracle) — the operator under test is the
     regex scrub, which at 100 TB is a map-only stage, no shuffle."""
     docs = _docs(spark, sf_dir)
-    injected = (
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" call 415-555-0"),
-                (F.col("doc_id") % 100).cast("string"),
-                F.lit(" today"),
-            ),
-        )
-        .otherwise(F.col("text"))
-    )
-    aug = docs.select("doc_id", injected.alias("text")).filter(
+    aug = docs.select("doc_id", textprep.inject_pii().alias("text")).filter(
         (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0)
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-    )
+    redacted = textprep.redact_pii(F.col("text"))
     return aug.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
@@ -1123,16 +1095,8 @@ def q64_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     random() splits lack. Map-only assignment; the summary is one
     shuffle on (split, lang)."""
     docs = _docs(spark, sf_dir)
-    bucket = F.expr(
-        "cast(conv(substring(md5(cast(doc_id as string)),1,4),16,10) as bigint)"
-    )
     assigned = docs.select(
-        "doc_id",
-        "lang",
-        F.when(bucket < 52429, "train")
-        .when(bucket < 58982, "val")
-        .otherwise("test")
-        .alias("split"),
+        "doc_id", "lang", textprep.split_col().alias("split")
     )
     return assigned.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1276,49 +1240,10 @@ def q69_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from two aggregates over the exploded bigrams; the bigram-count
     join keys on (w1, w2) — corpus-bounded, co-partitioned with the
     scoring explode — and the vocab scalar rides a 1-row broadcast.
-    Per-bigram logp is rounded BEFORE the avg so Spark/DuckDB float
-    ordering cannot drift the aggregate."""
-    docs = _docs(spark, sf_dir)
-    tk = F.split("text", " ")
-    bigrams = (
-        docs.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1), "
-                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
-    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bigrams.agg(F.countDistinct("w1").alias("v")).withColumn("_k", F.lit(1))
-    scored = (
-        bigrams.join(bg_counts, ["w1", "w2"])
-        .join(ug_counts, ["w1"])
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(vocab), "_k")
-        .select(
-            "doc_id",
-            F.round(
-                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6
-            ).alias("logp"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        # exact decimal sum of the already-rounded logp: order-free, so
-        # partial-agg merge order cannot drift the value hash
-        F.round(
-            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_logp"),
-    )
+    Per-bigram logp rounds then accumulates in DECIMAL so engine/merge
+    order cannot drift the value. Shared implementation:
+    operators/textprep.py (also the pipeline's fluency gate)."""
+    return textprep.bigram_avg_logp(_docs(spark, sf_dir))
 
 
 # --- frequency-ranked vocabulary building -------------------------------------------

@@ -21,34 +21,14 @@ def test_tfidf_rare_terms_outrank_common(spark, sf_dir):
 
 def test_pii_redaction_scrubs_everything(spark, sf_dir):
     """Every doc the query emits had PII planted; after redaction the
-    regexes must find zero residual matches (scrub is idempotent)."""
+    regexes must find zero residual matches (scrub is idempotent).
+    Injection/redaction come from the SAME shared builders the query
+    uses (operators/textprep.py) so the test tracks the query."""
+    from flightdb_spark.operators.textprep import inject_pii, redact_pii
     from flightdb_spark.queries.textops import _EMAIL_RE, _PHONE_RE, _docs
 
     docs = _docs(spark, sf_dir)
-    injected = (
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" call 415-555-0"),
-                (F.col("doc_id") % 100).cast("string"),
-                F.lit(" today"),
-            ),
-        )
-        .otherwise(F.col("text"))
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-    )
+    redacted = redact_pii(inject_pii())
     residue = docs.select(
         (
             F.size(F.regexp_extract_all(redacted, F.lit(_EMAIL_RE), 0))

@@ -5,16 +5,11 @@ global windows (tools/planlint.py)."""
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from tools.planlint import GLOBAL_WINDOW_ALLOWED, _windowspec_args
+from tools.planlint import GLOBAL_WINDOW_ALLOWED, _windowspec_args, is_global_spec
 
 
 def _global_specs(plan: str) -> list:
-    hits = []
-    for args in _windowspec_args(plan):
-        spec = [a for a in args if not a.startswith("specifiedwindowframe")]
-        if spec and all(" ASC" in a or " DESC" in a for a in spec):
-            hits.append(spec)
-    return hits
+    return [args for args in _windowspec_args(plan) if is_global_spec(args)]
 
 
 def test_detector_shapes(spark):
@@ -28,6 +23,9 @@ def test_detector_shapes(spark):
         "c", F.count(F.lit(1)).over(W.partitionBy(F.col("id") % 2))
     )
     assert not _global_specs(u._jdf.queryExecution().executedPlan().toString())
+    # unordered GLOBAL window (partitionBy with no args) must fire too
+    g2 = spark.range(10).withColumn("c", F.count(F.lit(1)).over(W.partitionBy()))
+    assert _global_specs(g2._jdf.queryExecution().executedPlan().toString())
 
 
 def test_registry_plans_clean(spark, sf_dir):

@@ -79,6 +79,16 @@ def _windowspec_args(plan: str) -> list[list[str]]:
     return out
 
 
+def is_global_spec(args: list[str]) -> bool:
+    """True when a windowspecdefinition's top-level args describe a
+    partition-less window: only ORDER-BY entries (`col ASC/DESC ...`)
+    before the frame spec, or nothing but the frame spec at all (an
+    unordered global window — e.g. count().over(Window.partitionBy())).
+    Partitioned windows list at least one bare partition column."""
+    spec = [a for a in args if not a.startswith("specifiedwindowframe")]
+    return all(" ASC" in a or " DESC" in a for a in spec)
+
+
 def lint(sf_dir: str) -> int:
     spark = get_spark("planlint")
     reg = load_registry()
@@ -100,8 +110,7 @@ def lint(sf_dir: str) -> int:
         # first; a partitioned-unordered window lists only bare columns.
         if name not in GLOBAL_WINDOW_ALLOWED:
             for inner in _windowspec_args(plan):
-                spec = [a for a in inner if not a.startswith("specifiedwindowframe")]
-                if spec and all(" ASC" in a or " DESC" in a for a in spec):
+                if is_global_spec(inner):
                     failures.append((name, "global Window (no partition spec)"))
                     break
     for name, why in failures:
