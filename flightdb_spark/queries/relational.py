@@ -400,3 +400,64 @@ def q71_unpivot_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "n",
     ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+# --- semi-structured JSON extraction ------------------------------------------------
+@query(
+    "q77_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY k
+    """,
+)
+def q77_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column and aggregate by it. get_json_object evaluates JVM-side
+    inside the scan stage (a JsonPath probe per row, no full parse);
+    for repeated multi-field access at scale, from_json to a struct
+    column once and let Catalyst prune fields instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --- set operations -----------------------------------------------------------------
+@query(
+    "q78_set_ops",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    both_u AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+    click_only AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT 'click_and_buy' AS cohort, COUNT(*) AS n FROM both_u
+    UNION ALL
+    SELECT 'click_no_buy' AS cohort, COUNT(*) AS n FROM click_only
+    """,
+)
+def q78_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort analysis: users who both clicked and
+    purchased vs clicked only. Spark plans both as hash joins over the
+    deduped key sets (left_semi / left_anti shapes) — no full-row
+    comparison, and the distinct inputs bound the join sides by user
+    cardinality, not event count."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both_u = clickers.intersect(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_and_buy").alias("cohort"), "n"
+    )
+    click_only = clickers.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_no_buy").alias("cohort"), "n"
+    )
+    return both_u.unionByName(click_only)
