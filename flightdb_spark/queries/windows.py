@@ -345,3 +345,43 @@ def q20_dedup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "q79_generic_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+      SELECT user_id, ts AS buy_ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id, c.ts,
+           b.value AS value_asof, b.buy_ts AS ts_asof
+    FROM clicks c
+    ASOF LEFT JOIN buys b
+      ON c.user_id = b.user_id AND c.ts >= b.buy_ts
+    """,
+)
+def q79_generic_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General backward as-of join (operators/asof.py): every click
+    gets the user's latest prior-or-equal purchase value. DuckDB checks
+    it with its native ASOF JOIN; the Spark side is the union+window
+    form — one shuffle on the key, a per-partition sort, no
+    BroadcastNestedLoop range join anywhere (also the METAR lookup's
+    shape, metar/metar.go:94-119)."""
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_backward(
+        clicks, buys, on="user_id", value_cols=("value",)
+    ).select(
+        "user_id", "event_id", "ts",
+        F.col("value_asof"), F.col("ts_asof"),
+    )
