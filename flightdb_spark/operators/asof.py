@@ -100,3 +100,110 @@ def asof_join_backward(
             F.when(stale, F.lit(None)).otherwise(F.col(f"{right_ts}{suffix}")),
         )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...],
+    tolerance_s: int | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward`: the EARLIEST right row with
+    right_ts >= left_ts (> when exact matches are disallowed). Same
+    union+window shape with the sort reversed — still one shuffle."""
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(0).alias("_is_right"),
+        F.col(left_ts).alias("_ats"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    tagged_r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c != on else F.col(on) for c in lcols],
+        F.lit(1).alias("_is_right"),
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
+    )
+    tie = F.col("_is_right").desc() if allow_exact_matches else F.col("_is_right").asc()
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("_ats").desc(), tie)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = tagged_l.unionByName(tagged_r)
+    out_cols = [F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+                for c in value_cols]
+    matched_ts = F.last("_rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}")
+    out = (
+        enriched.select("*", *out_cols, matched_ts)
+        .filter(F.col("_is_right") == 0)
+        .drop("_is_right", "_ats", "_rts", *[f"_rv_{c}" for c in value_cols])
+    )
+    if tolerance_s is not None:
+        stale = (
+            F.col(f"{right_ts}{suffix}").cast("double")
+            - F.col(left_ts).cast("double")
+        ) > float(tolerance_s)
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
+            )
+        out = out.withColumn(
+            f"{right_ts}{suffix}",
+            F.when(stale, F.lit(None)).otherwise(F.col(f"{right_ts}{suffix}")),
+        )
+    return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...],
+    tolerance_s: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-in-time match: run backward and forward passes and keep
+    whichever matched timestamp is closer (backward wins ties, matching
+    pandas merge_asof direction='nearest'). Two window shuffles on the
+    same key — at scale the second reuses the first's partitioning."""
+    back = asof_join_backward(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, tolerance_s=tolerance_s, suffix="_b",
+    )
+    fwd = asof_join_forward(
+        back, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, tolerance_s=tolerance_s, suffix="_f",
+    )
+    lts = F.col(left_ts).cast("double")
+    gap_b = lts - F.col(f"{right_ts}_b").cast("double")
+    gap_f = F.col(f"{right_ts}_f").cast("double") - lts
+    use_b = F.col(f"{right_ts}_f").isNull() | (
+        F.col(f"{right_ts}_b").isNotNull() & (gap_b <= gap_f)
+    )
+    out = fwd
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(use_b, F.col(f"{c}_b")).otherwise(F.col(f"{c}_f")),
+        )
+    out = out.withColumn(
+        f"{right_ts}{suffix}",
+        F.when(use_b, F.col(f"{right_ts}_b")).otherwise(F.col(f"{right_ts}_f")),
+    )
+    drop = [f"{c}_b" for c in value_cols] + [f"{c}_f" for c in value_cols]
+    return out.drop(*drop, f"{right_ts}_b", f"{right_ts}_f")

@@ -73,3 +73,37 @@ def test_asof_no_match_yields_null(spark):
         left, right, on="k", value_cols=("px",)
     ).collect() if r["k"] == 3]
     assert len(row) == 1 and row[0]["px_asof"] is None
+
+
+def _pandas_asof_dir(left, right, direction, tolerance=None):
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("ts").reset_index(drop=True)
+    kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction, **kw)
+    return {(r.k, r.ts): (None if pd.isna(r.px) else r.px) for r in m.itertuples()}
+
+
+def test_asof_forward_matches_pandas(spark):
+    from flightdb_spark.operators.asof import asof_join_forward
+
+    left, right = _frames(spark)
+    got = asof_join_forward(left, right, on="k", value_cols=("px",))
+    want = _pandas_asof_dir(left, right, "forward")
+    for r in got.collect():
+        assert want[(r["k"], r["ts"])] == r["px_asof"], (r["k"], r["ts"])
+
+
+def test_asof_nearest_matches_pandas(spark):
+    from flightdb_spark.operators.asof import asof_join_nearest
+
+    left, right = _frames(spark)
+    got = asof_join_nearest(left, right, on="k", value_cols=("px",))
+    want = _pandas_asof_dir(left, right, "nearest")
+    for r in got.collect():
+        assert want[(r["k"], r["ts"])] == r["px_asof"], (r["k"], r["ts"])
+    got_t = asof_join_nearest(
+        left, right, on="k", value_cols=("px",), tolerance_s=120
+    )
+    want_t = _pandas_asof_dir(left, right, "nearest", tolerance=120)
+    for r in got_t.collect():
+        assert want_t[(r["k"], r["ts"])] == r["px_asof"], (r["k"], r["ts"])
