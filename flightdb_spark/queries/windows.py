@@ -385,3 +385,66 @@ def q79_generic_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts",
         F.col("value_asof"), F.col("ts_asof"),
     )
+
+
+@query(
+    "q80_conversion_funnel",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+      SELECT user_id, ts AS buy_ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT c.user_id, c.ts, b.buy_ts, b.value
+      FROM clicks c
+      ASOF LEFT JOIN buys b
+        ON c.user_id = b.user_id AND c.ts <= b.buy_ts
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_clicks,
+           COUNT(CASE WHEN buy_ts IS NOT NULL
+                       AND epoch(buy_ts) - epoch(ts) <= 1800
+                      THEN 1 END) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN buy_ts IS NOT NULL
+                                AND epoch(buy_ts) - epoch(ts) <= 1800
+                               THEN ROUND(value, 6) ELSE 0 END)
+                      AS DECIMAL(38,6))::DOUBLE, 2) AS converted_value
+    FROM joined GROUP BY day
+    """,
+)
+def q80_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel: for each click, the user's
+    NEXT purchase (forward as-of, operators/asof.py); converted =
+    within 30 minutes. Daily counts + exactly-accumulated converted
+    value (decimal sum — merge-order independent). DuckDB checks the
+    forward direction with ASOF LEFT JOIN ON ts <= buy_ts."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join_forward(clicks, buys, on="user_id", value_cols=("value",))
+    conv = F.col("ts_asof").isNotNull() & (
+        F.col("ts_asof").cast("double") - F.col("ts").cast("double") <= 1800
+    )
+    return (
+        j.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count(F.when(conv, 1)).alias("n_converted"),
+            F.round(
+                F.sum(
+                    F.when(conv, F.round(F.col("value_asof"), 6))
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(38,6)")
+                ).cast("double"),
+                2,
+            ).alias("converted_value"),
+        )
+    )
