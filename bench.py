@@ -48,6 +48,10 @@ HEADLINE = [
     "q61_tfidf_topterms",
     "q64_split_assignment",
     "q67_label_centroids",
+    # round 5: span-level dedup, rolling time frames, iterative graph
+    "q81_dup_spans",
+    "q85_rolling_revenue",
+    "q86_pagerank",
 ]
 
 

@@ -40,6 +40,7 @@ _MODULES = [
     "vector",
     "multimodal",
     "extras",
+    "training",
 ]
 
 

@@ -1,0 +1,444 @@
+"""Training-data curation operators, batch 2 (q81-q86).
+
+Extends the LLM-pipeline surface (BASELINE.json north star) with:
+
+- q81 repeated-span detection: the hashed-n-gram approximation of
+  exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+  Makes Language Models Better") — per-doc fraction of 5-gram spans
+  that occur more than once anywhere in the corpus.
+- q82 BPE merge-candidate counts: the inner counting step of BPE
+  tokenizer training — adjacent character-pair frequencies over the
+  corpus vocabulary, weighted by word occurrences.
+- q83 int8 scalar quantization of embeddings with reconstruction
+  error — the compression step in front of a large-scale ANN index.
+- q84 per-group z-score outlier detection over event values — the
+  numeric analog of quality filtering.
+- q85 rolling 7-day revenue per customer — time-range window frames.
+- q86 PageRank (3 unrolled iterations, d=0.85) over the bipartite
+  part<->supplier graph derived from lineitem — iterative graph
+  algorithm coverage with a fully SQL-expressible oracle.
+
+Determinism contract (same as queries/textops.py): every cross-row
+double aggregation rounds per-row then accumulates in DECIMAL (exact,
+order-free, identical in Spark and DuckDB); remaining double math is
+straight-line per-row IEEE arithmetic written with the same expression
+structure in both engines.
+
+100 TB shapes: q81 is two shuffles (gram hash, doc_id) — the gram
+aggregate is corpus-sized but maximally partial-aggregated; q82/q86
+end in TakeOrderedAndProject (partial top-k, never a global window);
+q83/q84 join per-dim / per-group stats back as broadcasts; q85 is one
+shuffle on the partition key with a bounded range frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import ensure_parallelism, load_table
+from . import query
+
+# Normalized word tokens, identical construction in both engines.
+# (regexp collapse leaves runs of spaces -> filter the empty tokens.)
+_TOKS_SPARK = (
+    "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')), ' '), "
+    "x -> x != '')"
+)
+_TOKS_DUCK = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', "
+    "' ', 'g')), ' '), x -> x <> '')"
+)
+
+SPAN_N = 5  # q81 span width in tokens
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row tokenization is expensive: spread a single-file local scan
+    # across cores (no-op on a real cluster).
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+
+# --- q81: repeated-span detection --------------------------------------------------
+@query(
+    "q81_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(w) - {SPAN_N - 2}),
+                    i -> md5(array_to_string(w[i:i+{SPAN_N - 1}], ' ')))) AS g
+      FROM toks WHERE len(w) >= {SPAN_N}
+    ),
+    cnts AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_frac
+    FROM grams JOIN cnts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q81_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction: hash every 5-token span,
+    count occurrences corpus-wide, and report the fraction of each
+    doc's spans that appear more than once (intra- or inter-document).
+    The Spark-native form of suffix-array substring dedup: one shuffle
+    to count gram hashes (map-side partial agg collapses the heavy
+    hitters), an equi-join back on the gram hash, one shuffle to
+    re-aggregate per doc. No driver state, no n² anywhere."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS_SPARK).alias("w"))
+        # guard: Spark's sequence(1, 0) is DESCENDING, not empty
+        .filter(F.size("w") >= SPAN_N)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {SPAN_N - 1}), "
+                f"i -> md5(concat_ws(' ', slice(w, i, {SPAN_N}))))"
+            )
+        ).alias("g"),
+    )
+    cnts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        grams.join(cnts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup"),
+            F.round(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
+# --- q82: BPE merge-candidate pair counts ------------------------------------------
+@query(
+    "q82_bpe_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKS_DUCK} AS w FROM documents
+    ),
+    words AS (SELECT UNNEST(w) AS wd FROM toks),
+    pairs AS (
+      SELECT UNNEST(list_transform(range(1, length(wd)),
+                    i -> substring(wd, i, 2))) AS pair
+      FROM words WHERE length(wd) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM pairs GROUP BY pair
+    ORDER BY n_pair DESC, pair LIMIT 30
+    """,
+)
+def q82_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent character pairs across the corpus vocabulary —
+    the counting step a BPE tokenizer trainer runs to pick its next
+    merge. flatMap to pairs (no shuffle), one groupBy on the pair
+    (alphabet², tiny — partial aggregation does nearly all the work),
+    then orderBy+limit, which Spark plans as TakeOrderedAndProject
+    (per-partition partial top-k, no global sort)."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(_TOKS_SPARK)).alias("wd"))
+        .filter(F.length("wd") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+# --- q83: int8 scalar quantization + reconstruction error --------------------------
+# Straight-line quantization arithmetic, written once and rendered into
+# both engines with identical operation order (all-double IEEE ops, so
+# results are bit-identical):
+#   code = clamp(floor((val - mn) * 255 / (mx - mn)), 0, 255)
+#   dq   = mn + (code + 0.5) * (mx - mn) / 255
+#   se   = round((val - dq)^2, 12)      -- squared as x*x, never pow()
+@query(
+    "q83_quantize_embeddings",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM e
+    ),
+    stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY dim),
+    qz AS (
+      SELECT d.vec_id, d.val, s.mn, s.mx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR((d.val - s.mn) * 255 / (s.mx - s.mn)) AS BIGINT)))
+             END AS code
+      FROM dims d JOIN stats s USING (dim)
+    ),
+    err AS (
+      SELECT vec_id,
+             ROUND((val - (mn + (code + 0.5) * (mx - mn) / 255))
+                   * (val - (mn + (code + 0.5) * (mx - mn) / 255)), 12) AS se
+      FROM qz
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           ROUND(CAST(SUM(CAST(se AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
+             AS mse
+    FROM err GROUP BY vec_id
+    """,
+)
+def q83_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table with per-vector
+    reconstruction MSE — the compression pass in front of a large ANN
+    index. Per-dimension min/max is a bounded aggregate (embedding
+    width rows) broadcast back onto the exploded (vec_id, dim, val)
+    stream; the squared error accumulates per-row-rounded in DECIMAL so
+    the MSE is independent of partial-agg merge order. Two shuffles:
+    the dim-stats aggregate (tiny) and the per-vec re-aggregate."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = e.select(
+        "vec_id", F.posexplode("v").alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    stats = dims.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    qz = dims.join(F.broadcast(stats), "dim").withColumn(
+        "code",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(255).cast("bigint"),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.floor((F.col("val") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))),
+                ),
+            )
+        ),
+    )
+    diff = F.col("val") - (
+        F.col("mn") + (F.col("code") + 0.5) * (F.col("mx") - F.col("mn")) / 255
+    )
+    err = qz.select("vec_id", F.round(diff * diff, 12).alias("se"))
+    return err.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(
+            F.sum(F.col("se").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mse"),
+    )
+
+
+# --- q84: per-group z-score outliers -----------------------------------------------
+Z_CUT = 3.0
+
+
+@query(
+    "q84_group_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS mean,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS msq
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.mean) / sqrt(s.msq - s.mean * s.mean) AS zval
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, ROUND(value, 6) AS value, ROUND(zval, 4) AS z
+    FROM z WHERE abs(zval) > {Z_CUT}
+    """,
+)
+def q84_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3): the numeric analog of
+    corpus quality filtering. Group stats are one bounded aggregate
+    (types × 4 doubles) broadcast back onto the event stream — the big
+    side never shuffles. Mean and E[x²] accumulate per-row-rounded in
+    DECIMAL, so z is bit-identical across engines and partition
+    layouts."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum(
+                F.round(F.col("value") * F.col("value"), 6).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(
+        F.col("msq") - F.col("mean") * F.col("mean")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zval", z)
+        .filter(F.abs(F.col("zval")) > Z_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("zval", 4).alias("z"),
+        )
+    )
+
+
+# --- q85: rolling 7-day revenue per customer ---------------------------------------
+@query(
+    "q85_rolling_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d
+    FROM orders
+    """,
+)
+def q85_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue per customer: a time-range window frame
+    (RANGE BETWEEN 7 PRECEDING over integer order-day). One shuffle on
+    the partition key; the frame is bounded so state per key is small.
+    The sum accumulates in DECIMAL(18,2) — exact, order-free — and the
+    peer-inclusive RANGE frame makes same-day ties well-defined."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.alias("day_idx"))
+        .rangeBetween(-7, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_7d"),
+    )
+
+
+# --- q86: PageRank, 3 unrolled iterations ------------------------------------------
+# Integer-mass arithmetic: rank is carried as BIGINT units out of
+# PR_TOTAL (1e15). Floor division and integer sums are exact and
+# order-free in every engine, so three chained iterations cannot drift
+# by an ulp the way repeated double rounding does (tidy rationals like
+# (1/N)/2 land exactly on round-half boundaries, where Spark's exact
+# BigDecimal rounding and DuckDB's float-multiply rounding disagree).
+# Damping 0.85 becomes (mass * 85) // 100; floor losses (sub-ppb of
+# total mass) are part of the operator's declared semantics, not noise.
+PR_ITERS = 3
+PR_TOP = 20
+PR_TOTAL = 10**15
+
+
+def _pr_oracle() -> str:
+    # pr0..pr3 as chained CTEs; each iteration is the same SQL block.
+    iters = []
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""pr{i} AS (
+      SELECT ew.dst AS node,
+             ({PR_TOTAL} * 15 // 100) // ANY_VALUE(nn.n)
+               + (SUM(p.pr // ew.deg) * 85) // 100 AS pr
+      FROM ew JOIN {prev} p ON p.node = ew.src, nn
+      GROUP BY ew.dst
+    )"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (
+      SELECT src AS node, CAST({PR_TOTAL} AS BIGINT) // nn.n AS pr FROM deg, nn
+    ),
+    {chain}
+    SELECT node, CAST(pr AS BIGINT) AS rank_mass FROM pr{PR_ITERS}
+    ORDER BY rank_mass DESC, node LIMIT {PR_TOP}
+    """
+
+
+@query("q86_pagerank", oracle=_pr_oracle())
+def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 iterations, uniform init) over the
+    undirected bipartite part<->supplier graph from lineitem. Each
+    iteration is one equi-join of the rank vector with the edge list
+    plus one aggregate on the destination — the canonical distributed
+    shape (contributions flow along edges; no driver-side graph
+    state). Rank is integer mass out of 1e15 (module comment above),
+    so the three iterations are bit-exact against the unrolled SQL
+    oracle. Every node has degree >= 1 by construction, so there is no
+    dangling-mass term. Top-20 is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (partial per-partition top-k, no global
+    sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = edges.join(deg, "src").select("src", "dst", "deg")
+    nn = deg.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    pr = (
+        deg.withColumn("_k", F.lit(1))
+        .join(F.broadcast(nn), "_k")
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"CAST({PR_TOTAL} AS BIGINT) div n").alias("pr"),
+        )
+    )
+    base = (PR_TOTAL * 15) // 100
+    for _ in range(PR_ITERS):
+        pr = (
+            ew.join(pr, ew.src == pr.node)
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(nn), "_k")
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.expr(f"CAST({base} AS BIGINT) div n")
+                    + F.expr("(s * 85) div 100")
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("node", F.col("pr").alias("rank_mass"))
+        .orderBy(F.desc("rank_mass"), F.asc("node"))
+        .limit(PR_TOP)
+    )

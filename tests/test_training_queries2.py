@@ -1,0 +1,124 @@
+"""Semantic checks for the training-data batch-2 queries (q81-q86)
+beyond the DuckDB value-parity gate: invariants of the operators
+themselves that a co-refactored oracle could not catch."""
+
+from pyspark.sql import functions as F
+
+from flightdb_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def test_dup_spans_exact_duplicates_fully_flagged(spark, sf_dir):
+    """A doc whose full text appears verbatim elsewhere in the corpus
+    has EVERY span duplicated -> dup_frac must be exactly 1.0; and the
+    fraction is always within [0, 1] with n_dup <= n_spans."""
+    out = REGISTRY["q81_dup_spans"].fn(spark, sf_dir).cache()
+    assert out.filter(F.col("n_dup") > F.col("n_spans")).count() == 0
+    assert out.filter((F.col("dup_frac") < 0) | (F.col("dup_frac") > 1)).count() == 0
+
+    from flightdb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_texts = (
+        docs.groupBy("text").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+    dup_ids = docs.join(dup_texts.select("text"), "text").select("doc_id")
+    flagged = out.join(dup_ids, "doc_id")
+    # every duplicated doc long enough to have spans is fully flagged
+    assert flagged.filter(F.col("dup_frac") < 1.0).count() == 0
+    out.unpersist()
+
+
+def test_bpe_pairs_shape_and_order(spark, sf_dir):
+    rows = REGISTRY["q82_bpe_pairs"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    assert all(len(r["pair"]) == 2 for r in rows)
+    counts = [r["n_pair"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+
+
+def test_quantization_error_bounded_by_half_step(spark, sf_dir):
+    """|val - dequant| <= step/2 per dimension by construction, so the
+    per-vector MSE is bounded by (max_step/2)^2."""
+    from flightdb_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    steps = e.groupBy("dim").agg(((F.max("val") - F.min("val")) / 255).alias("step"))
+    max_step = steps.agg(F.max("step")).collect()[0][0]
+    out = REGISTRY["q83_quantize_embeddings"].fn(spark, sf_dir)
+    bound = (max_step / 2) ** 2 * 1.0001
+    assert out.filter(F.col("mse") > bound).count() == 0
+    assert out.filter(F.col("n_dims") != 64).count() == 0
+
+
+def test_group_outliers_beyond_three_sigma(spark, sf_dir):
+    """Every emitted event really lies outside mean +- 3*sd of its own
+    group, recomputed independently with plain double aggregates."""
+    from flightdb_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_pop("value").alias("sd")
+    )
+    out = REGISTRY["q84_group_outliers"].fn(spark, sf_dir)
+    joined = out.join(stats, "event_type")
+    # |z| from the query vs the reference stats can differ in the last
+    # ulp; 2.99 still separates outliers from the bulk decisively
+    bad = joined.filter(
+        F.abs((F.col("value") - F.col("m")) / F.col("sd")) < 2.99
+    )
+    assert bad.count() == 0
+    assert out.count() > 0
+
+
+def test_rolling_revenue_matches_python_recount(spark, sf_dir):
+    """Recompute the 7-day rolling sum in plain Python for the busiest
+    customer and compare row for row."""
+    out = REGISTRY["q85_rolling_revenue"].fn(spark, sf_dir)
+    busiest = (
+        out.groupBy("o_custkey")
+        .count()
+        .orderBy(F.desc("count"), "o_custkey")
+        .first()["o_custkey"]
+    )
+    rows = out.filter(F.col("o_custkey") == busiest).collect()
+    from flightdb_spark.tables import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") == busiest)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round("o_totalprice", 2).alias("p"),
+        )
+        .collect()
+    )
+    by_key = {r["o_orderkey"]: r for r in orders}
+    for r in rows:
+        me = by_key[r["o_orderkey"]]
+        expect = round(
+            sum(
+                float(o["p"])
+                for o in orders
+                if 0 <= (me["d"] - o["d"]).days <= 7
+            ),
+            2,
+        )
+        assert abs(r["revenue_7d"] - expect) < 1e-6
+
+
+def test_pagerank_top20_descending_and_supplier_heavy(spark, sf_dir):
+    """Suppliers connect to ~20x more parts than parts to suppliers, so
+    the top of the rank must be supplier nodes; masses are positive and
+    sorted."""
+    rows = REGISTRY["q86_pagerank"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    masses = [r["rank_mass"] for r in rows]
+    assert masses == sorted(masses, reverse=True)
+    assert all(m > 0 for m in masses)
+    assert rows[0]["node"].startswith("s")
