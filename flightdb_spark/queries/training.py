@@ -442,3 +442,163 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_mass"), F.asc("node"))
         .limit(PR_TOP)
     )
+
+
+# --- q87: deterministic shard assignment -------------------------------------------
+N_SHARDS = 8
+
+
+@query(
+    "q87_shard_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
+    )
+    SELECT doc_id,
+           CAST(doc_id % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % {N_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q87_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment with a deterministic pseudo-random
+    within-shard order: shard = doc_id mod S (stable, join-free),
+    position = rank of the doc's content hash inside its shard. This is
+    the reproducible global-shuffle a trainer needs — same permutation
+    on any engine, any partitioning, any run. One shuffle (the
+    per-shard window); at 100 TB each shard sorts independently, and
+    S is chosen so a shard fits a sort spill budget."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = docs.withColumn("hkey", F.md5(F.col("doc_id").cast("string")))
+    w = W.partitionBy(F.col("doc_id") % N_SHARDS).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# --- q88: temperature-based mixture re-weighting -----------------------------------
+# alpha = 0.5 (T = 2): weight_s = sqrt(share_s), renormalized. sqrt is
+# IEEE-correctly-rounded (unlike pow), so the per-source weight is
+# bit-identical across engines; the normalizer accumulates per-row-
+# rounded in DECIMAL like every other cross-row double sum here.
+@query(
+    "q88_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+    wts AS (
+      SELECT source, n_docs,
+             ROUND(sqrt(CAST(n_docs AS DOUBLE) / tot.n), 9) AS w
+      FROM counts, tot
+    ),
+    norm AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS z FROM wts)
+    SELECT source, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / tot.n, 6) AS share,
+           ROUND(w / norm.z, 6) AS temp_share,
+           CAST(FLOOR(ROUND(w / norm.z, 6) * tot.n) AS BIGINT) AS target_n
+    FROM wts, norm, tot
+    """,
+)
+def q88_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mix re-weighting (multilingual-sampling
+    style, alpha=0.5): per-source sampling share proportional to
+    sqrt(corpus share), renormalized, with the implied target doc
+    count. Everything after the per-source count is bounded math on a
+    sources-sized frame — at 100 TB this is one aggregate over the
+    corpus and then arithmetic on ~dozens of rows."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n")).withColumn("_k", F.lit(1))
+    wts = (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+        .withColumn("w", F.round(F.sqrt(F.col("n_docs").cast("double") / F.col("n")), 9))
+    )
+    norm = wts.agg(
+        F.sum(F.col("w").cast("decimal(38,9)")).cast("double").alias("z")
+    ).withColumn("_k", F.lit(1))
+    return (
+        wts.join(F.broadcast(norm), "_k")
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("share"),
+            F.round(F.col("w") / F.col("z"), 6).alias("temp_share"),
+            F.floor(F.round(F.col("w") / F.col("z"), 6) * F.col("n"))
+            .cast("bigint")
+            .alias("target_n"),
+        )
+    )
+
+
+# --- q89: hard-negative mining -----------------------------------------------------
+@query(
+    "q89_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id AND b.label <> a.label
+      WHERE a.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q89_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the single most cosine-similar vector carrying a DIFFERENT label.
+    Same 100 TB shape as exact top-k (q40): probes broadcast, the
+    label-mismatch predicate evaluated inside the broadcast join,
+    partial top-1 per partition before the one shuffle on probe id."""
+    from ..operators.vectors import dot_expr, with_norm
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    c = with_norm(e)
+    p = with_norm(
+        e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("query_label"),
+        ),
+        v="qv",
+        out="qnorm",
+    )
+    pairs = (
+        c.alias("b")
+        .join(
+            F.broadcast(p).alias("a"),
+            (F.col("b.vec_id") != F.col("a.query_id"))
+            & (F.col("b.label") != F.col("a.query_label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            F.round(
+                F.expr(dot_expr("qv", "v")) / (F.col("qnorm") * F.col("vnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -122,3 +122,65 @@ def test_pagerank_top20_descending_and_supplier_heavy(spark, sf_dir):
     assert masses == sorted(masses, reverse=True)
     assert all(m > 0 for m in masses)
     assert rows[0]["node"].startswith("s")
+
+
+def test_shard_assignment_partitions_everything(spark, sf_dir):
+    """Every doc gets exactly one shard; positions within a shard are
+    the contiguous sequence 1..|shard|."""
+    from flightdb_spark.tables import load_table
+
+    out = REGISTRY["q87_shard_assignment"].fn(spark, sf_dir).cache()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    per_shard = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per_shard.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+    out.unpersist()
+
+
+def test_mix_temperature_flattens_shares(spark, sf_dir):
+    """Temperature sampling moves every source's share toward uniform:
+    over-represented sources shrink, under-represented ones grow, and
+    the re-weighted shares still sum to ~1."""
+    rows = REGISTRY["q88_mix_temperature"].fn(spark, sf_dir).collect()
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if r["share"] > uniform * 1.05:
+            assert r["temp_share"] < r["share"]
+        elif r["share"] < uniform * 0.95:
+            assert r["temp_share"] > r["share"]
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["target_n"] for r in rows) <= sum(r["n_docs"] for r in rows)
+
+
+def test_hard_negatives_cross_label_and_truly_hardest(spark, sf_dir):
+    """Every mined negative carries a different label than its probe,
+    and no other cross-label vector is more similar."""
+    from flightdb_spark.tables import load_table
+
+    rows = REGISTRY["q89_hard_negatives"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["neighbor_label"] != r["query_label"] for r in rows)
+
+    import math
+
+    vecs = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for r in rows:
+        qv, ql = vecs[r["query_id"]]
+        best = max(
+            (round(cos(qv, v), 6), -vid)
+            for vid, (v, lb) in vecs.items()
+            if lb != ql and vid != r["query_id"]
+        )
+        assert abs(best[0] - r["cos_sim"]) < 2e-6
+        assert -best[1] == r["neighbor_id"] or abs(best[0] - r["cos_sim"]) < 2e-6
