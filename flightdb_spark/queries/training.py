@@ -410,7 +410,11 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ew = edges.join(deg, "src").select("src", "dst", "deg")
+    # materialize the weighted edge list once: every iteration joins
+    # against it, and without truncation each round would re-derive the
+    # whole distinct+degree lineage from the lineitem scan (on a
+    # cluster use a reliable checkpoint dir, as in textdedup)
+    ew = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     nn = deg.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
     pr = (
         deg.withColumn("_k", F.lit(1))
