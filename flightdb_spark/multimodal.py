@@ -127,6 +127,43 @@ def decode_media(media: DataFrame, out_dim: int = 64) -> DataFrame:
     )
 
 
+def audio_frame_stats(media: DataFrame, frame_len: int = 256) -> DataFrame:
+    """Per-frame PCM stats for audio payloads as one Arrow-batched
+    mapInPandas stage: the blob crosses to Python once, gets chunked
+    into ``frame_len``-sample frames, and comes back as (media_id,
+    frame_idx, n_samples, sum_sq). The stage emits ONLY exact integers
+    (numpy int64 sums) — the RMS itself is computed JVM-side as a
+    single sqrt/divide, so the result is bit-identical on any engine
+    and any partitioning. A real audio pipeline swaps the uint8 view
+    for a PCM decode; the batch plumbing is identical."""
+    fields = media.schema.fieldNames()
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            ns: list[int] = []
+            s2s: list[int] = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                arr = np.frombuffer(
+                    bytes(blob) if blob is not None else b"", dtype=np.uint8
+                ).astype(np.int64)
+                for fi in range(0, len(arr), frame_len):
+                    chunk = arr[fi : fi + frame_len]
+                    mids.append(int(mid))
+                    idxs.append(fi // frame_len)
+                    ns.append(int(chunk.size))
+                    s2s.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "n_samples": ns, "sum_sq": s2s}
+            )
+
+    assert {"media_id", "blob"} <= set(fields)
+    return media.select("media_id", "blob").mapInPandas(
+        _frames, "media_id long, frame_idx long, n_samples long, sum_sq long"
+    )
+
+
 def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
     """Frame-sampling for video blobs: split the payload into
     meta.n_frames equal chunks, keep k evenly spaced — the Spark-side

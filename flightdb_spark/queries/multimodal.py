@@ -173,3 +173,65 @@ def q58_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(16).alias("out_h"),
         "checksum",
     )
+
+
+@query(
+    "q90_audio_energy",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    chars AS (
+      SELECT media_id,
+             ascii(unnest(regexp_extract_all(text, '.'))) AS s,
+             generate_subscripts(regexp_extract_all(text, '.'), 1) AS pos
+      FROM a
+    ),
+    fr AS (
+      SELECT media_id, (pos - 1) // 256 AS frame_idx,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s * s) AS BIGINT) AS s2
+      FROM chars GROUP BY media_id, (pos - 1) // 256
+    ),
+    r AS (
+      SELECT media_id, frame_idx, sqrt(CAST(s2 AS DOUBLE) / n) AS rms FROM fr
+    ),
+    r2 AS (SELECT *, MAX(rms) OVER (PARTITION BY media_id) AS maxr FROM r)
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ROUND(MAX(rms), 6) AS peak_rms,
+           MIN(CASE WHEN rms = maxr THEN frame_idx END) AS peak_frame,
+           ROUND(CAST(SUM(CAST(ROUND(rms, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_rms
+    FROM r2 GROUP BY media_id
+    """,
+)
+def q90_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: per-frame RMS energy over 256-sample
+    PCM frames (uint8 view of the payload), summarized per media as
+    frame count, peak frame (min index on ties), peak and mean RMS.
+    The Python stage (multimodal.audio_frame_stats) emits only exact
+    integer sums, Arrow-batched, after a JVM-side kind prefilter — RMS
+    math happens as deterministic JVM expressions, and the mean
+    accumulates per-row-rounded in DECIMAL. One shuffle on media_id
+    (window + final agg are co-partitioned)."""
+    from ..multimodal import audio_frame_stats
+
+    media = synth_media(_docs(spark, sf_dir)).filter(F.col("kind") == "audio")
+    frames = audio_frame_stats(media, frame_len=256)
+    rms = F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples"))
+    r = frames.select("media_id", "frame_idx", rms.alias("rms"))
+    from pyspark.sql import Window as W
+
+    r2 = r.withColumn("maxr", F.max("rms").over(W.partitionBy("media_id")))
+    return r2.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.max("rms"), 6).alias("peak_rms"),
+        F.min(F.when(F.col("rms") == F.col("maxr"), F.col("frame_idx"))).alias(
+            "peak_frame"
+        ),
+        F.round(
+            F.sum(F.round(F.col("rms"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_rms"),
+    )

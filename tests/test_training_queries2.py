@@ -184,3 +184,35 @@ def test_hard_negatives_cross_label_and_truly_hardest(spark, sf_dir):
         )
         assert abs(best[0] - r["cos_sim"]) < 2e-6
         assert -best[1] == r["neighbor_id"] or abs(best[0] - r["cos_sim"]) < 2e-6
+
+
+def test_audio_frame_stats_pinned(spark):
+    """256-sample framing over a known payload: exact integer sums and
+    the short final frame."""
+    from flightdb_spark.multimodal import audio_frame_stats
+
+    payload = bytes([2] * 256 + [4] * 100)  # 1 full frame + 100-sample tail
+    df = spark.createDataFrame([(1, payload)], "media_id long, blob binary")
+    rows = {r["frame_idx"]: r for r in audio_frame_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["n_samples"], rows[0]["sum_sq"]) == (256, 256 * 4)
+    assert (rows[1]["n_samples"], rows[1]["sum_sq"]) == (100, 100 * 16)
+
+
+def test_audio_energy_peak_is_true_max(spark, sf_dir):
+    """peak_rms is the max over the recomputed per-frame RMS stream."""
+    import math
+
+    from flightdb_spark.multimodal import audio_frame_stats, synth_media
+    from flightdb_spark.queries.multimodal import _docs
+
+    media = synth_media(_docs(spark, sf_dir)).filter(F.col("kind") == "audio")
+    frames = audio_frame_stats(media).collect()
+    best = {}
+    for r in frames:
+        v = math.sqrt(r["sum_sq"] / r["n_samples"])
+        best[r["media_id"]] = max(best.get(r["media_id"], 0.0), v)
+    out = REGISTRY["q90_audio_energy"].fn(spark, sf_dir).collect()
+    assert len(out) == len(best)
+    for r in out:
+        assert abs(r["peak_rms"] - round(best[r["media_id"]], 6)) < 1e-9
