@@ -183,6 +183,47 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+def dup_span_fraction(
+    docs: DataFrame, *, span_n: int = 5, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup, dup_frac): fraction of each doc's
+    ``span_n``-token spans that occur more than once anywhere in the
+    corpus (intra- or inter-document) — the hashed-n-gram approximation
+    of exact-substring dedup (Lee et al. 2021). Used by registry query
+    q81 and the pipeline span gate; one definition so they cannot
+    drift. Two shuffles (gram hash, doc id), no n² anywhere."""
+    toks_expr = (
+        f"filter(split(trim(regexp_replace(lower({text_col}), "
+        f"'[^a-z0-9 ]', ' ')), ' '), x -> x != '')"
+    )
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.expr(toks_expr).alias("w"))
+        # guard: Spark's sequence(1, 0) is DESCENDING, not empty
+        .filter(F.size("w") >= span_n)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {span_n - 1}), "
+                f"i -> md5(concat_ws(' ', slice(w, i, {span_n}))))"
+            )
+        ).alias("g"),
+    )
+    cnts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        grams.join(cnts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup"),
+            F.round(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
 def fingerprint_col(text_col: str = "text") -> F.Column:
     """Content fingerprint: md5 of lowercase/punct-normalized text
     (the exact-dedup key of queries q28/q29)."""

@@ -6,6 +6,7 @@ real 100 TB pre-training data build runs them.
       -> exact dedup         (one shuffle on the content fingerprint)
       -> near-dup resolution (MinHash -> LSH pairs -> components;
                               keep each cluster's canonical doc)
+      -> span gate           (repeated 5-gram span fraction, q81)
       -> fluency gate        (corpus bigram LM, drop the worst tail)
       -> language mix        (deterministic hash-threshold sampling)
       -> split assignment    (hash-stable train/val/test column)
@@ -37,6 +38,7 @@ class PipelineConfig:
         ("es", "4000"), ("zh", "4000"),
     )  # 4-hex-digit keep thresholds on md5(doc_id)
     min_avg_logp: float = -12.0  # bigram-LM fluency floor (q69 semantics)
+    max_dup_span_frac: float = 0.5  # span-dedup gate (q81 semantics)
     stage_counts: dict = field(default_factory=dict)  # filled by run()
 
 
@@ -78,6 +80,16 @@ def near_dedup(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     clusters = textdedup.dedup_clusters(pairs)
     losers = clusters.filter(~F.col("is_canonical")).select("doc_id")
     return docs.join(F.broadcast(losers), "doc_id", "anti")
+
+
+def span_gate(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Drop docs dominated by corpus-repeated 5-token spans (the q81
+    operator as a gate — catches boilerplate-heavy docs that survive
+    doc-level near-dedup because no single other doc matches them).
+    Only the reject set crosses back, as a broadcast anti."""
+    frac = textdedup.dup_span_fraction(docs)
+    bad = frac.filter(F.col("dup_frac") > cfg.max_dup_span_frac).select("doc_id")
+    return docs.join(F.broadcast(bad), "doc_id", "anti")
 
 
 def fluency_gate(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -123,6 +135,7 @@ def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     # LM): each later stage count and the returned frame would otherwise
     # re-execute the full upstream lineage once per action.
     stages.append(("near_dedup", near_dedup(stages[-1][1], cfg).localCheckpoint()))
+    stages.append(("spans", span_gate(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("fluency", fluency_gate(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("mix", language_mix(stages[-1][1], cfg)))
     stages.append(("split", split_assignment(stages[-1][1])))

@@ -90,33 +90,12 @@ def q81_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark-native form of suffix-array substring dedup: one shuffle
     to count gram hashes (map-side partial agg collapses the heavy
     hitters), an equi-join back on the gram hash, one shuffle to
-    re-aggregate per doc. No driver state, no n² anywhere."""
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(_TOKS_SPARK).alias("w"))
-        # guard: Spark's sequence(1, 0) is DESCENDING, not empty
-        .filter(F.size("w") >= SPAN_N)
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {SPAN_N - 1}), "
-                f"i -> md5(concat_ws(' ', slice(w, i, {SPAN_N}))))"
-            )
-        ).alias("g"),
-    )
-    cnts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
-    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
-    return (
-        grams.join(cnts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(dup).alias("n_dup"),
-            F.round(F.sum(dup) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("dup_frac"),
-        )
-    )
+    re-aggregate per doc. No driver state, no n² anywhere.
+    Implementation shared with the pipeline span gate:
+    operators/textdedup.py::dup_span_fraction."""
+    from ..operators.textdedup import dup_span_fraction
+
+    return dup_span_fraction(_docs(spark, sf_dir), span_n=SPAN_N)
 
 
 # --- q82: BPE merge-candidate pair counts ------------------------------------------

@@ -21,7 +21,7 @@ def test_pipeline_end_to_end(spark):
     # monotone shrink, nothing degenerate
     assert (
         c["raw"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"]
-        >= c["fluency"] >= c["mix"] == c["split"]
+        >= c["spans"] >= c["fluency"] >= c["mix"] == c["split"]
     )
     assert c["mix"] > 0
     # survivors are real docs with intact columns + the split assignment
