@@ -352,8 +352,7 @@ def _pr_oracle() -> str:
     chain = ",\n    ".join(iters)
     return f"""
     WITH e0 AS (
-      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM lineitem
     ),
     edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
@@ -363,9 +362,15 @@ def _pr_oracle() -> str:
     pr0 AS (
       SELECT src AS node, CAST({PR_TOTAL} AS BIGINT) // nn.n AS pr FROM deg, nn
     ),
-    {chain}
-    SELECT node, CAST(pr AS BIGINT) AS rank_mass FROM pr{PR_ITERS}
-    ORDER BY rank_mass DESC, node LIMIT {PR_TOP}
+    {chain},
+    top AS (
+      SELECT node, CAST(pr AS BIGINT) AS rank_mass FROM pr{PR_ITERS}
+      ORDER BY rank_mass DESC, node LIMIT {PR_TOP}
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           rank_mass
+    FROM top
     """
 
 
@@ -383,16 +388,20 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (partial per-partition top-k, no global
     sort)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # integer node ids (even = part, odd = supplier): shuffles and
+    # aggregates carry 8-byte keys instead of strings; the display
+    # label is reconstructed for the final top-20 only
     e0 = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct().localCheckpoint()
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # materialize the weighted edge list once: every iteration joins
-    # against it, and without truncation each round would re-derive the
-    # whole distinct+degree lineage from the lineitem scan (on a
-    # cluster use a reliable checkpoint dir, as in textdedup)
+    # materialize the graph frames once: degrees and the weighted edge
+    # list feed EVERY iteration (and nn/pr0), and without truncation
+    # each round re-derives the whole distinct lineage from the
+    # lineitem scan (on a cluster use a reliable checkpoint dir, as in
+    # textdedup). deg is nodes-sized — cheap to pin.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     ew = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     nn = deg.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
     pr = (
@@ -420,11 +429,16 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return (
+    top = (
         pr.select("node", F.col("pr").alias("rank_mass"))
         .orderBy(F.desc("rank_mass"), F.asc("node"))
         .limit(PR_TOP)
     )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("node div 2").cast("string")))
+    return top.select(label.alias("node"), "rank_mass")
 
 
 # --- q87: deterministic shard assignment -------------------------------------------
