@@ -41,6 +41,7 @@ _MODULES = [
     "multimodal",
     "extras",
     "training",
+    "simjoin",
 ]
 
 

@@ -1,0 +1,261 @@
+"""Similarity joins, time-series resampling, graph counting (q91-q93).
+
+- q91 prefix-filtered exact Jaccard join (PPJoin-style, Xiao et al.):
+  the EXACT alternative to the LSH chain (q31/q48) — no recall loss.
+  Candidates come from an equi-join on shingle prefixes under a global
+  rarest-first ordering; the classic theorem (prefix length
+  |d| - ceil(t*|d|) + 1 under any fixed global order) guarantees no
+  pair above the threshold is missed, so the oracle can be the plain
+  all-pairs definition.
+- q92 time-series resample + forward fill: the hourly-grid gap-filling
+  join every metrics pipeline runs, built on the generic as-of
+  operator (operators/asof.py), DuckDB native ASOF LEFT JOIN oracle.
+- q93 triangle counting over the co-purchase graph (parts sharing an
+  order): the canonical two-equi-join triangle enumeration on oriented
+  edges (a<b<c), all-integer and exactly SQL-expressible.
+
+Thresholds compare as exact integers (10*inter >= 7*union for t=0.7),
+never as float ratios, so pair membership cannot drift by an ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import ensure_parallelism, load_table
+from . import query
+from .textops import _SHINGLES_DUCK, _SHINGLES_SPARK
+
+# --- q91: prefix-filtered exact Jaccard self-join ----------------------------------
+J_NUM, J_DEN = 7, 10  # threshold t = 0.7 as an exact rational
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+    )
+
+
+@query(
+    "q91_prefix_jaccard_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.w, b.w)) AS inter,
+             len(a.w) AS la, len(b.w) AS lb
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE len(a.w) > 0 AND len(b.w) > 0
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           ROUND(inter * 1.0 / (la + lb - inter), 6) AS jaccard
+    FROM p WHERE {J_DEN} * inter >= {J_NUM} * (la + lb - inter)
+    """,
+)
+def q91_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 self-join over 3-gram shingle sets via
+    prefix filtering: order every doc's shingles rarest-first (global
+    (freq, shingle) order), keep only the first |d| - ceil(0.7|d|) + 1
+    as the prefix, and generate candidates from an equi-join on prefix
+    shingles — two docs whose prefixes are disjoint provably cannot
+    reach the threshold, so this finds EXACTLY the all-pairs answer
+    (which is what the oracle computes) without LSH's recall loss or
+    the n² pair join. Verification joins each candidate pair back
+    through the full shingle sets (bounded by candidates x doc size).
+    Shuffles: shingle freq, per-doc window, prefix equi-join, pair
+    re-aggregate — all on natural keys."""
+    toks = _shingle_rows(spark, sf_dir)
+    freq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    wdoc = W.partitionBy("doc_id")
+    ranked = (
+        toks.join(freq, "sh")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "rk",
+            F.row_number().over(wdoc.orderBy(F.asc("f"), F.asc("sh"))),
+        )
+    )
+    # prefix length |d| - ceil(t*|d|) + 1, all-integer: ceil(7d/10)
+    plen = F.col("sz") - F.expr(f"({J_NUM} * sz + {J_DEN} - 1) div {J_DEN}") + 1
+    prefix = ranked.filter(F.col("rk") <= plen).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("la")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("lb")), "doc_b")
+        .withColumn("uni", F.col("la") + F.col("lb") - F.col("inter"))
+        .filter(J_DEN * F.col("inter") >= J_NUM * F.col("uni"))
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.round(F.col("inter") * F.lit(1.0) / F.col("uni"), 6).alias("jaccard"),
+    )
+
+
+# --- q92: hourly resample + forward fill -------------------------------------------
+RESAMPLE_USERS = 15
+
+
+@query(
+    "q92_resample_ffill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS _rn
+      FROM events WHERE user_id < {RESAMPLE_USERS}
+    ),
+    e1 AS (SELECT user_id, ts, value FROM ev WHERE _rn = 1),
+    b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+      FROM e1 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS grid_ts
+      FROM b
+    )
+    SELECT g.user_id, g.grid_ts, e.ts AS last_event_ts,
+           ROUND(e.value, 6) AS last_value
+    FROM grid g ASOF LEFT JOIN e1 e
+      ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+    """,
+)
+def q92_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's event stream with forward fill:
+    build the per-user hour grid (sequence explode from a bounded
+    per-user min/max aggregate — no driver loop), then backward as-of
+    join the last event at or before each grid point (operators/
+    asof.py: union + one shuffle on user_id, never a range join).
+    Same-timestamp ties pre-collapse to the max event_id row so the
+    fill is deterministic. Grid cardinality = users x hours — output-
+    sized, not event-sized."""
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < RESAMPLE_USERS
+    )
+    dedup = (
+        ev.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    bounds = dedup.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"), F.max("ts").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(mn, mx, interval 1 hour)")
+        ).alias("grid_ts"),
+    )
+    joined = asof_join_backward(
+        grid,
+        dedup,
+        on="user_id",
+        left_ts="grid_ts",
+        right_ts="ts",
+        value_cols=("value",),
+    )
+    return joined.select(
+        "user_id",
+        "grid_ts",
+        F.col("ts_asof").alias("last_event_ts"),
+        F.round("value_asof", 6).alias("last_value"),
+    )
+
+
+# --- q93: triangle counting over the co-purchase graph -----------------------------
+@query(
+    "q93_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(DISTINCT x) AS BIGINT)
+            FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e)) AS n_nodes
+    FROM tri
+    """,
+)
+def q93_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts co-occurring in
+    an order): oriented edges a<b, wedges from e1.b = e2.a (so
+    a<b<c), closed by an equi-join probing edge (a, c). Every join is
+    hash-equi on a node id; per-order pair fan-out is bounded by order
+    size, and heavy-degree nodes ride AQE skew splitting. The two-join
+    enumeration counts each triangle exactly once — the canonical
+    distributed triangle algorithm."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = e.select(F.explode(F.array("a", "b")).alias("x")).agg(
+        F.countDistinct("x").alias("n_nodes")
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.withColumn("_k", F.lit(1))
+        .join(edges_n.withColumn("_k", F.lit(1)), "_k")
+        .join(stats.withColumn("_k", F.lit(1)), "_k")
+        .select("n_triangles", "n_edges", "n_nodes")
+    )

@@ -1,0 +1,90 @@
+"""Semantic checks for q91-q93 beyond oracle parity: brute-force
+recomputation of each result with independent (Python/set) logic."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flightdb_spark.queries import load_registry
+from flightdb_spark.queries.textops import _SHINGLES_SPARK
+from flightdb_spark.tables import load_table
+
+REGISTRY = load_registry()
+
+
+def test_prefix_jaccard_matches_bruteforce(spark, sf_dir):
+    """The prefix-filtered join must find EXACTLY the all-pairs answer
+    (no-false-negative theorem) — recompute with Python sets."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in docs if r["sh"]}
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and 10 * inter >= 7 * uni:
+                expect[(a, b)] = (inter, round(inter / uni, 6))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+        for r in REGISTRY["q91_prefix_jaccard_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # the corpus has planted near-dups
+
+
+def test_resample_grid_and_ffill(spark, sf_dir):
+    out = REGISTRY["q92_resample_ffill"].fn(spark, sf_dir).cache()
+    rows = out.filter(F.col("user_id") == 3).orderBy("grid_ts").collect()
+    assert len(rows) > 1
+    # hourly grid, no gaps
+    for prev, cur in zip(rows, rows[1:]):
+        assert (cur["grid_ts"] - prev["grid_ts"]) == dt.timedelta(hours=1)
+    # forward fill really is the last event at or before the grid point
+    ev = sorted(
+        (r["ts"], r["event_id"], r["value"])
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 3)
+        .collect()
+    )
+    for r in rows:
+        prior = [e for e in ev if e[0] <= r["grid_ts"]]
+        if not prior:
+            assert r["last_value"] is None
+            continue
+        last_ts = prior[-1][0]
+        # ties on ts collapse to the max event_id row
+        winner = max(e for e in prior if e[0] == last_ts)
+        assert r["last_event_ts"] == last_ts
+        assert abs(r["last_value"] - round(winner[2], 6)) < 1e-9
+    out.unpersist()
+
+
+def test_triangle_count_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    n_tri = sum(
+        1 for a, b in edges for c in (adj[a] & adj[b]) if c > b
+    )
+    row = REGISTRY["q93_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert row["n_triangles"] == n_tri
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
