@@ -48,10 +48,15 @@ HEADLINE = [
     "q61_tfidf_topterms",
     "q64_split_assignment",
     "q67_label_centroids",
-    # round 5: span-level dedup, rolling time frames, iterative graph
+    # round 5: span-level dedup, rolling time frames, iterative graph,
+    # audio features, exact similarity join, resample, triangles
     "q81_dup_spans",
     "q85_rolling_revenue",
     "q86_pagerank",
+    "q90_audio_energy",
+    "q91_prefix_jaccard_join",
+    "q92_resample_ffill",
+    "q93_triangle_count",
 ]
 
 
