@@ -355,3 +355,114 @@ def q75_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("value", "user_id"), 2).alias("covar_vu"),
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
     )
+
+
+@query(
+    "q94_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                 AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q94_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table join — revenue per
+    nation from line items where the supplier and customer share the
+    nation, one region, one order year. The declarative form lets
+    Catalyst order the joins: the date filter pushes into the orders
+    scan, nation/region (and at this SF customer/supplier) broadcast,
+    and the only big-big join (orders⋈lineitem) shuffles on the order
+    key both sides already share. Revenue accumulates per-row-rounded
+    in DECIMAL (merge-order-free, engine-identical)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(rev.cast("decimal(38,4)")).cast("double"), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q95_winsorize",
+    oracle="""
+    WITH thr AS (
+      SELECT event_type,
+             ROUND(PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY value), 6) AS lo,
+             ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, t.lo), t.hi), 9)
+                 AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+    FROM events e JOIN thr t USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q95_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each event's value to its group's
+    [p05, p95] band and report clip counts + the winsorized mean — the
+    numeric outlier-taming twin of q84's detection. Exact percentiles
+    (rounded to 6 so both engines agree at the boundary) come from one
+    bounded aggregate broadcast back over the event stream; the
+    clipped mean accumulates per-row-rounded in DECIMAL. At 100 TB
+    swap the threshold pass to approx_percentile (q56's sketch shape)
+    — the clip pass is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clip_lo"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clip_hi"
+            ),
+            F.round(
+                F.sum(F.round(clipped, 9).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+        )
+    )
