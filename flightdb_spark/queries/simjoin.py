@@ -259,3 +259,120 @@ def q93_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stats.withColumn("_k", F.lit(1)), "_k")
         .select("n_triangles", "n_edges", "n_nodes")
     )
+
+
+# --- q96: interval overlap join via day-bucket explosion ---------------------------
+OUTAGE_MIN_ERRORS = 75
+
+
+@query(
+    "q96_interval_bucket_join",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, event_type, MIN(ts) AS a_start, MAX(ts) AS a_end
+      FROM events GROUP BY user_id, event_type
+    ),
+    outages AS (
+      SELECT d AS w_start, d + INTERVAL 1 DAY AS w_end
+      FROM (
+        SELECT date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1
+      ) WHERE n >= {OUTAGE_MIN_ERRORS}
+    )
+    SELECT s.user_id, s.event_type, o.w_start,
+           CAST(LEAST(epoch_us(s.a_end), epoch_us(o.w_end))
+                - GREATEST(epoch_us(s.a_start), epoch_us(o.w_start))
+                AS BIGINT) AS overlap_us
+    FROM spans s JOIN outages o
+      ON s.a_start < o.w_end AND o.w_start <= s.a_end
+    """,
+)
+def q96_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join — activity spans vs high-error outage
+    days — by DAY-BUCKET EXPLOSION: each span explodes into the days
+    it covers and the join becomes a hash equi-join on the day key.
+    The oracle states the same semantics as the theta range join; at
+    100 TB the theta join is a nested-loop disaster while the bucketed
+    form shuffles on the day and costs span-length x windows-per-day.
+    Overlap durations are integer microseconds (epoch_us both engines)
+    — no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("a_start"), F.max("ts").alias("a_end")
+    )
+    outages = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= OUTAGE_MIN_ERRORS)
+        .select("w_start", F.expr("w_start + interval 1 day").alias("w_end"))
+    )
+    exploded = spans.select(
+        "user_id",
+        "event_type",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('day', a_start), date_trunc('day', a_end), "
+                "interval 1 day)"
+            )
+        ).alias("w_start"),
+    )
+    joined = exploded.join(outages, "w_start").filter(
+        (F.col("a_start") < F.col("w_end")) & (F.col("w_start") <= F.col("a_end"))
+    )
+    overlap = F.least(
+        F.unix_micros("a_end"), F.unix_micros("w_end")
+    ) - F.greatest(F.unix_micros("a_start"), F.unix_micros("w_start"))
+    return joined.select(
+        "user_id", "event_type", "w_start", overlap.alias("overlap_us")
+    )
+
+
+# --- q97: deterministic weighted sampling ------------------------------------------
+SAMPLE_PER_LANG = 20
+
+
+@query(
+    "q97_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   * 1.0 / n_chars, 9) AS priority
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, priority,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY priority, doc_id) AS rk
+      FROM pri
+    )
+    SELECT doc_id, lang, n_chars, priority, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_PER_LANG}
+    """,
+)
+def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted sampling: top-{SAMPLE_PER_LANG} docs
+    per language by hash-priority / weight (longer docs -> smaller
+    priority -> more likely sampled), the reproducible stand-in for
+    weighted reservoir sampling — same sample on any engine, any run,
+    any partitioning. Priority is one double division rounded to 9
+    with a doc_id tie-break; the per-lang rank is a WindowGroupLimit
+    (partial top-k before the one shuffle on lang)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"
+    )
+    pri = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(bucket * F.lit(1.0) / F.col("n_chars"), 9).alias("priority"),
+    )
+    w = W.partitionBy("lang").orderBy(F.asc("priority"), F.asc("doc_id"))
+    return (
+        pri.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= SAMPLE_PER_LANG)
+    )

@@ -114,3 +114,46 @@ def test_winsorize_clip_fractions(spark, sf_dir):
         assert 0.02 <= r["n_clip_lo"] / r["n"] <= 0.08
         assert 0.02 <= r["n_clip_hi"] / r["n"] <= 0.08
         assert r["mean_winsorized"] > 0
+
+
+def test_interval_bucket_join_matches_theta(spark, sf_dir):
+    """The day-bucketed equi-join finds exactly the theta-join pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("a_start"), F.max("ts").alias("a_end")
+    )
+    from flightdb_spark.queries.simjoin import OUTAGE_MIN_ERRORS
+
+    outages = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("w_start"))
+        .count()
+        .filter(F.col("count") >= OUTAGE_MIN_ERRORS)
+        .select("w_start", F.expr("w_start + interval 1 day").alias("w_end"))
+    )
+    theta = spans.join(
+        outages,
+        (F.col("a_start") < F.col("w_end")) & (F.col("w_start") <= F.col("a_end")),
+    )
+    expect = {
+        (r["user_id"], r["event_type"], r["w_start"]) for r in theta.collect()
+    }
+    out = REGISTRY["q96_interval_bucket_join"].fn(spark, sf_dir).collect()
+    got = {(r["user_id"], r["event_type"], r["w_start"]) for r in out}
+    assert got == expect
+    assert all(r["overlap_us"] >= 0 for r in out)
+
+
+def test_weighted_sample_reproducible_and_ranked(spark, sf_dir):
+    a = REGISTRY["q97_weighted_sample"].fn(spark, sf_dir).collect()
+    b = REGISTRY["q97_weighted_sample"].fn(spark, sf_dir).collect()
+    key = lambda r: (r["lang"], r["rk"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reshuffle-stable
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        pris = [(r["priority"], r["doc_id"]) for r in rows]
+        assert pris == sorted(pris)
