@@ -1,4 +1,4 @@
-"""Similarity joins, time-series resampling, graph counting (q91-q93).
+"""Similarity joins, time series, graph, sampling (q91-q93, q96-q97).
 
 - q91 prefix-filtered exact Jaccard join (PPJoin-style, Xiao et al.):
   the EXACT alternative to the LSH chain (q31/q48) — no recall loss.

@@ -448,3 +448,100 @@ def q80_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("converted_value"),
         )
     )
+
+
+@query(
+    "q98_funnel3",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+      SELECT user_id, ts AS b_ts FROM events WHERE event_type = 'purchase'
+    ),
+    s1 AS (
+      SELECT v.user_id, v.v_ts, c.c_ts
+      FROM views v
+      ASOF LEFT JOIN clicks c ON v.user_id = c.user_id AND v.v_ts <= c.c_ts
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.v_ts, s1.c_ts, b.b_ts
+      FROM s1
+      ASOF LEFT JOIN buys b ON s1.user_id = b.user_id AND s1.c_ts <= b.b_ts
+    ),
+    flags AS (
+      SELECT CAST(v_ts AS DATE) AS day,
+             CASE WHEN c_ts IS NOT NULL
+                   AND epoch_us(c_ts) - epoch_us(v_ts) <= 1800000000
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN c_ts IS NOT NULL
+                   AND epoch_us(c_ts) - epoch_us(v_ts) <= 1800000000
+                   AND b_ts IS NOT NULL
+                   AND epoch_us(b_ts) - epoch_us(c_ts) <= 1800000000
+                  THEN 1 ELSE 0 END AS f3
+      FROM s2
+    )
+    SELECT day,
+           COUNT(*) AS n_views,
+           CAST(SUM(f2) AS BIGINT) AS n_clicked,
+           CAST(SUM(f3) AS BIGINT) AS n_purchased,
+           ROUND(SUM(f3) * 1.0 / COUNT(*), 6) AS conversion
+    FROM flags GROUP BY day
+    """,
+)
+def q98_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order three-step funnel (view -> first click after it ->
+    first purchase after that click, each step within 30 min):
+    two chained forward as-of joins (operators/asof.py — union+window,
+    one shuffle on user_id each, never a range join), then a daily
+    aggregate. Step windows compare exact integer microseconds. The
+    product-analytics query every events pipeline runs; doubles as the
+    composition test of the as-of operator with itself."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("c_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("b_ts")
+    )
+    s1 = asof_join_forward(
+        views, clicks, on="user_id", left_ts="v_ts", right_ts="ts",
+        value_cols=("c_ts",),
+    ).select("user_id", "v_ts", F.col("c_ts_asof").alias("c_ts"))
+    s2 = asof_join_forward(
+        s1.withColumn("_l", F.coalesce("c_ts", F.lit("9999-01-01").cast("timestamp"))),
+        buys, on="user_id", left_ts="_l", right_ts="ts", value_cols=("b_ts",),
+    ).select("user_id", "v_ts", "c_ts", F.col("b_ts_asof").alias("b_ts"))
+    us = 1_800_000_000
+    f2 = F.when(
+        F.col("c_ts").isNotNull()
+        & (F.unix_micros("c_ts") - F.unix_micros("v_ts") <= us),
+        1,
+    ).otherwise(0)
+    f3 = F.when(
+        F.col("c_ts").isNotNull()
+        & (F.unix_micros("c_ts") - F.unix_micros("v_ts") <= us)
+        & F.col("b_ts").isNotNull()
+        & (F.unix_micros("b_ts") - F.unix_micros("c_ts") <= us),
+        1,
+    ).otherwise(0)
+    return (
+        s2.select(F.col("v_ts").cast("date").alias("day"), f2.alias("f2"), f3.alias("f3"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("f2").alias("n_clicked"),
+            F.sum("f3").alias("n_purchased"),
+            F.round(F.sum("f3") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "conversion"
+            ),
+        )
+    )

@@ -74,3 +74,68 @@ def compact(
         .parquet(out_dir)
     )
     return sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+
+
+def zorder_key(
+    lat_col: str = "lat", lon_col: str = "lon", bits: int = 12
+):
+    """Morton (Z-order) key for two geo columns: quantize each
+    coordinate to ``bits`` bits over its full range, then interleave
+    the bits. Sorting/range-partitioning by this key clusters rows
+    that are close in BOTH dimensions into the same files, so per-file
+    lat/lon min/max statistics prune two-dimensional query boxes —
+    a single-column sort only ever bounds one dimension. This is the
+    write-time layout for the geo operators (waypoint join q23,
+    restrictor bbox prefilter, trajectory grid q47): at 100 TB their
+    bbox prefilters become file-skipping instead of full scans.
+    Pure integer column arithmetic — engine-reproducible."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    qlat = F.least(
+        F.lit(top).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((F.col(lat_col) + 90.0) / 180.0 * top),
+        ),
+    )
+    qlon = F.least(
+        F.lit(top).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((F.col(lon_col) + 180.0) / 360.0 * top),
+        ),
+    )
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(qlat, i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(qlon, i).bitwiseAND(1), 2 * i)
+        )
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    out_path: str,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` range-partitioned and sorted by its Z-order key:
+    ``n_files`` files with disjoint Morton ranges, i.e. spatial tiles.
+    Range partitioning samples the key distribution, so skewed data
+    (all flights over one metro) still splits evenly."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_z", zorder_key(lat_col, lon_col, bits))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -153,3 +153,40 @@ def test_salted_broadcast_join_matches_plain(spark):
     for bad in ("right", "full", "outer"):
         with pytest.raises(ValueError):
             salted_broadcast_join(big, dim, "k", n_salts=4, how=bad)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """A narrow longitude band must touch far fewer z-ordered files
+    than lat-sorted files (which each span the full lon range)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from flightdb_spark.storage import zorder_write
+
+    pts = [
+        (i, -90.0 + 180.0 * ((i * 37) % 64) / 64, -180.0 + 360.0 * ((i * 53) % 64) / 64)
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+
+    zdir = str(tmp_path / "zorder")
+    ndir = str(tmp_path / "latsort")
+    zorder_write(df, zdir, n_files=16)
+    df.repartitionByRange(16, F.col("lat")).sortWithinPartitions("lat").write.parquet(ndir)
+
+    def files_touching(path, lo, hi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("lon").alias("mn"), F.max("lon").alias("mx"))
+            .collect()
+        )
+        assert len(per_file) >= 8
+        return sum(1 for r in per_file if r["mx"] >= lo and r["mn"] <= hi)
+
+    z_touched = files_touching(zdir, -10.0, 10.0)
+    n_touched = files_touching(ndir, -10.0, 10.0)
+    assert z_touched < n_touched  # two-dim clustering prunes; slab layout cannot
+    # and the z-ordered copy is lossless
+    assert spark.read.parquet(zdir).count() == 4096
