@@ -1281,3 +1281,174 @@ def q76_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.withColumn("token_id", rk.cast("long"))
         .filter(F.col("token_id") < 100)
     )
+
+
+# --- train/eval split leakage (cross-split near-dup) -------------------------------
+def _split_leakage_oracle() -> str:
+    mins = _minhash_mins_duck()
+    unions = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {s} AS band, minhash_{s} AS h FROM sigs"
+        for s in _MINHASH_SEEDS
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {mins} FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {unions}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < {textprep.TRAIN_CUT} THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < {textprep.VAL_CUT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    oriented AS (
+      SELECT CASE WHEN sa.split = 'train' THEN c.doc_a ELSE c.doc_b END AS train_doc,
+             CASE WHEN sa.split = 'train' THEN c.doc_b ELSE c.doc_a END AS eval_doc,
+             CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS eval_split
+      FROM cand c
+      JOIN sp sa ON sa.doc_id = c.doc_a
+      JOIN sp sb ON sb.doc_id = c.doc_b
+      WHERE (sa.split = 'train') <> (sb.split = 'train')
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT o.train_doc, o.eval_doc, o.eval_split, COUNT(*) AS inter
+      FROM oriented o
+      JOIN shingled s1 ON s1.doc_id = o.train_doc
+      JOIN shingled s2 ON s2.doc_id = o.eval_doc AND s2.sh = s1.sh
+      GROUP BY o.train_doc, o.eval_doc, o.eval_split
+    )
+    SELECT i.train_doc, i.eval_doc, i.eval_split,
+           CAST(i.inter AS BIGINT) AS inter,
+           ROUND(i.inter * 1.0 / (na.n + nb.n - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.train_doc
+    JOIN sizes nb ON nb.doc_id = i.eval_doc
+    WHERE 2 * i.inter >= (na.n + nb.n - i.inter)
+    """
+
+
+@query("q99_split_leakage", oracle=_split_leakage_oracle())
+def q99_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage detection: val/test docs that
+    near-duplicate a train doc (shingle-set Jaccard >= 0.5, integer
+    threshold compare) — the contamination every benchmark-honest
+    pipeline must check AFTER splitting, because hash splits separate
+    exact dup groups but not near-dups. Candidates come from the same
+    LSH band join as q31 (bucket key, never n²), filtered to
+    cross-split pairs, then verified through the full shingle sets
+    (bounded by candidates x doc size). Composes three tested
+    operators: the hash split (q64), LSH banding (q31), set-Jaccard
+    verification (q91's shape)."""
+    docs = _docs(spark, sf_dir)
+    shingled = textdedup.shingles(docs)
+    sh_dist = shingled.select("doc_id", "sh").distinct()
+    sigs = textdedup.minhash_signatures(shingled, seeds=tuple(_MINHASH_SEEDS))
+    bands = textdedup.lsh_bands(sigs, seeds=tuple(_MINHASH_SEEDS))
+    cand = textdedup.lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    sp = docs.select("doc_id", textprep.split_col().alias("split"))
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    oriented = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("train_doc"),
+            F.when(F.col("split_a") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("eval_doc"),
+            F.when(F.col("split_a") == "train", F.col("split_b"))
+            .otherwise(F.col("split_a"))
+            .alias("eval_split"),
+        )
+    )
+    sizes = sh_dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        oriented.join(
+            sh_dist.select(F.col("doc_id").alias("train_doc"), "sh"), "train_doc"
+        )
+        .join(
+            sh_dist.select(F.col("doc_id").alias("eval_doc"), "sh"),
+            ["eval_doc", "sh"],
+        )
+        .groupBy("train_doc", "eval_doc", "eval_split")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na")),
+            "train_doc",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("eval_doc"), F.col("n").alias("nb")),
+            "eval_doc",
+        )
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(2 * F.col("inter") >= F.col("uni"))
+    )
+    return out.select(
+        "train_doc",
+        "eval_doc",
+        "eval_split",
+        "inter",
+        F.round(F.col("inter") * F.lit(1.0) / F.col("uni"), 6).alias("jaccard"),
+    )
+
+
+# --- event transition matrix -------------------------------------------------------
+@query(
+    "q100_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """,
+)
+def q100_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() within each user's timeline (one shuffle on
+    user_id), pair counts, then row-normalized probabilities — the
+    behavioral-analytics summary and the sequence-model sanity check.
+    The normalizing window runs over the states² aggregate (25 rows),
+    not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(wseq).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wsrc = W.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wsrc), 6).alias("p"),
+    )

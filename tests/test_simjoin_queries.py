@@ -157,3 +157,28 @@ def test_weighted_sample_reproducible_and_ranked(spark, sf_dir):
         assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
         pris = [(r["priority"], r["doc_id"]) for r in rows]
         assert pris == sorted(pris)
+
+
+def test_split_leakage_orientation_and_threshold(spark, sf_dir):
+    from flightdb_spark.operators.textprep import split_col
+
+    out = REGISTRY["q99_split_leakage"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    splits = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split_col().alias("s")).collect()}
+    for r in out:
+        assert splits[r["train_doc"]] == "train"
+        assert splits[r["eval_doc"]] == r["eval_split"] != "train"
+        assert r["jaccard"] >= 0.5
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    rows = REGISTRY["q100_transition_matrix"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_src = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0
+        per_src[r["src"]] += r["p"]
+    assert len(per_src) == 5
+    for src, total in per_src.items():
+        assert abs(total - 1.0) < 1e-4
