@@ -57,6 +57,9 @@ HEADLINE = [
     "q91_prefix_jaccard_join",
     "q92_resample_ffill",
     "q93_triangle_count",
+    # round 5: multi-way dim join, cross-split leakage composite
+    "q94_local_supplier_volume",
+    "q99_split_leakage",
 ]
 
 
