@@ -444,3 +444,76 @@ def q67_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@query(
+    "q101_sim_histogram",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bb AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {band} AS band, {_band_bucket_duck(band)} AS bkt FROM e"
+          for band in range(B_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT CAST(FLOOR(ROUND(list_cosine_similarity(ea.v, eb.v), 6) * 20) AS BIGINT)
+               AS bin
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b
+    )
+    SELECT bin,
+           ROUND(bin / 20.0, 2) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY bin
+    """,
+)
+def q101_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histogram over the LSH candidate pairs (0.05
+    bins): the calibration curve you read before choosing a near-dup
+    threshold — a bimodal histogram's valley IS the threshold. Costs
+    one banded bucket join (q48's candidate economics) plus one
+    bounded aggregate; the bin edge floors a ROUNDED similarity so
+    both engines bin identically."""
+    e = _emb(spark, sf_dir).withColumn("nrm", F.expr(f"sqrt({_dot('v', 'v')})"))
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.expr(_band_bucket_spark(band)).cast("int").alias("bkt"),
+            )
+            for band in range(B_BANDS)
+        ]
+    )
+    bb = e.select("vec_id", F.explode(bands_expr).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
+    )
+    cand = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    cos = F.expr(f"({_dot('va', 'vb')})") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(F.floor(F.round(cos, 6) * 20).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("bin", F.round(F.col("bin") / 20.0, 2).alias("bin_lo"), "n_pairs")
+    )
