@@ -183,6 +183,20 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+# Normalized word tokens, one definition for BOTH engines (the regexp
+# collapse leaves runs of spaces -> filter the empty tokens). Everything
+# that tokenizes this way — dup_span_fraction, q81's oracle, q82 —
+# formats these, so implementation and oracle cannot drift.
+NORM_TOKENS_SPARK = (
+    "filter(split(trim(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ')), ' '), "
+    "x -> x != '')"
+)
+NORM_TOKENS_DUCK = (
+    "list_filter(string_split(trim(regexp_replace(lower({c}), '[^a-z0-9 ]', "
+    "' ', 'g')), ' '), x -> x <> '')"
+)
+
+
 def dup_span_fraction(
     docs: DataFrame, *, span_n: int = 5, text_col: str = "text",
     id_col: str = "doc_id",
@@ -193,10 +207,7 @@ def dup_span_fraction(
     of exact-substring dedup (Lee et al. 2021). Used by registry query
     q81 and the pipeline span gate; one definition so they cannot
     drift. Two shuffles (gram hash, doc id), no n² anywhere."""
-    toks_expr = (
-        f"filter(split(trim(regexp_replace(lower({text_col}), "
-        f"'[^a-z0-9 ]', ' ')), ' '), x -> x != '')"
-    )
+    toks_expr = NORM_TOKENS_SPARK.format(c=text_col)
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), F.expr(toks_expr).alias("w"))
         # guard: Spark's sequence(1, 0) is DESCENDING, not empty

@@ -213,7 +213,11 @@ def q90_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums, Arrow-batched, after a JVM-side kind prefilter — RMS
     math happens as deterministic JVM expressions, and the mean
     accumulates per-row-rounded in DECIMAL. One shuffle on media_id
-    (window + final agg are co-partitioned)."""
+    (window + final agg are co-partitioned). NOTE: the oracle rebuilds
+    the byte stream from characters (ascii() per regexp char), which
+    equals the Spark side's raw-byte framing only because this corpus
+    is pure single-byte ASCII without newlines (module docstring); the
+    Spark implementation itself is byte-accurate for any payload."""
     from ..multimodal import audio_frame_stats
 
     media = synth_media(_docs(spark, sf_dir)).filter(F.col("kind") == "audio")

@@ -71,7 +71,10 @@ def q91_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the full shingle sets (bounded by candidates x doc size).
     Shuffles: shingle freq, per-doc window, prefix equi-join, pair
     re-aggregate — all on natural keys."""
-    toks = _shingle_rows(spark, sf_dir)
+    # toks feeds five consumers (freq, rank, both verification sides,
+    # sizes); materialize once instead of re-running the scan+explode+
+    # distinct lineage per consumer (same discipline as q86/q93)
+    toks = _shingle_rows(spark, sf_dir).localCheckpoint()
     freq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     wdoc = W.partitionBy("doc_id")
     ranked = (

@@ -40,16 +40,12 @@ from pyspark.sql import functions as F
 from ..tables import ensure_parallelism, load_table
 from . import query
 
-# Normalized word tokens, identical construction in both engines.
-# (regexp collapse leaves runs of spaces -> filter the empty tokens.)
-_TOKS_SPARK = (
-    "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')), ' '), "
-    "x -> x != '')"
-)
-_TOKS_DUCK = (
-    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', "
-    "' ', 'g')), ' '), x -> x <> '')"
-)
+from ..operators.textdedup import NORM_TOKENS_DUCK, NORM_TOKENS_SPARK
+
+# Normalized word tokens, shared single definition (operators/textdedup.py)
+# so q81's oracle, the pipeline span gate, and q82 cannot drift apart.
+_TOKS_SPARK = NORM_TOKENS_SPARK.format(c="text")
+_TOKS_DUCK = NORM_TOKENS_DUCK.format(c="text")
 
 SPAN_N = 5  # q81 span width in tokens
 
@@ -239,11 +235,13 @@ Z_CUT = 3.0
     ),
     z AS (
       SELECT e.event_id, e.event_type, e.value,
-             (e.value - s.mean) / sqrt(s.msq - s.mean * s.mean) AS zval
+             (e.value - s.mean)
+               / sqrt(GREATEST(s.msq - s.mean * s.mean, 0)) AS zval,
+             sqrt(GREATEST(s.msq - s.mean * s.mean, 0)) AS sd
       FROM events e JOIN stats s USING (event_type)
     )
     SELECT event_id, event_type, ROUND(value, 6) AS value, ROUND(zval, 4) AS z
-    FROM z WHERE abs(zval) > {Z_CUT}
+    FROM z WHERE sd > 0 AND abs(zval) > {Z_CUT}
     """,
 )
 def q84_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,13 +265,16 @@ def q84_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("msq"),
     )
-    z = (F.col("value") - F.col("mean")) / F.sqrt(
-        F.col("msq") - F.col("mean") * F.col("mean")
-    )
+    # var can land a hair below 0 for a constant-valued group (double
+    # cancellation); clamp so sqrt never yields NaN (Spark) / raises
+    # (DuckDB), and drop zero-variance groups (z undefined there)
+    sd = F.sqrt(F.greatest(F.col("msq") - F.col("mean") * F.col("mean"), F.lit(0.0)))
+    z = (F.col("value") - F.col("mean")) / sd
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .withColumn("sd", sd)
         .withColumn("zval", z)
-        .filter(F.abs(F.col("zval")) > Z_CUT)
+        .filter((F.col("sd") > 0) & (F.abs(F.col("zval")) > Z_CUT))
         .select(
             "event_id",
             "event_type",
@@ -291,14 +292,15 @@ def q84_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey
              ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS revenue_7d
     FROM orders
     """,
 )
 def q85_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-day rolling revenue per customer: a time-range window frame
-    (RANGE BETWEEN 7 PRECEDING over integer order-day). One shuffle on
+    """7-day rolling revenue per customer — the order day plus the six
+    preceding days (RANGE BETWEEN 6 PRECEDING over integer order-day,
+    i.e. pandas rolling('7D') semantics). One shuffle on
     the partition key; the frame is bounded so state per key is small.
     The sum accumulates in DECIMAL(18,2) — exact, order-free — and the
     peer-inclusive RANGE frame makes same-day ties well-defined."""
@@ -307,7 +309,7 @@ def q85_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("o_custkey")
         .orderBy(day.alias("day_idx"))
-        .rangeBetween(-7, W.currentRow)
+        .rangeBetween(-6, W.currentRow)
     )
     return o.select(
         "o_orderkey",

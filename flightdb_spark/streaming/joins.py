@@ -39,6 +39,12 @@ def attribute_within_horizon(
 
     State bound: each side holds ``watermark + horizon`` of data per
     key, independent of total stream length."""
+    if how not in ("inner", "leftOuter", "left_outer", "left"):
+        raise ValueError(
+            f"how={how!r} unsupported: unmatched LEAD rows would emit with a "
+            "NULL key/follow_id — only 'inner' and 'leftOuter' (left = "
+            "follows) are meaningful for attribution"
+        )
     lead = (
         leads.withWatermark(ts_col, watermark)
         .select(

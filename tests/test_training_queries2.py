@@ -105,7 +105,7 @@ def test_rolling_revenue_matches_python_recount(spark, sf_dir):
             sum(
                 float(o["p"])
                 for o in orders
-                if 0 <= (me["d"] - o["d"]).days <= 7
+                if 0 <= (me["d"] - o["d"]).days <= 6
             ),
             2,
         )
