@@ -71,15 +71,9 @@ def split_col():
 
 
 # --- corpus-trained bigram LM score (q69) ------------------------------------------
-def bigram_avg_logp(docs: DataFrame, *, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_bigrams, avg_logp): add-one smoothed log P(w2|w1)
-    averaged per doc, with the LM trained on ``docs`` itself. Per-bigram
-    logp rounds to 6 before an exact DECIMAL accumulation, so the value
-    is independent of partial-agg merge order (double sums are not
-    associative) and identical in any engine."""
+def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tk = F.split(text_col, " ")
-    bigrams = (
+    return (
         docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
         .filter(F.size("tk") >= 2)
         .select(
@@ -93,18 +87,36 @@ def bigram_avg_logp(docs: DataFrame, *, text_col: str = "text",
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bigrams.agg(F.countDistinct("w1").alias("v")).withColumn("_k", F.lit(1))
+
+
+def bigram_avg_logp(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", train: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp): add-one smoothed log P(w2|w1)
+    averaged per doc. The LM trains on ``train`` (default: ``docs``
+    itself — q69 / the pipeline fluency gate); pass a different corpus
+    for held-out scoring (q102): bigrams absent from training back off
+    to the +1 smoothing mass via LEFT joins (c12/c1 -> 0). Per-bigram
+    logp rounds to 6 before an exact DECIMAL accumulation, so the value
+    is independent of partial-agg merge order (double sums are not
+    associative) and identical in any engine."""
+    score_bg = _bigrams(docs, text_col, id_col)
+    train_bg = score_bg if train is None else _bigrams(train, text_col, id_col)
+    bg_counts = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug_counts = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train_bg.agg(F.countDistinct("w1").alias("v")).withColumn("_k", F.lit(1))
     scored = (
-        bigrams.join(bg_counts, ["w1", "w2"])
-        .join(ug_counts, ["w1"])
+        score_bg.join(bg_counts, ["w1", "w2"], "left")
+        .join(ug_counts, ["w1"], "left")
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(vocab), "_k")
         .select(
             "doc_id",
             F.round(
-                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                ),
+                6,
             ).alias("logp"),
         )
     )

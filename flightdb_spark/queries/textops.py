@@ -1452,3 +1452,59 @@ def q100_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+# --- held-out LM scoring (split-shift check) ---------------------------------------
+@query(
+    "q102_heldout_lm",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < {textprep.TRAIN_CUT} THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < {textprep.VAL_CUT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, split, string_split(text, ' ') AS tk FROM sp),
+    bigrams AS (
+      SELECT doc_id, split, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2
+    ),
+    train_bg AS (SELECT w1, w2 FROM bigrams WHERE split = 'train'),
+    eval_bg AS (SELECT doc_id, split, w1, w2 FROM bigrams WHERE split <> 'train'),
+    bg_counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM train_bg GROUP BY w1, w2),
+    ug_counts AS (SELECT w1, COUNT(*) AS c1 FROM train_bg GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM train_bg),
+    scored AS (
+      SELECT e.doc_id, e.split,
+             ROUND(ln((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + v)), 6) AS logp
+      FROM eval_bg e
+      LEFT JOIN bg_counts USING (w1, w2)
+      LEFT JOIN ug_counts USING (w1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, split,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logp
+    FROM scored GROUP BY doc_id, split
+    """,
+)
+def q102_heldout_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring: train the add-one bigram LM on the train
+    split only, score every val/test doc — the split-shift /
+    generalization sanity check q69 (trained-on-self) cannot give.
+    Unseen bigrams back off to the +1 smoothing mass via LEFT joins.
+    Same shuffle shape as q69 plus the split predicate pushed into
+    each side's scan. Shared implementation: operators/textprep.py
+    bigram_avg_logp(train=...)."""
+    docs = _docs(spark, sf_dir).withColumn("split", textprep.split_col())
+    train = docs.filter(F.col("split") == "train")
+    evald = docs.filter(F.col("split") != "train")
+    scored = textprep.bigram_avg_logp(evald, train=train)
+    return scored.join(
+        evald.select("doc_id", "split"), "doc_id"
+    ).select("doc_id", "split", "n_bigrams", "avg_logp")

@@ -182,3 +182,29 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
     assert len(per_src) == 5
     for src, total in per_src.items():
         assert abs(total - 1.0) < 1e-4
+
+
+def test_heldout_lm_scores_differ_from_self_trained(spark, sf_dir):
+    """Held-out scoring (train-split LM) must score eval docs no
+    better on average than the self-trained LM scores them (training
+    on yourself can only help), and every eval doc appears once."""
+    from flightdb_spark.operators.textprep import split_col
+
+    out = {r["doc_id"]: r for r in REGISTRY["q102_heldout_lm"].fn(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").withColumn("s", split_col())
+    eval_ids = {
+        r["doc_id"]
+        for r in docs.filter("s != 'train'")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .collect()
+    }
+    assert set(out) == eval_ids
+    self_scores = {
+        r["doc_id"]: r["avg_logp"]
+        for r in REGISTRY["q69_bigram_lm_score"].fn(spark, sf_dir).collect()
+    }
+    import statistics
+
+    held = statistics.mean(r["avg_logp"] for r in out.values())
+    self_m = statistics.mean(self_scores[d] for d in out)
+    assert held <= self_m + 1e-9
