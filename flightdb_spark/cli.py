@@ -83,12 +83,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     args = build_parser().parse_args(argv)
     own_session = spark is None
     if own_session:
-        spark = (
-            SparkSession.builder.master("local[*]")
-            .appName("fdb-cli")
-            .config("spark.sql.shuffle.partitions", "32")
-            .getOrCreate()
-        )
+        # the engine's tuned builder (UTC session tz, AQE, Arrow) — a
+        # hand-rolled session here would silently drift from the
+        # engine's timestamp semantics the moment the CLI collects one
+        from .session import get_spark
+
+        spark = get_spark("fdb-cli")
     try:
         flights = spark.read.parquet(args.flights)
         if "n_points" not in flights.columns:

@@ -31,26 +31,17 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(
-    left: DataFrame,
-    right: DataFrame,
-    *,
-    on: str,
-    left_ts: str = "ts",
-    right_ts: str = "ts",
-    value_cols: tuple[str, ...],
-    tolerance_s: int | None = None,
-    allow_exact_matches: bool = True,
-    suffix: str = "_asof",
-) -> DataFrame:
-    """For every left row, attach ``value_cols`` from the latest right
-    row with the same ``on`` key and right_ts <= left_ts (< when
-    ``allow_exact_matches`` is False). Rows further back than
-    ``tolerance_s`` seconds yield NULLs instead of stale values.
-
-    Output: all left columns + ``{col}{suffix}`` per value col +
-    ``{right_ts}{suffix}`` (the matched right timestamp, NULL when no
-    match within tolerance)."""
+def _asof_join(
+    left, right, *, on, left_ts, right_ts, value_cols,
+    tolerance_s, allow_exact_matches, suffix, direction,
+):
+    """Shared body for backward/forward (direction flips the window
+    sort and the staleness sign). Within equal (_ats, side) the right
+    rows additionally sort by their value columns + matched ts, so
+    duplicate (key, ts) right rows resolve DETERMINISTICALLY (the
+    greatest value tuple in sort order wins) instead of varying with
+    partitioning — the cross-engine determinism contract
+    (DETERMINISM.md rule 8)."""
     lcols = left.columns
     tagged_l = left.select(
         *lcols,
@@ -71,9 +62,11 @@ def asof_join_backward(
     # At equal timestamps the right row must sort BEFORE the left row to
     # be visible to it (exact matches allowed), AFTER it otherwise.
     tie = F.col("_is_right").desc() if allow_exact_matches else F.col("_is_right").asc()
+    ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    right_ties = [F.col(f"_rv_{c}").asc() for c in value_cols] + [F.col("_rts").asc()]
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("_ats").asc(), tie)
+        .orderBy(ats, tie, *right_ties)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     enriched = tagged_l.unionByName(tagged_r)
@@ -86,10 +79,17 @@ def asof_join_backward(
         .drop("_is_right", "_ats", "_rts", *[f"_rv_{c}" for c in value_cols])
     )
     if tolerance_s is not None:
-        stale = (
-            F.col(left_ts).cast("double")
-            - F.col(f"{right_ts}{suffix}").cast("double")
-        ) > float(tolerance_s)
+        if direction == "backward":
+            gap = (
+                F.col(left_ts).cast("double")
+                - F.col(f"{right_ts}{suffix}").cast("double")
+            )
+        else:
+            gap = (
+                F.col(f"{right_ts}{suffix}").cast("double")
+                - F.col(left_ts).cast("double")
+            )
+        stale = gap > float(tolerance_s)
         for c in value_cols:
             out = out.withColumn(
                 f"{c}{suffix}",
@@ -100,6 +100,34 @@ def asof_join_backward(
             F.when(stale, F.lit(None)).otherwise(F.col(f"{right_ts}{suffix}")),
         )
     return out
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...],
+    tolerance_s: int | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach ``value_cols`` from the latest right
+    row with the same ``on`` key and right_ts <= left_ts (< when
+    ``allow_exact_matches`` is False). Rows further back than
+    ``tolerance_s`` seconds yield NULLs instead of stale values.
+
+    Output: all left columns + ``{col}{suffix}`` per value col +
+    ``{right_ts}{suffix}`` (the matched right timestamp, NULL when no
+    match within tolerance)."""
+    return _asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, tolerance_s=tolerance_s,
+        allow_exact_matches=allow_exact_matches, suffix=suffix,
+        direction="backward",
+    )
 
 
 def asof_join_forward(
@@ -117,53 +145,12 @@ def asof_join_forward(
     """Mirror of :func:`asof_join_backward`: the EARLIEST right row with
     right_ts >= left_ts (> when exact matches are disallowed). Same
     union+window shape with the sort reversed — still one shuffle."""
-    lcols = left.columns
-    tagged_l = left.select(
-        *lcols,
-        F.lit(0).alias("_is_right"),
-        F.col(left_ts).alias("_ats"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    return _asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=value_cols, tolerance_s=tolerance_s,
+        allow_exact_matches=allow_exact_matches, suffix=suffix,
+        direction="forward",
     )
-    tagged_r = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          if c != on else F.col(on) for c in lcols],
-        F.lit(1).alias("_is_right"),
-        F.col(right_ts).alias("_ats"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_ts).alias("_rts"),
-    )
-    tie = F.col("_is_right").desc() if allow_exact_matches else F.col("_is_right").asc()
-    w = (
-        W.partitionBy(on)
-        .orderBy(F.col("_ats").desc(), tie)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    enriched = tagged_l.unionByName(tagged_r)
-    out_cols = [F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-                for c in value_cols]
-    matched_ts = F.last("_rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}")
-    out = (
-        enriched.select("*", *out_cols, matched_ts)
-        .filter(F.col("_is_right") == 0)
-        .drop("_is_right", "_ats", "_rts", *[f"_rv_{c}" for c in value_cols])
-    )
-    if tolerance_s is not None:
-        stale = (
-            F.col(f"{right_ts}{suffix}").cast("double")
-            - F.col(left_ts).cast("double")
-        ) > float(tolerance_s)
-        for c in value_cols:
-            out = out.withColumn(
-                f"{c}{suffix}",
-                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
-            )
-        out = out.withColumn(
-            f"{right_ts}{suffix}",
-            F.when(stale, F.lit(None)).otherwise(F.col(f"{right_ts}{suffix}")),
-        )
-    return out
 
 
 def asof_join_nearest(

@@ -71,11 +71,16 @@ def salted_broadcast_join(
     *,
     n_salts: int = 16,
     how: str = "inner",
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Join ``big`` against a small ``dim`` on ``key`` with the big side
-    salted and the dim replicated across salts, so downstream stages
-    that inherit the (key, salt) distribution never see one hot
-    partition. The replicated dim is still broadcast.
+    salted, REPARTITIONED on (key, salt), and the dim replicated across
+    salts. The broadcast join itself never shuffles — the salting's
+    entire value is the explicit (key, salt) repartition, which spreads
+    a hot key over n_salts partitions for the stages that follow; with
+    ``keep_salt`` the _salt column survives so a downstream aggregate
+    can run the two-phase (key, _salt) -> key pattern (salted_agg)
+    without re-salting. The replicated dim is still broadcast.
 
     Right/full joins are rejected: every dim key unmatched in ``big``
     would surface once per salt replica (n_salts duplicate rows),
@@ -93,9 +98,9 @@ def salted_broadcast_join(
             f"got {how!r}: right/full would emit each unmatched dim key once "
             "per salt replica"
         )
-    salted = with_salt(big, n_salts)
+    salted = with_salt(big, n_salts).repartition(key, "_salt")
     rep = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     out = salted.join(F.broadcast(rep), [key, "_salt"], how)
-    return out.drop("_salt")
+    return out if keep_salt else out.drop("_salt")

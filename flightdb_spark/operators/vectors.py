@@ -57,18 +57,30 @@ def cosine_topk(
     *,
     id_col: str = "vec_id",
     probe_id: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of every probe against the corpus.
     ``corpus``: (id_col, v); ``probes``: (probe_id, qv). Probes are
     broadcast; WindowGroupLimit computes a per-partition partial top-k
-    before the single shuffle on the probe id."""
+    before the single shuffle on the probe id.
+
+    ``exclude_self`` compares ``id_col`` to ``probe_id`` directly, so
+    leave it True ONLY when both ids come from the same domain and
+    type (probes drawn from the corpus); pass False for independent
+    probe frames — a type-mismatched comparison would otherwise
+    null out and drop every pair silently."""
     c = with_norm(corpus.select(id_col, "v"))
     p = with_norm(
         probes.select(F.col(probe_id), F.col("qv")), v="qv", out="qnorm"
     )
+    self_pred = (
+        F.col(f"b.{id_col}") != F.col(f"a.{probe_id}")
+        if exclude_self
+        else F.lit(True)
+    )
     pairs = (
         c.alias("b")
-        .join(F.broadcast(p).alias("a"), F.col(f"b.{id_col}") != F.col(f"a.{probe_id}"))
+        .join(F.broadcast(p).alias("a"), self_pred)
         .select(
             probe_id,
             F.col(f"b.{id_col}").alias("neighbor_id"),

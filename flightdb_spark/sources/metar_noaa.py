@@ -20,7 +20,7 @@ from __future__ import annotations
 import csv
 import io
 import re
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Iterator
 
 import pandas as pd
@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LAST_PREAMBLE = re.compile(r"^[0-9]+ results$")
 _TIME_FMT = "%Y-%m-%dT%H:%M:%SZ"
+_NEEDED = {"altim_in_hg", "observation_time", "station_id", "raw_text"}
 
 # The metars-table contract (operators/metar.py): station, report_time,
 # altimeter_inhg, raw.
@@ -40,8 +41,10 @@ def parse_noaa(text: str) -> list[dict]:
     """metar/noaa.go:18-90, faithfully: preamble ends at the "N results"
     line; the first CSV line after it is the header (column order is
     header-keyed, not positional); rows with an empty altim_in_hg are
-    skipped. Raises ValueError on malformed floats/timestamps, as the
-    reference returns an error."""
+    skipped. Raises ValueError on malformed floats/timestamps, missing
+    header columns, or short data rows, as the reference returns an
+    error. Observation times come back UTC-aware (the trailing Z), so
+    they load correctly under ANY session timezone."""
     out: list[dict] = []
     headers: dict[str, int] = {}
     preambling = True
@@ -56,14 +59,25 @@ def parse_noaa(text: str) -> list[dict]:
         vals = next(csv.reader(io.StringIO(line)))
         if not headers:
             headers = {k: i for i, k in enumerate(vals)}
+            missing = _NEEDED - set(headers)
+            if missing:
+                raise ValueError(
+                    f"NOAA header missing column(s) {sorted(missing)}: {vals!r}"
+                )
             continue
+        if len(vals) <= max(headers[k] for k in _NEEDED):
+            raise ValueError(f"short NOAA data row ({len(vals)} fields): {vals!r}")
         if vals[headers["altim_in_hg"]] == "":
             continue
         try:
             inhg = float(vals[headers["altim_in_hg"]])
         except ValueError as e:
             raise ValueError(f"parse error {e!r}: {vals!r}") from e
-        t_obs = datetime.strptime(vals[headers["observation_time"]], _TIME_FMT)
+        # aware UTC: the Z suffix means UTC regardless of the session
+        # timezone a naive datetime would otherwise be interpreted in
+        t_obs = datetime.strptime(
+            vals[headers["observation_time"]], _TIME_FMT
+        ).replace(tzinfo=timezone.utc)
         out.append(
             {
                 "station": vals[headers["station_id"]],

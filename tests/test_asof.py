@@ -107,3 +107,23 @@ def test_asof_nearest_matches_pandas(spark):
     want_t = _pandas_asof_dir(left, right, "nearest", tolerance=120)
     for r in got_t.collect():
         assert want_t[(r["k"], r["ts"])] == r["px_asof"], (r["k"], r["ts"])
+
+
+def test_asof_duplicate_right_ts_resolves_deterministically(spark):
+    """Two right rows with identical (key, ts): the greatest value
+    tuple wins, on every run and partitioning (DETERMINISM.md rule 8)."""
+    import datetime as dt
+
+    from flightdb_spark.operators.asof import asof_join_backward, asof_join_forward
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([("k", t)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t, 1.0), ("k", t, 2.0), ("k", t, 0.5)],
+        "k string, ts timestamp, px double",
+    ).repartition(3)
+    for fn in (asof_join_backward, asof_join_forward):
+        for _ in range(3):
+            rows = fn(left, right, on="k", value_cols=("px",)).collect()
+            assert len(rows) == 1
+            assert rows[0]["px_asof"] == 2.0

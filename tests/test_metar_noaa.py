@@ -3,7 +3,7 @@ reference's own fixture (metar/metar_test.go:11-106)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 from pathlib import Path
 
 import pytest
@@ -27,7 +27,7 @@ def test_parse_noaa_counts_and_fields():
     assert len(reports) == 34
     first = reports[0]
     assert first["station"] == "KSFO"
-    assert first["report_time"] == datetime(2016, 1, 30, 20, 56)
+    assert first["report_time"] == datetime(2016, 1, 30, 20, 56, tzinfo=timezone.utc)
     assert first["altimeter_inhg"] == pytest.approx(30.050198)
     assert first["raw"].startswith("KSFO 302056Z")
 
