@@ -1508,3 +1508,45 @@ def q102_heldout_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(
         evald.select("doc_id", "split"), "doc_id"
     ).select("doc_id", "split", "n_bigrams", "avg_logp")
+
+
+# --- inverted index build ----------------------------------------------------------
+@query(
+    "q103_inverted_index",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    ),
+    agg AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting_head
+      FROM pairs GROUP BY term
+    )
+    SELECT term, n_docs, posting_head
+    FROM agg ORDER BY n_docs DESC, term LIMIT 20
+    """,
+)
+def q103_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the materialization step behind the q66
+    BM25 scorer): per term, document frequency plus the head of the
+    sorted posting list. collect_list is order-nondeterministic, so the
+    posting normalizes through sort_array before slicing — same list on
+    any partitioning (DETERMINISM.md rule 8). One shuffle on the term;
+    at 100 TB postings shard by (term, doc_id range) and this exact
+    aggregate emits each shard's segment."""
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    agg = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).cast(
+                "array<string>"
+            ),
+        ).alias("posting_head"),
+    )
+    return agg.orderBy(F.desc("n_docs"), F.asc("term")).limit(20)
