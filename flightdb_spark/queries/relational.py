@@ -461,3 +461,65 @@ def q78_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_no_buy").alias("cohort"), "n"
     )
     return both_u.unionByName(click_only)
+
+
+# --- table profiling ---------------------------------------------------------------
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    aggs = ", ".join(
+        f"COUNT({c}) AS c_{c}, COUNT(DISTINCT {c}) AS d_{c}, "
+        f"CAST(MIN({c}) AS VARCHAR) AS mn_{c}, CAST(MAX({c}) AS VARCHAR) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    unions = "\n    UNION ALL\n".join(
+        f"SELECT '{c}' AS col, n AS n_rows, n - c_{c} AS n_null, "
+        f"d_{c} AS n_distinct, mn_{c} AS min_str, mx_{c} AS max_str FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {aggs} FROM orders
+    )
+    {unions}
+    """
+
+
+@query("q104_profile_table", oracle=_profile_oracle())
+def q104_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over the orders table: per column, row/null
+    counts, exact distinct count, min/max (stringified) — the summary
+    every pipeline runs before trusting a new input drop. ONE scan:
+    all per-column aggregates compute in a single aggregate node and
+    the per-column rows unpivot from that one result row. Exact
+    COUNT(DISTINCT) is fine at gate scale; at 100 TB swap in
+    approx_count_distinct (the q56 sketch shape) — same single-pass
+    plan, fixed-size buffers."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"c_{c}"),
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    row = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n_rows"),
+                (F.col("n") - F.col(f"c_{c}")).alias("n_null"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -545,3 +545,49 @@ def q98_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q105_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    iv AS (SELECT user_id, value, nxt - t AS w FROM seq WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(w) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(CAST(ROUND(value * w, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                 / SUM(w), 6) AS twap
+    FROM iv GROUP BY user_id
+    """,
+)
+def q105_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value stream (TWAP): each
+    observation holds until the next one, so it weighs by its interval
+    in exact integer microseconds. One shuffle on user_id (lead window
+    + final agg co-partitioned); the weighted sum rounds per row and
+    accumulates in DECIMAL, the weight sum is exact integer — the
+    whole statistic is engine- and partitioning-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(wseq).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    iv = seq.select("user_id", "value", (F.col("nxt") - F.col("t")).alias("w"))
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("w").alias("total_us"),
+        F.round(
+            F.sum(F.round(F.col("value") * F.col("w"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum("w"),
+            6,
+        ).alias("twap"),
+    )
