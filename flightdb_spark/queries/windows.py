@@ -591,3 +591,66 @@ def q105_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@query(
+    "q106_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    ),
+    flags AS (
+      SELECT f.cohort_day, f.user_id,
+             MAX(CASE WHEN a.day = f.cohort_day + INTERVAL 1 DAY
+                      THEN 1 ELSE 0 END) AS d1,
+             MAX(CASE WHEN a.day = f.cohort_day + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS d7
+      FROM firsts f JOIN activity a USING (user_id)
+      GROUP BY f.cohort_day, f.user_id
+    )
+    SELECT cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(d1) AS BIGINT) AS n_d1,
+           CAST(SUM(d7) AS BIGINT) AS n_d7,
+           ROUND(SUM(d1) * 1.0 / COUNT(*), 6) AS d1_rate,
+           ROUND(SUM(d7) * 1.0 / COUNT(*), 6) AS d7_rate
+    FROM flags GROUP BY cohort_day
+    """,
+)
+def q106_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7 retention by first-seen cohort: distinct (user, day)
+    activity, each user's cohort day, then exact-day return flags —
+    the product-analytics staple. The cohort join keys on user_id
+    (both sides pre-shuffled there by their own aggregates, so it
+    co-partitions); all counts are integers, rates a single division."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    flags = (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_day", "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("day") == F.date_add(F.col("cohort_day"), 1), 1
+                ).otherwise(0)
+            ).alias("d1"),
+            F.max(
+                F.when(
+                    F.col("day") == F.date_add(F.col("cohort_day"), 7), 1
+                ).otherwise(0)
+            ).alias("d7"),
+        )
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("d1").alias("n_d1"),
+        F.sum("d7").alias("n_d7"),
+        F.round(F.sum("d1") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("d1_rate"),
+        F.round(F.sum("d7") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("d7_rate"),
+    )
