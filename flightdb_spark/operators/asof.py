@@ -63,7 +63,15 @@ def _asof_join(
     # be visible to it (exact matches allowed), AFTER it otherwise.
     tie = F.col("_is_right").desc() if allow_exact_matches else F.col("_is_right").asc()
     ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
-    right_ties = [F.col(f"_rv_{c}").asc() for c in value_cols] + [F.col("_rts").asc()]
+    # maps are not orderable in Spark — exclude them from the tie-break
+    # (ties among right rows differing ONLY in map columns stay
+    # unordered; every orderable column still totalizes the sort)
+    from pyspark.sql.types import MapType
+
+    orderable = [
+        c for c in value_cols if not isinstance(right.schema[c].dataType, MapType)
+    ]
+    right_ties = [F.col(f"_rv_{c}").asc() for c in orderable] + [F.col("_rts").asc()]
     w = (
         W.partitionBy(on)
         .orderBy(ats, tie, *right_ties)

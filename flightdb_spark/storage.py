@@ -59,11 +59,14 @@ def compact(
     and sorted by ``key``. Returns the output file count. Range (not
     hash) partitioning keeps per-file key ranges disjoint so min/max
     statistics prune to one file per key lookup."""
-    if "://" in src_dir and not src_dir.startswith("file:"):
-        # file sizing walks the driver-local filesystem; an object-store
+    if "://" in src_dir or "://" in out_dir:
+        # file sizing walks the driver-local filesystem with os.walk,
+        # which cannot traverse ANY URI (file: included) — a scheme'd
         # path would size to 0 -> ONE partition for the whole dataset.
         # The production port uses the Hadoop FileSystem API here.
-        raise ValueError(f"compact requires a local input dir, got {src_dir!r}")
+        raise ValueError(
+            f"compact requires plain local paths, got {src_dir!r} -> {out_dir!r}"
+        )
     df = spark.read.parquet(src_dir)
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))

@@ -37,14 +37,15 @@ class IdempotentParquetSink:
     compaction independent of the stream's checkpoint state."""
 
     def __init__(self, root: str):
-        if "://" in root and not root.startswith("file:"):
-            # markers use driver-local os.path/open(); an object-store
-            # root would silently re-detect every batch as new and then
-            # crash on the marker write AFTER the data landed. The
-            # production port swaps the marker for the store's
+        if "://" in root:
+            # markers use driver-local os.path/open(), which treat ANY
+            # URI (file: included) as a literal relative path — the
+            # marker write would crash AFTER the data landed, or an
+            # object-store root would re-detect every batch as new.
+            # The production port swaps the marker for the store's
             # conditional-put (S3 If-None-Match / GCS preconditions).
             raise ValueError(
-                f"IdempotentParquetSink requires a local filesystem root, got {root!r}"
+                f"IdempotentParquetSink requires a plain local path root, got {root!r}"
             )
         self.root = root
         self.skipped: list[int] = []  # redelivered batch ids (observability)
