@@ -79,14 +79,24 @@ def minhash_signatures(
 
 
 def lsh_bands(sigs: DataFrame, *, seeds: tuple[int, ...]) -> DataFrame:
-    """Unpivot the signature to (doc_id, band, h) rows, one per seed."""
-    bands = None
-    for s in seeds:
-        b = sigs.select(
-            "doc_id", F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    return bands
+    """Unpivot the signature to (doc_id, band, h) rows, one per seed.
+
+    Explode of an inline struct array, NOT a union of per-band selects:
+    Catalyst does not dedupe common subplans across union branches, so
+    the union form recomputes the upstream signature aggregation once
+    PER BAND (measured 4x the shuffle work for 4 seeds). The explode is
+    a single-pass map-side fan-out over one computation of ``sigs``."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("band"), F.col(f"minhash_{s}").alias("h")
+            )
+            for s in seeds
+        ]
+    )
+    return sigs.select("doc_id", F.explode(arr).alias("_x")).select(
+        "doc_id", "_x.band", "_x.h"
+    )
 
 
 def lsh_candidate_pairs(bands: DataFrame, *, max_bucket: int | None = None) -> DataFrame:

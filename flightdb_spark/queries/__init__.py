@@ -42,6 +42,7 @@ _MODULES = [
     "extras",
     "training",
     "simjoin",
+    "curation",
 ]
 
 

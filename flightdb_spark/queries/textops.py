@@ -219,23 +219,32 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash (shared SQL template, dialect-substituted) ---------------------------
-def _simhash_sql(dialect: str) -> str:
-    """16-bit SimHash over token md5s. `dialect` ∈ {'spark', 'duck'}."""
+def _simhash_sql(dialect: str, bits_n: int = 16) -> str:
+    """``bits_n``-bit SimHash over token md5s. `dialect` ∈ {'spark',
+    'duck'}. q33 uses the 16-bit form; q107's Hamming band join uses 32
+    bits so its band buckets stay selective at corpus scale."""
     div = " div " if dialect == "spark" else " // "
     toks = (
         "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
         if dialect == "spark"
         else "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
     )
-    # hex → int for the first 4 hex chars of md5(tok)
+    # hex → int for the first bits_n/4 hex chars of md5(tok)
+    nhex = bits_n // 4
     hexpos = "(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    # place values cast to BIGINT: 16^7 * 15 overflows int32, and Spark
+    # runs ANSI arithmetic (DuckDB promotes silently; the cast is a
+    # no-op there)
     val = " + ".join(
-        f"{hexpos.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        f"{hexpos.format(i=i + 1)} * CAST({16 ** (nhex - 1 - i)} AS BIGINT)"
+        for i in range(nhex)
     )
     bit_sums = ",\n             ".join(
-        f"SUM(((v{div}{1 << b}) % 2) * 2 - 1) AS s{b}" for b in range(16)
+        f"SUM(((v{div}{1 << b}) % 2) * 2 - 1) AS s{b}" for b in range(bits_n)
     )
-    bits = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits_n)
+    )
     return f"""
     WITH toks AS ({toks}),
     hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
