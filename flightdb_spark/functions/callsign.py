@@ -71,3 +71,15 @@ def normalized_callsign(c: Column, airframe_prefix: Column) -> Column:
         )
         .otherwise(c)
     )
+
+
+def callsigns_equal(c1: Column, c2: Column) -> Column:
+    """CallsignStringsEqual (callsign.go:68-74): two raw callsigns are
+    equal iff their canonical strings match — an IcaoFlightNumber
+    canonicalizes to prefix+number (zero padding and ATC suffix
+    stripped, callsign.go:52-58), anything else compares as its raw
+    (trimmed, uppercased) form. ``SWA0123`` == ``SWA123X`` == ``SWA123``."""
+    null_prefix = F.lit(None).cast("string")
+    return normalized_callsign(c1, null_prefix) == normalized_callsign(
+        c2, null_prefix
+    )

@@ -128,6 +128,108 @@ def normalize_fr24_track(raw: DataFrame) -> DataFrame:
     )
 
 
+def resolve_fr24_ids(
+    flights: DataFrame,
+    live: DataFrame,
+    history: DataFrame,
+    *,
+    airframe_prefix_col: str | None = None,
+) -> DataFrame:
+    """GetFr24Id resolution (fr24/fr24.go:425-467), the decision logic
+    minus the two REST fetches: given candidate id records — ``live``
+    (the LookupQuery snapshot) and ``history`` (the LookupHistory list,
+    ordered by a ``rank`` column, 0 = most recent) — attach each
+    flight's fr24 id.
+
+    Reference semantics, set-based:
+    - a flight with a blank/null registration resolves to NULL with
+      reason ``no_registration`` (fr24.go:429-431);
+    - approach 1: the live record for the registration wins iff its
+      callsign canonically equals the flight's normalized callsign
+      (CallsignStringsEqual, callsign.go:68-74) → reason ``query``;
+    - approach 2: else the first history record (lowest rank) with an
+      equal callsign → reason ``history``;
+    - else NULL with reason ``not_found``.
+
+    Candidate lists are poll snapshots (thousands of rows at most), so
+    both join sides broadcast and the flights side never shuffles.
+    Inputs: ``flights(registration, callsign, ...)``,
+    ``live(registration, callsign, fr24_id)``,
+    ``history(registration, callsign, fr24_id, rank)``."""
+    from pyspark.sql import Window as W
+
+    from ..functions.callsign import callsigns_equal, normalized_callsign
+
+    # The ADS-B-observed callsign can be a poor match for fr24's
+    # post-processed one, so normalize first (fr24.go:435-437) — with
+    # the airframe's carrier prefix when available, exactly
+    # NormalizedCallsignString().
+    prefix = (
+        F.col(airframe_prefix_col)
+        if airframe_prefix_col
+        else F.lit(None).cast("string")
+    )
+    fl = flights.withColumn(
+        "_fcs", normalized_callsign(F.col("callsign"), prefix)
+    )
+    lv = live.select(
+        F.col("registration").alias("_lreg"),
+        F.col("callsign").alias("_lcs"),
+        F.col("fr24_id").alias("_lid"),
+    )
+    hist_matched = (
+        fl.select("registration", "_fcs")
+        .distinct()
+        .join(
+            F.broadcast(
+                history.select(
+                    F.col("registration"),
+                    F.col("callsign").alias("_hcs"),
+                    F.col("fr24_id").alias("_hid"),
+                    F.col("rank").alias("_hrank"),
+                )
+            ),
+            "registration",
+        )
+        .filter(callsigns_equal(F.col("_fcs"), F.col("_hcs")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("registration", "_fcs").orderBy("_hrank", "_hid")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("registration", "_fcs", "_hid")
+    )
+    out = (
+        fl.join(
+            F.broadcast(lv), F.col("registration") == F.col("_lreg"), "left"
+        )
+        .withColumn(
+            "_live_ok",
+            F.col("_lid").isNotNull()
+            & callsigns_equal(F.col("_fcs"), F.col("_lcs")),
+        )
+        .join(F.broadcast(hist_matched), ["registration", "_fcs"], "left")
+    )
+    no_reg = F.col("registration").isNull() | (F.trim(F.col("registration")) == "")
+    fr24_id = (
+        F.when(no_reg, F.lit(None).cast("string"))
+        .when(F.col("_live_ok"), F.col("_lid"))
+        .otherwise(F.col("_hid"))
+    )
+    reason = (
+        F.when(no_reg, F.lit("no_registration"))
+        .when(F.col("_live_ok"), F.lit("query"))
+        .when(F.col("_hid").isNotNull(), F.lit("history"))
+        .otherwise(F.lit("not_found"))
+    )
+    drop = ["_fcs", "_lreg", "_lcs", "_lid", "_live_ok", "_hid"]
+    return out.withColumn("fr24_id", fr24_id).withColumn("fr24_reason", reason).drop(
+        *drop
+    )
+
+
 def normalize_fr24_details(raw: DataFrame) -> DataFrame:
     """fr24 live-details payload (ParseCurrentDetails, fr24/fr24.go:
     249-265): flight/status plus unix-epoch schedule fields → one

@@ -174,3 +174,53 @@ def test_normalize_fr24_details_golden(spark):
     assert row["flight_number"] == "BA287" and row["status"] == "landed"
     assert row["orig"] == "LHR" and row["dest"] == "SFO"
     assert row["origin_tz_offset"] == "1.00"
+
+
+def test_resolve_fr24_ids_decision_branches(spark):
+    """GetFr24Id parity (fr24/fr24.go:425-467): no-registration short-
+    circuit, live ('query') match with callsign canonicalization,
+    live mismatch falling through to the first matching history record,
+    and not-found."""
+    from flightdb_spark.sources.connectors import resolve_fr24_ids
+
+    flights = spark.createDataFrame(
+        [
+            ("f1", "N100AB", "SWA0123"),   # live has SWA123X -> canonical equal
+            ("f2", "N200CD", "UAL55"),     # live mismatch; history rank 1 matches
+            ("f3", None, "AAL1"),          # no registration
+            ("f4", "N400GH", "DAL9"),      # candidates exist, no callsign match
+            ("f5", "N500JK", "4517"),      # bare number + prefix -> SWA4517 in live
+        ],
+        "flight_id string, registration string, callsign string",
+    ).withColumn(
+        "cs_prefix",
+        F.when(F.col("flight_id") == "f5", F.lit("SWA")),
+    )
+    live = spark.createDataFrame(
+        [
+            ("N100AB", "SWA123X", "id-live-1"),
+            ("N200CD", "UAL77", "id-live-2"),   # wrong callsign -> skip
+            ("N400GH", "KLM9", "id-live-4"),
+            ("N500JK", "SWA4517", "id-live-5"),
+        ],
+        "registration string, callsign string, fr24_id string",
+    )
+    history = spark.createDataFrame(
+        [
+            ("N200CD", "UAL055", "id-hist-old", 1),
+            ("N200CD", "UAL55", "id-hist-older", 2),  # also equal, higher rank
+            ("N400GH", "BAW9", "id-hist-4", 0),
+        ],
+        "registration string, callsign string, fr24_id string, rank int",
+    )
+    out = {
+        r["flight_id"]: (r["fr24_id"], r["fr24_reason"])
+        for r in resolve_fr24_ids(
+            flights, live, history, airframe_prefix_col="cs_prefix"
+        ).collect()
+    }
+    assert out["f1"] == ("id-live-1", "query")
+    assert out["f2"] == ("id-hist-old", "history")  # lowest rank wins
+    assert out["f3"] == (None, "no_registration")
+    assert out["f4"] == (None, "not_found")
+    assert out["f5"] == ("id-live-5", "query")
