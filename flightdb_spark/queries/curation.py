@@ -603,3 +603,203 @@ def q114_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists anywhere in the expression."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ewma_sql())
+
+
+# --- q120: quality-curriculum decile bins ------------------------------------------
+N_BINS = 10
+
+
+@query(
+    "q120_curriculum_bins",
+    oracle=f"""
+    WITH scored AS (
+      {_QUALITY_DUCK}
+    ),
+    binned AS (
+      SELECT doc_id, score,
+             NTILE({N_BINS}) OVER (ORDER BY score, doc_id) AS bin
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score,
+           ROUND(CAST(SUM(CAST(ROUND(score, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score
+    FROM binned GROUP BY bin
+    """,
+)
+def q120_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum deciles: rank the corpus by quality score and
+    cut into 10 equal bins (ntile over a total order) with per-bin
+    stats — the binning behind low-to-high-quality curriculum
+    schedules. The global-order window is the one global sort (same
+    class as q59 packing); at 100 TB compute decile THRESHOLDS via
+    approx_percentile and bin by broadcast compare instead — this is
+    the exact anchor. Per-row score doubles are identical in both
+    engines, so the (score, doc_id) order is total and engine-stable."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    score = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))) * 1.0
+        / F.size(toks)
+    )
+    binned = docs.select("doc_id", score.alias("score")).withColumn(
+        "bin", F.ntile(N_BINS).over(W.orderBy("score", "doc_id"))
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+        F.round(
+            F.sum(F.round(F.col("score"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+    )
+
+
+# --- q121: source-level content overlap via union MinHash --------------------------
+# MinHash of a UNION is the min of the member MinHashes, so a source's
+# signature aggregates straight over its docs' shingles — no pairwise
+# doc work at all. Pairwise source comparison is |sources|², which is
+# tiny at any corpus size.
+SRC_SEEDS = tuple(range(8))
+
+
+def _source_overlap_oracle() -> str:
+    base = textdedup.MINHASH_BASE_DUCK.format(sh="sh")
+    mins = ", ".join(
+        f"MIN(xor({base}, {textdedup.minhash_mask(s)})) AS mh_{s}"
+        for s in SRC_SEEDS
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{s} = b.mh_{s} THEN 1 ELSE 0 END" for s in SRC_SEEDS
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT source, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+    ),
+    sigs AS (SELECT source, {mins} FROM shingled GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(({matches}) * 1.0 / {len(SRC_SEEDS)}, 6) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.source < b.source
+    WHERE ({matches}) > 0
+    """
+
+
+@query("q121_source_overlap", oracle=_source_overlap_oracle())
+def q121_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level content overlap: one MinHash signature PER SOURCE
+    (min over all its docs' shingle hashes — the union-MinHash
+    property), pairwise signature agreement as estimated Jaccard —
+    the mirrored-source / re-crawl detector. Corpus cost is one
+    aggregate keyed by source; the pairwise stage is |sources|²,
+    trivially bounded at any scale."""
+    docs = _docs(spark, sf_dir)
+    shingled = textdedup.shingles(docs, id_col="source").withColumnRenamed(
+        "doc_id", "source"
+    )
+    hashed = shingled.withColumn(
+        "_mh", F.expr(textdedup.MINHASH_BASE_SPARK.format(sh="sh"))
+    )
+    sigs = hashed.groupBy("source").agg(
+        *[
+            F.min(F.col("_mh").bitwiseXOR(F.lit(textdedup.minhash_mask(s)))).alias(
+                f"mh_{s}"
+            )
+            for s in SRC_SEEDS
+        ]
+    )
+    matches = sum(
+        F.when(F.col(f"a.mh_{s}") == F.col(f"b.mh_{s}"), 1).otherwise(0)
+        for s in SRC_SEEDS
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            matches.alias("_m"),
+        )
+        .filter(F.col("_m") > 0)
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("_m") * 1.0 / len(SRC_SEEDS), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# --- q122: Zipf slope fit ----------------------------------------------------------
+ZIPF_TOP = 200
+
+
+@query(
+    "q122_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT lang, tok, COUNT(*) AS f FROM toks GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, f,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT lang,
+             ROUND(ln(CAST(r AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(f AS DOUBLE)), 9) AS y
+      FROM ranked WHERE r <= {ZIPF_TOP}
+    ),
+    acc AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM acc
+    """,
+)
+def q122_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope per language: least-squares fit of ln(freq) vs
+    ln(rank) over the top-200 tokens — natural text sits near -1, and a
+    drifting slope flags template spam or scrambled corpora. Token
+    counting is the q54 shape (partial agg eats the explode); the
+    regression runs on 200 points per lang with per-term rounding +
+    DECIMAL sums, final slope assembled in one fixed expression."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    w = W.partitionBy("lang").orderBy(F.col("f").desc(), F.col("tok"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP)
+        .select(
+            "lang",
+            F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    acc = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+        dec(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return acc.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )

@@ -145,3 +145,42 @@ def test_ewma_within_user_value_range(spark, sf_dir):
     )
     assert bad.count() == 0
     assert out.count() == ev.count()
+
+
+def test_curriculum_bins_partition_corpus(spark, sf_dir):
+    out = REGISTRY["q120_curriculum_bins"].fn(spark, sf_dir).cache()
+    rows = {r["bin"]: r for r in out.collect()}
+    assert set(rows) == set(range(1, 11))
+    assert sum(r["n_docs"] for r in rows.values()) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    # bins ordered by score: each bin's max <= next bin's min (ntile on
+    # a total order) and mean within [min, max]
+    for b in range(1, 10):
+        assert rows[b]["max_score"] <= rows[b + 1]["min_score"] + 1e-9
+    for r in rows.values():
+        assert r["min_score"] - 1e-9 <= r["mean_score"] <= r["max_score"] + 1e-9
+    out.unpersist()
+
+
+def test_source_overlap_self_similarity_floor(spark, sf_dir):
+    """Estimates are k/8 fractions in (0, 1]; doubling a source's docs
+    into a fake mirror would give est 1.0 — here just shape checks plus
+    symmetry of the pair key."""
+    out = REGISTRY["q121_source_overlap"].fn(spark, sf_dir).cache()
+    assert out.filter(F.col("source_a") >= F.col("source_b")).count() == 0
+    bad = out.filter(
+        (F.col("est_jaccard") <= 0)
+        | (F.col("est_jaccard") > 1)
+        | ((F.col("est_jaccard") * 8) % 1 != 0)
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    rows = REGISTRY["q122_zipf_slope"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["zipf_slope"] < 0  # frequency decreases with rank
+        assert r["n_points"] > 10

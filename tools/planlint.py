@@ -42,6 +42,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # frequency ranking runs over the AGGREGATED vocab — bounded by
     # distinct tokens, not corpus rows
     "q76_vocab_ids",
+    # exact-decile anchor: ntile needs one total order by contract;
+    # PLANS.md documents the approx-percentile threshold swap at scale
+    "q120_curriculum_bins",
 }
 
 
