@@ -239,3 +239,118 @@ def q90_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_rms"),
     )
+
+
+# --- q123: interleaved multimodal sequence packing ---------------------------------
+# Every doc contributes its media placeholder tokens FIRST (the [IMG]/
+# [AUD]/[VID] patch-token block a vision-language trainer inserts),
+# then its text tokens; docs lie end-to-end in doc_id order and are cut
+# into fixed-size training sequences (q59's concat-then-chunk rule).
+# Placeholder budgets per kind (doc_id % 3 mapping shared with q37):
+PACK2_BUDGET = 1024
+MEDIA_TOKENS = {"image": 64, "audio": 128, "video": 256}
+
+_MEDIA_COST_SQL = (
+    "CASE (doc_id % 3) WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END"
+)
+
+
+@query(
+    "q123_interleaved_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             {_MEDIA_COST_SQL} AS m,
+             len(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, m, t,
+             COALESCE(SUM(m + t) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM sized
+    ),
+    spans AS (
+      SELECT doc_id, m, t, s,
+             UNNEST(generate_series(CAST(s // {PACK2_BUDGET} AS BIGINT),
+                     CAST((s + m + t - 1) // {PACK2_BUDGET} AS BIGINT))) AS bin_id
+      FROM placed
+    ),
+    contrib AS (
+      SELECT bin_id, doc_id,
+             GREATEST(0, LEAST(s + m, (bin_id + 1) * {PACK2_BUDGET})
+                         - GREATEST(s, bin_id * {PACK2_BUDGET})) AS media_tok,
+             GREATEST(0, LEAST(s + m + t, (bin_id + 1) * {PACK2_BUDGET})
+                         - GREATEST(s + m, bin_id * {PACK2_BUDGET})) AS text_tok,
+             CASE WHEN s >= bin_id * {PACK2_BUDGET}
+                   AND s < (bin_id + 1) * {PACK2_BUDGET} THEN 1 ELSE 0 END
+               AS media_starts
+      FROM spans
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(media_tok) AS BIGINT) AS media_tokens,
+           CAST(SUM(text_tok) AS BIGINT) AS text_tokens,
+           CAST(SUM(media_starts) AS BIGINT) AS n_media_starts
+    FROM contrib GROUP BY bin_id
+    """,
+)
+def q123_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal packing: each doc = [media placeholder
+    block][text tokens], laid end-to-end and cut into 1024-token
+    training sequences; output is each sequence's composition (docs
+    touched, media vs text tokens, media blocks starting here) — what a
+    vision-language batch builder must know per sequence. Same global
+    prefix-sum as q59 (per-shard at 100 TB); the bin fan-out explodes
+    ceil(len/budget)+1 rows per doc; every quantity is an integer clamp
+    — exact on any engine and any partitioning."""
+    docs = _docs(spark, sf_dir)
+    b = PACK2_BUDGET
+    from pyspark.sql import Window as W
+
+    sized = docs.select(
+        "doc_id",
+        F.expr(_MEDIA_COST_SQL).cast("long").alias("m"),
+        F.size(F.split("text", " ")).cast("long").alias("t"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    placed = sized.withColumn(
+        "s", F.coalesce(F.sum(F.col("m") + F.col("t")).over(w), F.lit(0))
+    )
+    spans = placed.select(
+        "doc_id",
+        "m",
+        "t",
+        "s",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {b}"), F.expr(f"(s + m + t - 1) div {b}")
+            )
+        ).alias("bin_id"),
+    )
+    lo = F.col("bin_id") * b
+    hi = (F.col("bin_id") + 1) * b
+    media_tok = F.greatest(
+        F.lit(0), F.least(F.col("s") + F.col("m"), hi) - F.greatest(F.col("s"), lo)
+    )
+    text_tok = F.greatest(
+        F.lit(0),
+        F.least(F.col("s") + F.col("m") + F.col("t"), hi)
+        - F.greatest(F.col("s") + F.col("m"), lo),
+    )
+    starts = F.when((F.col("s") >= lo) & (F.col("s") < hi), 1).otherwise(0)
+    return (
+        spans.select(
+            "bin_id",
+            media_tok.alias("media_tok"),
+            text_tok.alias("text_tok"),
+            starts.alias("media_starts"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("media_tok").alias("media_tokens"),
+            F.sum("text_tok").alias("text_tokens"),
+            F.sum("media_starts").cast("bigint").alias("n_media_starts"),
+        )
+    )

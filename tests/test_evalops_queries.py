@@ -65,3 +65,32 @@ def test_dataset_cards_consistency(spark, sf_dir):
     )
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_interleaved_packing_conservation(spark, sf_dir):
+    """Every bin except the last is exactly full (1024 tokens), token
+    totals across bins equal the corpus total (media + text), and
+    every media block start is counted exactly once."""
+    out = REGISTRY["q123_interleaved_packing"].fn(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.expr(
+            "CASE (doc_id % 3) WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END"
+        ).alias("m"),
+        F.size(F.split("text", " ")).alias("t"),
+    )
+    tot = sized.agg(F.sum("m").alias("m"), F.sum("t").alias("t")).first()
+    got = out.agg(
+        F.sum("media_tokens").alias("m"),
+        F.sum("text_tokens").alias("t"),
+        F.sum("n_media_starts").alias("s"),
+        F.max("bin_id").alias("last"),
+    ).first()
+    assert got["m"] == tot["m"]
+    assert got["t"] == tot["t"]
+    assert got["s"] == docs.count()
+    full = out.filter(F.col("bin_id") < got["last"]).withColumn(
+        "tot", F.col("media_tokens") + F.col("text_tokens")
+    )
+    assert full.filter(F.col("tot") != 1024).count() == 0
+    out.unpersist()

@@ -45,6 +45,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # exact-decile anchor: ntile needs one total order by contract;
     # PLANS.md documents the approx-percentile threshold swap at scale
     "q120_curriculum_bins",
+    # q59's concat-then-chunk prefix sum with a media term — same
+    # per-shard partitioning swap at scale
+    "q123_interleaved_packing",
 }
 
 
