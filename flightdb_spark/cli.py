@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=40, help="how many matches")
     p.add_argument("--utc", action="store_true",
                    help="print times in UTC (default PDT, like the reference)")
+    # archiver mode (fdb.go:63-64, 382-386): when --archivefrom is set,
+    # run the day-ranged verified cold archive instead of a query
+    p.add_argument("--archivefrom", default="", help="2015.01.01 — archive start day (PDT)")
+    p.add_argument("--archiveto", default="", help="2015.01.02 — archive end day (PDT, inclusive)")
+    p.add_argument("--out", default="", help="archive output root (required with --archivefrom)")
     return p
 
 
@@ -91,6 +96,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = get_spark("fdb-cli")
     try:
         flights = spark.read.parquet(args.flights)
+        if args.archivefrom:
+            # archiver mode (fdb.go:382-386): day range → verified cold
+            # export, one line per day, exit 1 if any day fails verify
+            from .jobs import run_archiver
+
+            if not args.out:
+                print("--out is required with --archivefrom", file=sys.stderr)
+                return 2
+            results = run_archiver(
+                flights, args.out, args.archivefrom,
+                args.archiveto or args.archivefrom,
+            )
+            ok = True
+            for r in results:
+                status = ("skipped (no flights)" if r["verified"] is None
+                          else "verified" if r["verified"] else "VERIFY FAILED")
+                ok = ok and r["verified"] is not False
+                print(f"{r['date']}: {r['n_flights']} flights -> "
+                      f"{r['path']} [{status}]")
+            return 0 if ok else 1
         if "n_points" not in flights.columns:
             flights = flights.withColumn("n_points", F.lit(None).cast("int"))
         # Epoch seconds are timezone-unambiguous across the collect()

@@ -99,3 +99,75 @@ def write_summary(out: DataFrame, path: str) -> None:
     """Daily partitioned write — the BQ load-job analog
     (app/backend/bigquery.go:195-252)."""
     out.write.mode("overwrite").partitionBy("date_pdt").parquet(path)
+
+
+def run_archiver(
+    flights: DataFrame,
+    out_root: str,
+    date_from: str,
+    date_to: str,
+    *,
+    tz: str = PDT_TZ,
+) -> list[dict]:
+    """Day-ranged verified cold archive (cmd/fdb/fdb.go:210-296).
+
+    For each PDT day in [date_from, date_to] (inclusive; accepts
+    ``2015.01.01`` like the reference flags, or ISO ``2015-01-01``):
+    select flights overlapping the day's [midnight, midnight+1d) window
+    (ByTimeRange semantics), keep only flights whose FIRST 30-minute
+    timeslot is not before the window start — the midnight-straddler
+    first-day rule (fdb.go:226-233: a flight straddling midnight shows
+    up in two day queries; only the day containing its first timeslot
+    archives it) — write ``<out_root>/<YYYY-MM-DD>-flights`` and verify
+    the round trip row-for-row (sinks.archive_verified, the decode+
+    DeepEqual analog). Returns one dict per day:
+    ``{date, path, n_flights, verified}``.
+
+    The reference then deletes archived keys from the hot store in
+    ≤500-key passes; here hot-store pruning is the caller's anti-join
+    on the archived flight ids (storage mutations stay explicit). The
+    per-day driver loop mirrors the reference's day fan-out and is
+    bounded by the date range; archiving YEARS at 100 TB would instead
+    be one job writing partitionBy(date) with the same first-slot rule
+    as a column predicate."""
+    from datetime import datetime, timedelta, timezone
+    from zoneinfo import ZoneInfo
+
+    from .sinks import archive_verified
+
+    zone = ZoneInfo(tz)
+
+    def parse(d: str) -> datetime:
+        return datetime.strptime(d.replace(".", "-"), "%Y-%m-%d")
+
+    day = parse(date_from)
+    end = parse(date_to)
+    out: list[dict] = []
+    slot = 30 * 60
+    while day <= end:
+        s_local = day.replace(tzinfo=zone)
+        e_local = (day + timedelta(days=1)).replace(tzinfo=zone)
+        s = s_local.astimezone(timezone.utc).replace(tzinfo=None)
+        e = e_local.astimezone(timezone.utc).replace(tzinfo=None)
+        first_slot = (F.unix_timestamp("first_ts") / slot).cast("long") * slot
+        days_flights = flights.filter(
+            (F.col("first_ts") < F.lit(e))
+            & (F.col("last_ts") >= F.lit(s))
+            & (first_slot >= F.unix_timestamp(F.lit(s)))
+        )
+        path = f"{out_root}/{day.strftime('%Y-%m-%d')}-flights"
+        n = days_flights.count()
+        if n == 0:
+            # fdb.go:253-256: nothing to archive or verify; skip the day
+            out.append(
+                {"date": day.strftime("%Y-%m-%d"), "path": path,
+                 "n_flights": 0, "verified": None}
+            )
+        else:
+            ok = archive_verified(days_flights, path)
+            out.append(
+                {"date": day.strftime("%Y-%m-%d"), "path": path,
+                 "n_flights": n, "verified": ok}
+            )
+        day += timedelta(days=1)
+    return out

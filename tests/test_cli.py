@@ -83,3 +83,48 @@ def test_cli_format_subsecond():
                  first_epoch=1717264800.25, n_points=1)]
     line = format_rows(rows, tz="UTC")[0]
     assert "2024-06-01T18:00:00.250000+00:00" in line and "@1717264800.25" in line
+
+
+def test_cli_archiver_mode(spark, tmp_path, capsys):
+    """Archiver parity (fdb.go:210-296 via --archivefrom): per-PDT-day
+    files, midnight-straddler archived only on its first day, verified
+    round trip, empty days skipped."""
+    from datetime import datetime
+
+    # PDT 2024-06-01 spans 07:00Z Jun 1 .. 07:00Z Jun 2
+    rows = [
+        # fully inside day 1
+        ("D1", "A00001", "UAL1", None, ["AL"],
+         datetime(2024, 6, 1, 12, 0), datetime(2024, 6, 1, 13, 0), 10),
+        # straddles PDT midnight (06:30Z..07:30Z Jun 2): first slot on
+        # day 1 -> archived with day 1 ONLY
+        ("D1X", "A00002", "UAL2", None, ["AL"],
+         datetime(2024, 6, 2, 6, 30), datetime(2024, 6, 2, 7, 30), 10),
+        # fully inside day 2
+        ("D2", "A00003", "UAL3", None, ["AL"],
+         datetime(2024, 6, 2, 12, 0), datetime(2024, 6, 2, 13, 0), 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "flight_id string, icao_id string, callsign string, registration string, "
+        "tags array<string>, first_ts timestamp, last_ts timestamp, n_points int",
+    )
+    lake = str(tmp_path / "flights.parquet")
+    df.write.mode("overwrite").parquet(lake)
+    out_root = str(tmp_path / "cold")
+
+    rc = main(
+        ["--flights", lake, "--archivefrom", "2024.06.01",
+         "--archiveto", "2024.06.03", "--out", out_root],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2024-06-03: 0 flights" in out and "skipped" in out
+
+    day1 = {r["flight_id"] for r in
+            spark.read.parquet(f"{out_root}/2024-06-01-flights").collect()}
+    day2 = {r["flight_id"] for r in
+            spark.read.parquet(f"{out_root}/2024-06-02-flights").collect()}
+    assert day1 == {"D1", "D1X"}
+    assert day2 == {"D2"}
