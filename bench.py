@@ -60,6 +60,17 @@ HEADLINE = [
     # round 5: multi-way dim join, cross-split leakage composite
     "q94_local_supplier_volume",
     "q99_split_leakage",
+    # round 6: simhash banding, minhash calibration, ANN recall eval,
+    # containment, source-overlap union-minhash, zipf fit, multimodal
+    # packing, EWMA
+    "q107_simhash_hamming_pairs",
+    "q109_minhash_jaccard_est",
+    "q115_ann_recall",
+    "q117_shingle_containment",
+    "q121_source_overlap",
+    "q122_zipf_slope",
+    "q123_interleaved_packing",
+    "q114_ewma",
 ]
 
 
