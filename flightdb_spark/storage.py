@@ -147,3 +147,60 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def build_manifest(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Per-file statistics manifest for ``key`` over a parquet
+    directory: (file, min_key, max_key, n_rows) — the table-format
+    manifest pattern (Iceberg/Delta keep exactly this) on plain
+    parquet. One scan keyed by ``input_file_name()``; the output is
+    file-level metadata, thousands of rows at most, cheap to persist
+    next to the data and rebuild after compaction.
+
+    Combined with ``compact``'s range partitioning (disjoint key ranges
+    per file), the manifest turns key-range scans into reads of the
+    few covering files — ``pruned_read`` below."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(key).alias("_k"))
+        .groupBy("file")
+        .agg(
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo,
+    hi,
+    *,
+    manifest: DataFrame | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Range scan with manifest-driven file skipping: read only the
+    files whose [min_key, max_key] intersects [lo, hi], then apply the
+    exact predicate. Returns (df, files_read, files_total).
+
+    The driver materializes the FILE LIST only (file-level metadata —
+    the same thing every table format's planner collects); row data
+    never crosses. On range-partitioned layouts (``compact``) a point
+    or narrow-range lookup reads one file instead of the directory."""
+    from pyspark.sql import functions as F
+
+    m = manifest if manifest is not None else build_manifest(spark, path, key)
+    rows = m.select("file", "min_key", "max_key").collect()
+    keep = [r["file"] for r in rows if r["max_key"] >= lo and r["min_key"] <= hi]
+    pred = F.col(key).between(lo, hi)
+    if not keep:
+        return (
+            spark.read.parquet(path).filter(F.lit(False)),
+            0,
+            len(rows),
+        )
+    return spark.read.parquet(*keep).filter(pred), len(keep), len(rows)

@@ -190,3 +190,35 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert z_touched < n_touched  # two-dim clustering prunes; slab layout cannot
     # and the z-ordered copy is lossless
     assert spark.read.parquet(zdir).count() == 4096
+
+
+def test_manifest_pruned_read(spark, tmp_path):
+    """Range-partitioned layout + manifest => a narrow range scan reads
+    a strict subset of files and returns exactly the full-scan result."""
+    from flightdb_spark.storage import build_manifest, compact, pruned_read
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.range(0, 2_000_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    packed = str(tmp_path / "packed")
+    compact(spark, src, packed, key="k", target_mb=1)
+
+    manifest = build_manifest(spark, packed, "k").cache()
+    n_files = manifest.count()
+    assert n_files > 1  # compaction produced a multi-file layout
+
+    df, read, total = pruned_read(spark, packed, "k", 100, 120, manifest=manifest)
+    assert total == n_files and 0 < read < total  # skipping happened
+    expect = (
+        spark.read.parquet(packed).filter(F.col("k").between(100, 120))
+    )
+    assert df.exceptAll(expect).count() == 0
+    assert expect.exceptAll(df).count() == 0
+
+    empty, read0, _ = pruned_read(
+        spark, packed, "k", 5_000_000, 6_000_000, manifest=manifest
+    )
+    assert read0 == 0 and empty.count() == 0
+    manifest.unpersist()
