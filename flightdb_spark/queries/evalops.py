@@ -387,3 +387,176 @@ def q119_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cards.join(langs, "source").select(
         "source", "n_docs", "n_tokens", "dup_rate", "mean_quality", "top_lang"
     )
+
+
+# --- q124: positional phrase search -------------------------------------------------
+PHRASE = ("value", "table")
+
+
+@query(
+    "q124_phrase_match",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, tok, p FROM (
+        SELECT doc_id, unnest(tk) AS tok,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS p
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      ) WHERE tok IN ('{PHRASE[0]}', '{PHRASE[1]}')
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def q124_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("{P0} {P1}") through a positional posting
+    list: posexplode to (doc, term, position), filter to the phrase's
+    terms INSIDE the scan stage (only matching postings reach any
+    shuffle — q66's prefilter economics), then an adjacency equi-join
+    on (doc, position+1). The search-engine primitive the q103 inverted
+    index lacks; extends to k-word phrases with k-1 position joins, all
+    hash-equi on (doc_id, position)."""
+    docs = _docs(spark, sf_dir)
+    pos = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+        )
+        .filter(F.col("tok").isin(*PHRASE))
+        .select("doc_id", "tok", (F.col("p0") + 1).cast("long").alias("p"))
+    )
+    a = pos.filter(F.col("tok") == PHRASE[0]).select("doc_id", "p")
+    b = pos.filter(F.col("tok") == PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    return (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+q124_phrase_match.__doc__ = q124_phrase_match.__doc__.replace(
+    "{P0}", PHRASE[0]
+).replace("{P1}", PHRASE[1])
+
+
+# --- q125: LSH-kNN label prediction -------------------------------------------------
+@query(
+    "q125_lsh_knn_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, label, {_bucket_duck()} AS bucket FROM e),
+    votes AS (
+      SELECT a.vec_id, a.label AS true_label, b.label AS nbr_label,
+             COUNT(*) AS votes
+      FROM bucketed a JOIN bucketed b
+        ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, a.label, b.label
+    ),
+    ranked AS (
+      SELECT vec_id, true_label, nbr_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY votes DESC, nbr_label) AS rn
+      FROM votes
+    )
+    SELECT vec_id, true_label, pred_label,
+           pred_label = true_label AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q125_lsh_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-majority label prediction: each vector's predicted label
+    is the plurality label among its LSH-bucket neighbours (min-label
+    tiebreak, self excluded) — a kNN classifier whose neighbourhood is
+    the hash bucket, so the whole prediction is one bucket equi-join +
+    one vote aggregate, never a distance computation. The per-vector
+    correct flag is the raw material of a label-noise / label-structure
+    audit: chance-level agreement (as on this synthetic corpus, whose
+    labels are independent of the embedding geometry) means the labels
+    do NOT cluster in embedding space — exactly the verdict the audit
+    exists to catch."""
+    from .vector import _bucket_spark
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    bucketed = e.withColumn("bucket", F.expr(_bucket_spark())).drop("v")
+    a = bucketed.select("vec_id", F.col("label").alias("true_label"), "bucket")
+    b = bucketed.select(
+        F.col("vec_id").alias("_nid"), F.col("label").alias("nbr_label"), "bucket"
+    )
+    votes = (
+        a.join(b, "bucket")
+        .filter(F.col("_nid") != F.col("vec_id"))
+        .groupBy("vec_id", "true_label", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("votes").desc(), F.col("nbr_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("nbr_label").alias("pred_label"),
+            (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+# --- q126: seasonal residuals -------------------------------------------------------
+@query(
+    "q126_seasonal_residuals",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    season AS (
+      SELECT event_type, hod,
+             SUM(n) AS tot, COUNT(*) AS n_hours
+      FROM hourly GROUP BY event_type, hod
+    )
+    SELECT h.event_type, h.h AS hour_ts, CAST(h.n AS BIGINT) AS n_events,
+           ROUND(s.tot * 1.0 / s.n_hours, 6) AS seasonal_baseline,
+           ROUND(h.n - s.tot * 1.0 / s.n_hours, 6) AS residual
+    FROM hourly h
+    JOIN season s ON s.event_type = h.event_type AND s.hod = h.hod
+    WHERE ABS(h.n * s.n_hours - s.tot) > s.tot
+    """,
+)
+def q126_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: hourly event counts vs the
+    hour-of-day seasonal baseline (mean count for that hour across
+    days), emitting hours whose residual exceeds the baseline itself —
+    the traffic-anomaly primitive behind q96's outage windows. The
+    threshold compares cross-multiplied INTEGERS (|n·k - tot| > 2·tot
+    scaled), so boundary hours cannot flip between engines; the
+    reported baseline/residual round once for display. Two bounded
+    aggregates; the season table is types x 24 rows, broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    season = hourly.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_hours")
+    )
+    joined = hourly.join(F.broadcast(season), ["event_type", "hod"])
+    baseline = F.col("tot") * 1.0 / F.col("n_hours")
+    # integer-exact gate: |n - tot/k| > tot/k  <=>  |n*k - tot| > tot
+    # (residual exceeding 1x the seasonal baseline — ~p99 on this data)
+    gate = F.abs(F.col("n") * F.col("n_hours") - F.col("tot")) > F.col("tot")
+    return joined.filter(gate).select(
+        "event_type",
+        "hour_ts",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(baseline, 6).alias("seasonal_baseline"),
+        F.round(F.col("n") - baseline, 6).alias("residual"),
+    )

@@ -94,3 +94,56 @@ def test_interleaved_packing_conservation(spark, sf_dir):
     )
     assert full.filter(F.col("tot") != 1024).count() == 0
     out.unpersist()
+
+
+def test_phrase_match_against_substring(spark, sf_dir):
+    """Positional-join phrase hits == docs whose text contains the
+    phrase as a substring of the space-joined tokens (single-space
+    corpus, so LIKE is an exact cross-check)."""
+    out = REGISTRY["q124_phrase_match"].fn(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    expect = docs.filter(F.col("text").like("%value table%")).select("doc_id")
+    assert out.count() == expect.count()
+    assert out.join(expect, "doc_id", "left_anti").count() == 0
+    assert out.filter(F.col("n_occurrences") < 1).count() == 0
+    out.unpersist()
+
+
+def test_lsh_knn_classify_shape(spark, sf_dir):
+    out = REGISTRY["q125_lsh_knn_classify"].fn(spark, sf_dir).cache()
+    # one prediction per vector that has any bucket neighbour
+    assert out.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    # correct flag is consistent
+    assert (
+        out.filter(
+            (F.col("pred_label") == F.col("true_label")) != F.col("correct")
+        ).count()
+        == 0
+    )
+    # the synthetic labels are independent of embedding geometry, so
+    # accuracy sits at chance — the audit's correct verdict for this
+    # corpus ("labels don't cluster"); only the mechanics are asserted:
+    # predictions exist and every predicted label is a real label
+    labels = {
+        r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("label").collect()
+    }
+    assert out.count() > 0
+    assert {r["pred_label"] for r in out.collect()} <= labels
+    out.unpersist()
+
+
+def test_seasonal_residuals_gate(spark, sf_dir):
+    out = REGISTRY["q126_seasonal_residuals"].fn(spark, sf_dir)
+    # every emitted row exceeds the 1x-baseline gate and the columns agree
+    bad = out.filter(
+        F.abs(F.col("residual")) <= F.col("seasonal_baseline") - 1e-6
+    )
+    assert bad.count() == 0
+    recomputed = out.filter(
+        F.abs(
+            F.col("n_events") - F.col("seasonal_baseline") - F.col("residual")
+        )
+        > 1e-5
+    )
+    assert recomputed.count() == 0
