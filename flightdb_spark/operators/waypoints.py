@@ -142,3 +142,66 @@ def set_waypoints(flights: DataFrame, crossings: DataFrame) -> DataFrame:
         )
         .drop("_wp_new")
     )
+
+
+def match_waypoints_bucketed(
+    tp: DataFrame, waypoints: DataFrame, *, cell_deg: float = 0.05
+) -> DataFrame:
+    """``match_waypoints`` through a grid-cell equi-join — the scale
+    path for a LARGE waypoint dimension (the broadcast range join above
+    is right while the dim stays tiny; its cost is segments × boxes).
+
+    Both sides map to the integer lat/lon cells their bboxes cover
+    (segments are short → 1-2 cells; snap boxes are ~1 km → 1-4 cells),
+    candidates come from a hash equi-join on the cell id, duplicates
+    from multi-cell overlap collapse before the exact Arrow-batched
+    segment×box test. Identical output to match_waypoints (equality-
+    tested); the join key is (cell), so cost tracks cell co-occupancy
+    — never segments × boxes."""
+    w = W.partitionBy("flight_id", "track").orderBy("ts")
+    segs = (
+        tp.select("flight_id", "track", "ts", "lat", "lon")
+        .withColumn("lat_prev", F.lag("lat").over(w))
+        .withColumn("lon_prev", F.lag("lon").over(w))
+        .filter(F.col("lat_prev").isNotNull())
+    )
+    inv = 1.0 / cell_deg
+
+    def cells_of(lat_lo, lat_hi, lon_lo, lon_hi):
+        return F.expr(
+            f"flatten(transform(sequence(floor({lat_lo} * {inv}), "
+            f"floor({lat_hi} * {inv})), "
+            f"la -> transform(sequence(floor({lon_lo} * {inv}), "
+            f"floor({lon_hi} * {inv})), "
+            "lo -> concat(la, ':', lo))))"
+        )
+    seg_cells = segs.withColumn(
+        "cell",
+        F.explode(
+            cells_of(
+                "least(lat_prev, lat)", "greatest(lat_prev, lat)",
+                "least(lon_prev, lon)", "greatest(lon_prev, lon)",
+            )
+        ),
+    )
+    boxes = _waypoint_boxes(waypoints)
+    box_cells = boxes.withColumn(
+        "cell", F.explode(cells_of("blat_min", "blat_max", "blon_min", "blon_max"))
+    )
+    cand = (
+        seg_cells.join(box_cells, "cell")
+        .dropDuplicates(
+            ["flight_id", "track", "ts", "lat_prev", "lon_prev", "wp_name"]
+        )
+    )
+    exact = cand.filter(
+        _seg_hits_box_udf()(
+            F.col("lat_prev"), F.col("lon_prev"), F.col("lat"), F.col("lon"),
+            F.col("blat_min"), F.col("blat_max"), F.col("blon_min"), F.col("blon_max"),
+        )
+    )
+    return (
+        exact.groupBy("flight_id", "wp_name")
+        .agg(F.min("ts").alias("ts"))
+        .select("flight_id", F.col("wp_name").alias("waypoint"), "ts")
+    )

@@ -187,3 +187,47 @@ def test_hausdorff_grid_matches_exact_on_candidates(spark):
         assert v == pytest.approx(exact[p], rel=1e-9)
     # and the far pairs were pruned, not computed
     assert ("fa", "fc") not in gated and ("fa", "fb") in gated
+
+
+def test_match_waypoints_bucketed_equals_range_join(spark):
+    """The grid equi-join scale path returns exactly the broadcast
+    range join's crossings on a randomized fleet x waypoint-grid
+    workload (incl. segments spanning cell boundaries)."""
+    import random
+
+    from flightdb_spark.operators.waypoints import match_waypoints_bucketed
+
+    rnd = random.Random(7)
+    rows = []
+    for f in range(12):
+        lat, lon = 37.0 + rnd.random(), -122.5 + rnd.random()
+        for m in range(30):
+            lat += (rnd.random() - 0.45) * 0.03
+            lon += (rnd.random() - 0.5) * 0.03
+            rows.append(
+                (f"F{f}", "ADSB", T0 + timedelta(minutes=m), lat, lon, 5000.0, 250.0)
+            )
+    tp = spark.createDataFrame(
+        rows,
+        "flight_id string, track string, ts timestamp, lat double, lon double, "
+        "alt_ft double, groundspeed_kt double",
+    )
+    wps = spark.createDataFrame(
+        [
+            (f"W{i}_{j}", 37.0 + i * 0.1, -122.5 + j * 0.1)
+            for i in range(11)
+            for j in range(11)
+        ],
+        "name string, lat double, lon double",
+    )
+    base = {
+        (r["flight_id"], r["waypoint"], r["ts"])
+        for r in match_waypoints(tp, wps).collect()
+    }
+    assert base  # the random walk crosses some of the 121 fixes
+    for cell_deg in (0.05, 0.2):
+        got = {
+            (r["flight_id"], r["waypoint"], r["ts"])
+            for r in match_waypoints_bucketed(tp, wps, cell_deg=cell_deg).collect()
+        }
+        assert got == base
