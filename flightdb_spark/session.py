@@ -31,6 +31,12 @@ def get_spark(app_name: str = "flightdb_spark", *, cpus: int | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # push MIN/MAX/COUNT straight to parquet footer statistics —
+        # profile/bbox-style aggregates never touch row data
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # runtime bloom filters: build-side keys prune the probe-side
+        # SCAN of large shuffle joins (exact results, pure pruning)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("FLIGHTDB_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
