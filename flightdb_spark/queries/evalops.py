@@ -145,29 +145,15 @@ def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outliers per event type (modified
     z-score > 3.5): the robust twin of q84 — a heavy-tailed batch
     cannot widen its own gate, because both center and spread are
-    medians. Two bounded aggregate passes (exact medians; swap
-    approx_percentile at 100 TB) broadcast back over the stream."""
+    medians. Two bounded aggregate passes broadcast back over the
+    stream. Implementation: operators/robust.py::mad_outliers with
+    exact medians (the oracle anchor); the SAME operator runs
+    exact=False for the approx_percentile sketch mode at 100 TB
+    (modes pinned against each other in test_robust)."""
+    from ..operators.robust import mad_outliers
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
-    )
-    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
-    return (
-        ev.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
-        .filter((F.col("mad") > 0) & (F.abs(z) > MAD_Z_CUT))
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.round(z, 6).alias("robust_z"),
-        )
-    )
+    return mad_outliers(ev, exact=True)
 
 
 # --- q117: shingle containment -----------------------------------------------------
