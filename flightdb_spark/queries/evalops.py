@@ -546,3 +546,71 @@ def q126_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(baseline, 6).alias("seasonal_baseline"),
         F.round(F.col("n") - baseline, 6).alias("residual"),
     )
+
+
+# --- q127: near-dup recall curve ----------------------------------------------------
+def _neardup_recall_oracle() -> str:
+    # reuse the registered oracles verbatim as subqueries: the metric's
+    # ground truth and system-under-test are EXACTLY q41 and q48
+    from . import REGISTRY
+    from . import vector as _v  # noqa: F401  (side effect: registration)
+
+    exact_sql = REGISTRY["q41_embedding_near_dup"].oracle.strip()
+    lsh_sql = REGISTRY["q48_lsh_near_dup"].oracle.strip()
+    return f"""
+    WITH exact_pairs AS (SELECT vec_a, vec_b, cos_sim FROM ({exact_sql})),
+    lsh_pairs AS (SELECT vec_a, vec_b FROM ({lsh_sql})),
+    binned AS (
+      SELECT CAST(FLOOR(e.cos_sim * 10) AS BIGINT) AS sim_bin,
+             CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact_pairs e
+      LEFT JOIN lsh_pairs l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b
+    )
+    SELECT sim_bin, ROUND(sim_bin / 10.0, 1) AS sim_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_found,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS recall
+    FROM binned GROUP BY sim_bin
+    """
+
+
+@query("q127_neardup_recall", oracle=_neardup_recall_oracle())
+def q127_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall curve of the banded multi-probe LSH near-dup (q48)
+    against the exact all-pairs answer (q41), per 0.1 cosine bin —
+    LSH precision is 1.0 by construction (every emitted pair is
+    exact-verified), so recall BY SIMILARITY is the entire quality
+    story: the curve must approach 1 as similarity rises, and where it
+    sags tells you which band resolution to change. Completes the
+    calibration family (q109 MinHash error, q115 ANN recall)."""
+    from .vector import q41_embedding_near_dup, q48_lsh_near_dup
+
+    exact = q41_embedding_near_dup(spark, sf_dir).select(
+        "vec_a", "vec_b", "cos_sim"
+    )
+    lsh = q48_lsh_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("la"), F.col("vec_b").alias("lb"), F.lit(1).alias("hit")
+    )
+    binned = exact.join(
+        lsh,
+        (F.col("vec_a") == F.col("la")) & (F.col("vec_b") == F.col("lb")),
+        "left",
+    ).select(
+        F.floor(F.col("cos_sim") * 10).cast("bigint").alias("sim_bin"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return (
+        binned.groupBy("sim_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_found"),
+            F.round(F.sum("hit") * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .select(
+            "sim_bin",
+            F.round(F.col("sim_bin") / 10.0, 1).alias("sim_lo"),
+            "n_exact",
+            "n_found",
+            "recall",
+        )
+    )

@@ -147,3 +147,18 @@ def test_seasonal_residuals_gate(spark, sf_dir):
         > 1e-5
     )
     assert recomputed.count() == 0
+
+
+def test_neardup_recall_monotone_tail(spark, sf_dir):
+    """Recall per similarity bin is a valid fraction with consistent
+    counts; the documented banding recall (~0.9 on this corpus, whose
+    max pair similarity is only ~0.5) stays above 0.5 in every bin —
+    a regression here means the band/probe constants changed."""
+    rows = sorted(
+        REGISTRY["q127_neardup_recall"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["sim_bin"],
+    )
+    assert rows
+    for r in rows:
+        assert 0.5 <= r["recall"] <= 1.0
+        assert r["n_found"] <= r["n_exact"]
