@@ -8,8 +8,14 @@ real 100 TB pre-training data build runs them.
                               keep each cluster's canonical doc)
       -> span gate           (repeated 5-gram span fraction, q81)
       -> fluency gate        (corpus bigram LM, drop the worst tail)
+      -> source caps         (top-k per source by quality — the
+                              domain-balancing cap, q108 semantics)
       -> language mix        (deterministic hash-threshold sampling)
       -> split assignment    (hash-stable train/val/test column)
+      -> curriculum + packing annotations (quality decile per doc,
+                              q120 semantics; per-split concat offsets,
+                              q59 semantics partitioned by split — no
+                              global sort)
 
 Every stage is one of the tested operators (operators/textdedup.py,
 queries/textops.py semantics); this module only sequences them. Scale
@@ -39,6 +45,9 @@ class PipelineConfig:
     )  # 4-hex-digit keep thresholds on md5(doc_id)
     min_avg_logp: float = -12.0  # bigram-LM fluency floor (q69 semantics)
     max_dup_span_frac: float = 0.5  # span-dedup gate (q81 semantics)
+    source_cap: int | None = None  # top-k docs per source (None = uncapped)
+    curriculum_bins: int = 10  # quality deciles annotated on survivors
+    pack_budget: int = 512  # tokens per training sequence (annotation)
     stage_counts: dict = field(default_factory=dict)  # filled by run()
 
 
@@ -121,6 +130,55 @@ def language_mix(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).drop("_thr")
 
 
+def quality_score_col() -> F.Column:
+    """Stopword-density quality score (q108/q110/q120's shared metric)."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))) * 1.0
+        / F.size(toks)
+    )
+
+
+def source_caps(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Keep the top-``cfg.source_cap`` docs per source by quality score
+    (q108 semantics; WindowGroupLimit partial top-k). No-op when the
+    cap is None."""
+    if cfg.source_cap is None:
+        return docs
+    w = W.partitionBy("source").orderBy(
+        quality_score_col().desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cfg.source_cap)
+        .drop("_rk")
+    )
+
+
+def annotate_curriculum_and_packing(
+    docs: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Attach the training-order metadata: ``quality_bin`` (ntile of
+    the quality score — q120 semantics) and per-split concat-then-chunk
+    packing offsets (q59 semantics with the window PARTITIONED BY
+    split, the documented scale form — no global sort)."""
+    wq = W.orderBy(quality_score_col(), F.col("doc_id"))
+    wp = W.partitionBy("split").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        docs.withColumn("quality_bin", F.ntile(cfg.curriculum_bins).over(wq))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+        )
+        .withColumn(
+            "pack_bin", (F.col("start_offset") / cfg.pack_budget).cast("long")
+        )
+    )
+
+
 def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """Run the full pipeline, recording per-stage survivor counts in
     cfg.stage_counts (each count is one scalar aggregate — acceptable
@@ -137,8 +195,12 @@ def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     stages.append(("near_dedup", near_dedup(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("spans", span_gate(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("fluency", fluency_gate(stages[-1][1], cfg).localCheckpoint()))
+    stages.append(("caps", source_caps(stages[-1][1], cfg)))
     stages.append(("mix", language_mix(stages[-1][1], cfg)))
     stages.append(("split", split_assignment(stages[-1][1])))
+    stages.append(
+        ("annotate", annotate_curriculum_and_packing(stages[-1][1], cfg))
+    )
     for name, df in stages:
         cfg.stage_counts[name] = df.count()
     return stages[-1][1]

@@ -21,13 +21,35 @@ def test_pipeline_end_to_end(spark):
     # monotone shrink, nothing degenerate
     assert (
         c["raw"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"]
-        >= c["spans"] >= c["fluency"] >= c["mix"] == c["split"]
+        >= c["spans"] >= c["fluency"] >= c["caps"] >= c["mix"]
+        == c["split"] == c["annotate"]
     )
     assert c["mix"] > 0
-    # survivors are real docs with intact columns + the split assignment
-    assert out.columns == docs.columns + ["split"]
+    # survivors are real docs with intact columns + split + the
+    # curriculum/packing annotations
+    assert out.columns == docs.columns + [
+        "split", "quality_bin", "n_tokens", "start_offset", "pack_bin"
+    ]
     assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
     assert out.join(docs, "doc_id", "semi").count() == c["mix"]
+    # packing offsets are per-split contiguous: within a split, offsets
+    # are the prefix sums of n_tokens in doc_id order
+    import itertools
+
+    for split in ("train", "val", "test"):
+        rows = sorted(
+            out.filter(F.col("split") == split)
+            .select("doc_id", "n_tokens", "start_offset")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for r in rows:
+            assert r["start_offset"] == acc
+            acc += r["n_tokens"]
+    # curriculum bins partition the survivors evenly (ntile)
+    bins = {r["quality_bin"] for r in out.select("quality_bin").distinct().collect()}
+    assert bins <= set(range(1, 11))
 
 
 def test_pipeline_near_dedup_keeps_exactly_canonicals(spark):
