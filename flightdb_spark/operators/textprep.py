@@ -96,9 +96,12 @@ def bigram_avg_logp(docs: DataFrame, *, text_col: str = "text",
     itself — q69 / the pipeline fluency gate); pass a different corpus
     for held-out scoring (q102): bigrams absent from training back off
     to the +1 smoothing mass via LEFT joins (c12/c1 -> 0). Per-bigram
-    logp rounds to 6 before an exact DECIMAL accumulation, so the value
-    is independent of partial-agg merge order (double sums are not
-    associative) and identical in any engine."""
+    logp rounds to 7 dp before an exact DECIMAL accumulation and the
+    final average rounds to 5 dp — the term rounding is deliberately
+    TWO decimals finer than the output rounding, so a one-ulp engine
+    difference in ln() that flips a term's last digit (observed at
+    sf0.1) shifts the average by ~1e-7/n, far inside the 5e-6 output
+    half-window (DETERMINISM.md §5)."""
     score_bg = _bigrams(docs, text_col, id_col)
     train_bg = score_bg if train is None else _bigrams(train, text_col, id_col)
     bg_counts = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -116,15 +119,15 @@ def bigram_avg_logp(docs: DataFrame, *, text_col: str = "text",
                     (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
                     / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
                 ),
-                6,
+                7,
             ).alias("logp"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
-            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+            F.sum(F.col("logp").cast("decimal(38,7)")).cast("double")
             / F.count(F.lit(1)),
-            6,
+            5,
         ).alias("avg_logp"),
     )

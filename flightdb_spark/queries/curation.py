@@ -472,12 +472,12 @@ def q111_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
     terms AS (
       SELECT c.doc_id,
-             ROUND((c.c * 1.0 / t.n) * (ln(c.c * 1.0 / t.n) / ln(2)), 9) AS term
+             ROUND((c.c * 1.0 / t.n) * (ln(c.c * 1.0 / t.n) / ln(2)), 12) AS term
       FROM cnt c JOIN tot t USING (doc_id)
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
-           ROUND(-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE), 6) AS entropy_bits
+           ROUND(-CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 5) AS entropy_bits
     FROM terms GROUP BY doc_id
     """,
 )
@@ -485,8 +485,10 @@ def q112_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution entropy in bits — the
     gibberish/binary-noise filter (uniform noise scores ~log2(alphabet),
     natural text much lower). Per-(doc, char) counts aggregate
-    map-side; each -p*log2(p) term is rounded then accumulated in
-    DECIMAL so the sum is independent of merge order."""
+    map-side; each -p*log2(p) term rounds to 12 dp (finer than the
+    5-dp output by 7 decimals, so a one-ulp ln() flip in a term cannot
+    reach the output's rounding boundary — DETERMINISM.md §5) and
+    accumulates in DECIMAL, independent of merge order."""
     docs = _docs(spark, sf_dir)
     chars = docs.select(
         "doc_id",
@@ -498,12 +500,12 @@ def q112_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
     p = F.col("c") * 1.0 / F.col("n")
     terms = cnt.join(tot, "doc_id").select(
-        "doc_id", F.round(p * (F.log(p) / F.log(F.lit(2.0))), 9).alias("term")
+        "doc_id", F.round(p * (F.log(p) / F.log(F.lit(2.0))), 12).alias("term")
     )
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_distinct_chars"),
         F.round(
-            -F.sum(F.col("term").cast("decimal(38,9)")).cast("double"), 6
+            -F.sum(F.col("term").cast("decimal(38,12)")).cast("double"), 5
         ).alias("entropy_bits"),
     )
 

@@ -1229,7 +1229,7 @@ def q68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT b.doc_id,
-             ROUND(ln((c12 + 1.0) / (c1 + v)), 6) AS logp
+             ROUND(ln((c12 + 1.0) / (c1 + v)), 7) AS logp
       FROM bigrams b
       JOIN bg_counts USING (w1, w2)
       JOIN ug_counts USING (w1)
@@ -1237,7 +1237,7 @@ def q68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*), 5)
              AS avg_logp
     FROM scored GROUP BY doc_id
     """,
@@ -1489,7 +1489,7 @@ def q100_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM train_bg),
     scored AS (
       SELECT e.doc_id, e.split,
-             ROUND(ln((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + v)), 6) AS logp
+             ROUND(ln((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + v)), 7) AS logp
       FROM eval_bg e
       LEFT JOIN bg_counts USING (w1, w2)
       LEFT JOIN ug_counts USING (w1)
@@ -1497,7 +1497,7 @@ def q100_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, split,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*), 5)
              AS avg_logp
     FROM scored GROUP BY doc_id, split
     """,
