@@ -614,3 +614,153 @@ def q127_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall",
         )
     )
+
+
+# --- q128: PSI drift between time windows -------------------------------------------
+# Reference = first 15 days, current = the rest. Bin edges are the
+# reference window's deciles, so "no drift" reads ~0 by construction.
+PSI_SPLIT = "2024-01-16 00:00:00"
+PSI_BINS = 10
+
+
+@query(
+    "q128_psi_drift",
+    oracle=f"""
+    WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '{PSI_SPLIT}'),
+    cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '{PSI_SPLIT}'),
+    edges AS (
+      SELECT unnest(quantile_cont(value,
+               [{", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))}]))
+               AS edge
+      FROM ref
+    ),
+    rbin AS (
+      SELECT r.value,
+             COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+                       WHERE e.edge < r.value), 0) AS bin
+      FROM ref r
+    ),
+    cbin AS (
+      SELECT c.value,
+             COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+                       WHERE e.edge < c.value), 0) AS bin
+      FROM cur c
+    ),
+    rcnt AS (SELECT bin, COUNT(*) AS nr FROM rbin GROUP BY bin),
+    ccnt AS (SELECT bin, COUNT(*) AS nc FROM cbin GROUP BY bin),
+    tot AS (SELECT (SELECT COUNT(*) FROM ref) AS tr,
+                   (SELECT COUNT(*) FROM cur) AS tc),
+    terms AS (
+      SELECT r.bin,
+             ROUND((r.nr * 1.0 / t.tr - c.nc * 1.0 / t.tc)
+                   * ln((r.nr * 1.0 / t.tr) / (c.nc * 1.0 / t.tc)), 8) AS term
+      FROM rcnt r JOIN ccnt c ON c.bin = r.bin, tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,8))) AS DOUBLE), 5) AS psi
+    FROM terms
+    """,
+)
+def q128_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between a reference window (first 15 days) and the current window,
+    binned by the REFERENCE deciles — the production drift alarm
+    (<0.1 stable, >0.25 act). Decile edges are one bounded aggregate
+    broadcast back over both windows; PSI terms round at 8 dp and
+    accumulate in DECIMAL (3 decimals finer than the 5-dp output —
+    DETERMINISM.md §5). Bins with zero mass on either side would make
+    ln undefined; the inner join drops them (standard PSI practice is
+    a smoothing constant — on this data every decile is populated)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    qs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    edges_row = ref.agg(
+        F.expr(
+            f"percentile(value, array({', '.join(str(q) for q in qs)}))"
+        ).alias("edges")
+    )
+    def binned(df):
+        return (
+            df.join(F.broadcast(edges_row))
+            .select(
+                F.size(F.filter("edges", lambda e: e < F.col("value"))).alias(
+                    "bin"
+                )
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    rcnt = binned(ref).withColumnRenamed("n", "nr")
+    ccnt = binned(cur).withColumnRenamed("n", "nc")
+    tr = ref.count()
+    tc = cur.count()
+    pr = F.col("nr") * 1.0 / tr
+    pc = F.col("nc") * 1.0 / tc
+    terms = rcnt.join(ccnt, "bin").select(
+        F.round((pr - pc) * F.log(pr / pc), 8).alias("term")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,8)")).cast("double"), 5
+        ).alias("psi"),
+    )
+
+
+# --- q129: chi-square independence test ---------------------------------------------
+@query(
+    "q129_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, EXTRACT(dow FROM ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT event_type, SUM(o) AS nr FROM obs GROUP BY event_type),
+    cols_t AS (SELECT dow, SUM(o) AS nc FROM obs GROUP BY dow),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT ROUND(
+               (o.o - r.nr * 1.0 * c.nc / t.n)
+               * (o.o - r.nr * 1.0 * c.nc / t.n)
+               / (r.nr * 1.0 * c.nc / t.n), 8) AS term
+      FROM obs o
+      JOIN rows_t r ON r.event_type = o.event_type
+      JOIN cols_t c ON c.dow = o.dow, tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,8))) AS DOUBLE), 5) AS chi2
+    FROM terms
+    """,
+)
+def q129_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for independence of event type and weekday
+    — the categorical drift/association test beside q128's numeric PSI
+    and q75's correlations. Contingency cells are one bounded
+    aggregate; marginals re-join as broadcasts; each (o-e)^2/e term is
+    pure arithmetic on integers (engine-identical doubles) rounded at
+    8 dp into a DECIMAL sum, output at 5 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow_s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    # DuckDB dow: Sunday=0..Saturday=6; Spark dayofweek: Sunday=1..7
+    obs = obs.select("event_type", (F.col("dow_s") - 1).alias("dow"), "o")
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("nr"))
+    cols_t = obs.groupBy("dow").agg(F.sum("o").alias("nc"))
+    n = ev.count()
+    e = F.col("nr") * 1.0 * F.col("nc") / n
+    terms = (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .select(
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 8).alias("term")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,8)")).cast("double"), 5
+        ).alias("chi2"),
+    )

@@ -162,3 +162,21 @@ def test_neardup_recall_monotone_tail(spark, sf_dir):
     for r in rows:
         assert 0.5 <= r["recall"] <= 1.0
         assert r["n_found"] <= r["n_exact"]
+
+
+def test_psi_drift_small_on_stationary_data(spark, sf_dir):
+    """The synthetic events stream is stationary, so PSI against the
+    reference deciles must read 'stable' (<0.1); all 10 bins exist."""
+    row = REGISTRY["q128_psi_drift"].fn(spark, sf_dir).first()
+    assert row["n_bins"] == 10
+    assert 0.0 <= row["psi"] < 0.1
+
+
+def test_chi_square_nonnegative_and_cells(spark, sf_dir):
+    from flightdb_spark.tables import load_table as _lt
+
+    row = REGISTRY["q129_chi_square"].fn(spark, sf_dir).first()
+    assert row["chi2"] >= 0.0
+    ev = _lt(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    assert row["n_cells"] <= n_types * 7
