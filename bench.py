@@ -71,6 +71,13 @@ HEADLINE = [
     "q122_zipf_slope",
     "q123_interleaved_packing",
     "q114_ewma",
+    # round 6: robust/eval additions
+    "q116_mad_outliers",
+    "q119_dataset_cards",
+    "q124_phrase_match",
+    "q126_seasonal_residuals",
+    "q128_psi_drift",
+    "q129_chi_square",
 ]
 
 
