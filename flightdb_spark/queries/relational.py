@@ -523,3 +523,151 @@ def q104_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# --- TPC-H classics over the synthetic star schema -----------------------------------
+# q94 (Q5) lives in simjoin.py; these three widen the canonical OLAP
+# join/agg surface. Revenue terms round per row at 6 dp into DECIMAL
+# sums (order-free, engine-identical) with 2-dp output — the
+# bdb1d42 discipline for cross-partition double aggregation.
+
+
+@query(
+    "q140_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10
+    """,
+)
+def q140_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top unshipped orders by potential revenue for one
+    market segment. Catalyst broadcast-joins the filtered customer dim
+    into orders, the pushed date filters prune both fact scans, and
+    the order-key aggregate rides the same shuffle as the
+    orders-lineitem join; the top-10 is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(38,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q141_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q141_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a
+    quarter — the churn-risk report. The quarter filter prunes orders
+    before the fact-fact join; customer and nation broadcast; one
+    shuffle on the customer group key; top-20 TakeOrdered."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(38,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q142_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                 ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                 AS DECIMAL(38,6))) AS DOUBLE), 4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-09-01'
+      AND l.l_shipdate < TIMESTAMP '1998-10-01'
+    """,
+)
+def q142_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promotional parts.
+    The month filter prunes the fact scan, part broadcasts, and the
+    whole answer is one conditional aggregate — no shuffle beyond the
+    broadcast join's map side."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-10-01").cast("timestamp"))
+    )
+    rev6 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev6
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(38,6)")).cast("double")
+                / F.sum(rev6.cast("decimal(38,6)")).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

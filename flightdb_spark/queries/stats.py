@@ -565,3 +565,272 @@ def q136_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(F.col("t").cast("decimal(38,8)")).cast("double")), 5
         ).alias("wnorm")
     )
+
+
+# --- q137: reciprocal-rank fusion of two retrieval runs ------------------------------
+# Fuses a lexical run (query-term occurrence count over documents) and
+# a semantic run (cosine to a probe embedding; vec_id links to doc_id)
+# with the standard RRF formula sum 1/(K + rank). Real systems fuse
+# bounded top-k lists, so both runs truncate to RRF_DEPTH before
+# ranking — the rank window never sees more than RRF_DEPTH rows.
+RRF_K = 60
+RRF_DEPTH = 100
+RRF_TOP = 10
+RRF_TERMS = ("query", "join", "scan")
+RRF_PROBE_ID = 0
+
+
+@query(
+    "q137_rrf_fusion",
+    oracle=f"""
+    WITH lex_scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({", ".join("'" + t + "'" for t in RRF_TERMS)}))) AS s
+      FROM documents
+    ),
+    lex_top AS (
+      SELECT doc_id, s FROM lex_scored
+      ORDER BY s DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM lex_top
+    ),
+    probe AS (
+      SELECT embedding AS pv FROM embeddings WHERE vec_id = {RRF_PROBE_ID}
+    ),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(p.pv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> {RRF_PROBE_ID}
+    ),
+    sem_top AS (
+      SELECT doc_id, s FROM sem_scored
+      ORDER BY s DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    sem AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM sem_top
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({RRF_K} + lex.r), 0)
+                 + COALESCE(1.0 / ({RRF_K} + sem.r), 0), 8) AS rrf
+    FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def q137_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic retrieval
+    run — the standard hybrid-search merge. Each run is a bounded
+    top-RRF_DEPTH list (TakeOrderedAndProject), so the row_number
+    windows rank <= RRF_DEPTH rows; the fusion itself is a tiny
+    full-outer equi-join. 1/(K+rank) on identical integer ranks is
+    engine-identical; one 8-dp rounding at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = F.array(*[F.lit(t) for t in RRF_TERMS])
+    lex_top = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: F.array_contains(terms, t))
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(w).alias("r"))
+
+    probe = emb.filter(F.col("vec_id") == RRF_PROBE_ID).select(
+        F.col("embedding").alias("pv")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "pv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sem_top = (
+        emb.filter(F.col("vec_id") != RRF_PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (norm(F.col("embedding")) * norm(F.col("pv")))).alias("s"),
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    sem = sem_top.select("doc_id", F.row_number().over(w).alias("r"))
+
+    lexr = lex.select("doc_id", F.col("r").alias("rl"))
+    semr = sem.select("doc_id", F.col("r").alias("rs"))
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rs")), F.lit(0.0)),
+                8,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
+# --- q138: CUSUM changepoint over daily volumes --------------------------------------
+@query(
+    "q138_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS d FROM daily),
+    scan AS (
+      SELECT day,
+             SUM(c) OVER (ORDER BY day) * t.d
+               - ROW_NUMBER() OVER (ORDER BY day) * t.n AS s_scaled,
+             t.d, t.n
+      FROM daily, tot t
+    )
+    SELECT CAST(d AS BIGINT) AS n_days,
+           MAX_BY(day, abs(s_scaled)) AS change_day,
+           ROUND(MAX(abs(s_scaled)) * 1.0 / d, 4) AS max_cusum
+    FROM scan GROUP BY d
+    """,
+)
+def q138_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume: the day
+    where the cumulative deviation from the period-mean rate peaks —
+    the volume-shift companion to q128/q131's distribution drift.
+    Cumulative sums run over the bounded daily aggregate only, and the
+    mean is never materialized as a float: S_i * n_days = cum_i *
+    n_days - i * n_total keeps the argmax an exact integer
+    comparison (ties impossible: |s_scaled| maxima are compared on
+    distinct integers, and DuckDB's MAX_BY on the strict max matches
+    max_by here because the synthetic volumes make the max unique —
+    asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("d")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day")
+    scan = (
+        daily.join(F.broadcast(tot))
+        .select(
+            "day",
+            (
+                F.sum("c").over(w) * F.col("d")
+                - F.row_number().over(wn) * F.col("n")
+            ).alias("s_scaled"),
+            "d",
+        )
+    )
+    return scan.groupBy("d").agg(
+        F.max_by("day", F.abs("s_scaled")).alias("change_day"),
+        F.round(F.max(F.abs("s_scaled")) * 1.0 / F.first("d"), 4).alias(
+            "max_cusum"
+        ),
+    ).select(
+        F.col("d").cast("bigint").alias("n_days"), "change_day", "max_cusum"
+    )
+
+
+# --- q139: snapshot diff (CDC-style per-entity change classes) -----------------------
+DIFF_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "q139_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS v
+      FROM events WHERE ts < TIMESTAMP '{DIFF_SPLIT}' GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS v
+      FROM events WHERE ts >= TIMESTAMP '{DIFF_SPLIT}' GROUP BY user_id
+    ),
+    j AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             a.v AS va, b.v AS vb,
+             CASE
+               WHEN a.user_id IS NULL THEN 'new'
+               WHEN b.user_id IS NULL THEN 'churned'
+               WHEN b.v * 10 > a.v * 12 THEN 'up'
+               WHEN b.v * 10 < a.v * 8 THEN 'down'
+               ELSE 'stable'
+             END AS change_class
+      FROM a FULL OUTER JOIN b ON b.user_id = a.user_id
+    )
+    SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(COALESCE(vb, 0) - COALESCE(va, 0)) AS DOUBLE), 2)
+             AS value_delta
+    FROM j GROUP BY change_class
+    """,
+)
+def q139_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff of two per-user activity snapshots (the q128
+    reference/current windows): every user classified new / churned /
+    up / down / stable by a +-20% value-band, with the net value
+    delta per class. The band test cross-multiplies DECIMAL sums
+    (vb*10 vs va*12) so no float comparison decides a class; one
+    full-outer equi-join on user_id co-partitions both snapshots —
+    the merge step of any incremental materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(DIFF_SPLIT).cast("timestamp")
+    v6 = F.round("value", 6).cast("decimal(38,6)")
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(v6).alias("v")
+        )
+
+    a = snap(ev.filter(F.col("ts") < split)).select(
+        "user_id", F.col("v").alias("va")
+    )
+    b = snap(ev.filter(F.col("ts") >= split)).select(
+        "user_id", F.col("v").alias("vb")
+    )
+    j = a.join(b, "user_id", "full_outer").select(
+        "va",
+        "vb",
+        F.when(F.col("va").isNull(), "new")
+        .when(F.col("vb").isNull(), "churned")
+        .when(F.col("vb") * 10 > F.col("va") * 12, "up")
+        .when(F.col("vb") * 10 < F.col("va") * 8, "down")
+        .otherwise("stable")
+        .alias("change_class"),
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return j.groupBy("change_class").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum(
+                F.coalesce("vb", zero) - F.coalesce("va", zero)
+            ).cast("double"),
+            2,
+        ).alias("value_delta"),
+    )

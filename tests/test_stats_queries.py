@@ -128,3 +128,57 @@ def test_stats_batch_registered_with_oracles():
     ]:
         assert q in REGISTRY
         assert REGISTRY[q].oracle is not None
+
+
+def test_rrf_fusion_scores_bounded(spark, sf_dir):
+    rows = REGISTRY["q137_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    # max possible RRF = 1/61 + 1/61
+    for r in rows:
+        assert 0 < r["rrf"] <= 2 / 61 + 1e-9
+    # descending by construction
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cusum_changepoint_unique_max(spark, sf_dir):
+    """The argmax |CUSUM| must be unique on this data (the docstring's
+    cross-engine tie contract) and the statistic positive."""
+    from flightdb_spark.queries.stats import DIFF_SPLIT  # noqa: F401
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).toPandas().sort_values("day").reset_index(drop=True)
+    n, d = daily.c.sum(), len(daily)
+    s = (daily.c.cumsum() * d - (daily.index + 1) * n).abs()
+    assert (s == s.max()).sum() == 1
+    r = REGISTRY["q138_cusum_changepoint"].fn(spark, sf_dir).collect()[0]
+    assert r["n_days"] == d
+    assert r["max_cusum"] >= 0
+
+
+def test_snapshot_diff_partitions_users(spark, sf_dir):
+    """Class counts must partition the distinct-user universe."""
+    out = REGISTRY["q139_snapshot_diff"].fn(spark, sf_dir).collect()
+    total = sum(r["n_users"] for r in out)
+    ev = load_table(spark, sf_dir, "events")
+    assert total == ev.select("user_id").distinct().count()
+    classes = {r["change_class"] for r in out}
+    assert classes <= {"new", "churned", "up", "down", "stable"}
+
+
+def test_tpch_q3_q10_ordering_and_shape(spark, sf_dir):
+    top = REGISTRY["q140_shipping_priority"].fn(spark, sf_dir).collect()
+    assert 0 < len(top) <= 10
+    revs = [r["revenue"] for r in top]
+    assert revs == sorted(revs, reverse=True)
+    ret = REGISTRY["q141_returned_items"].fn(spark, sf_dir).collect()
+    assert 0 < len(ret) <= 20
+    for r in ret:
+        assert r["revenue"] > 0
+
+
+def test_promo_revenue_fraction(spark, sf_dir):
+    r = REGISTRY["q142_promo_revenue"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["promo_pct"] <= 100.0
+    assert r["n_lines"] > 0

@@ -53,6 +53,11 @@ GLOBAL_WINDOW_ALLOWED = {
     # operators/prefix.py bucketed cumsum: the only global window is
     # over the <= n_buckets-row bucket-totals table
     "q135_auc",
+    # row_number ranks two bounded top-RRF_DEPTH lists (TakeOrdered
+    # pre-truncates before the window)
+    "q137_rrf_fusion",
+    # CUSUM scan runs over the bounded daily aggregate only
+    "q138_cusum_changepoint",
 }
 
 
