@@ -365,3 +365,104 @@ def q49_lines_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tp = synth_trackpoints(spark, sf_dir).withColumn("track", F.lit("ADSB"))
     return as_lines_sampled_every(tp, 600.0, tiebreak="event_id").drop("track")
+
+
+# --- q143: grid-density hotspot clustering ------------------------------------------
+# DBSCAN-lite over the airspace: 0.1-deg grid cells whose point count
+# exceeds 110% of the mean cell density are "core"; core cells touching
+# (8-neighborhood) merge into hotspots via the same connected-components
+# operator the text dedup chain uses. The congestion-cluster read the
+# reference's quadtree never had.
+HOT_CELL_DEG = 10  # cells per degree (0.1 deg cells)
+HOT_NUM, HOT_DEN = 11, 10  # core iff n * n_cells * HOT_DEN >= total * HOT_NUM
+
+
+@query(
+    "q143_density_hotspots",
+    oracle=f"""
+    WITH RECURSIVE {SYNTH_TP_CTE},
+    cells AS (
+      SELECT CAST(floor(lat * {HOT_CELL_DEG}) AS BIGINT) AS cx,
+             CAST(floor(lon * {HOT_CELL_DEG}) AS BIGINT) AS cy,
+             COUNT(*) AS n
+      FROM trackpoints GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_cells FROM cells),
+    core AS (
+      SELECT c.cx, c.cy, c.n,
+             c.cx * 100000 + (c.cy + 50000) AS key
+      FROM cells c, tot t
+      WHERE c.n * t.n_cells * {HOT_DEN} >= t.total * {HOT_NUM}
+    ),
+    edges AS (
+      SELECT a.key AS src, b.key AS dst
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    reach(key, label) AS (
+      SELECT key, key FROM core
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.key
+    ),
+    comp AS (SELECT key, MIN(label) AS cluster_id FROM reach GROUP BY key)
+    SELECT p.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_points
+    FROM comp p JOIN core c ON c.key = p.key
+    GROUP BY p.cluster_id
+    """,
+)
+def q143_density_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Airspace congestion hotspots: grid cells over 110% of mean
+    density, merged across the 8-neighborhood into clusters. The core
+    threshold cross-multiplies integers (n * n_cells * 10 >= total *
+    11) so no float decides core-ness at any scale, and the relative
+    cut keeps the semantics scale-invariant. Neighbor edges come from
+    a 9-way offset explode + equi-join on the shifted cell key (never
+    a theta join); clustering is operators/textdedup.py's min-label
+    propagation + pointer jumping over the (bounded) core-cell graph.
+    """
+    from ..operators.textdedup import connected_components
+
+    tp = synth_trackpoints(spark, sf_dir)
+    cells = tp.groupBy(
+        F.floor(F.col("lat") * HOT_CELL_DEG).alias("cx"),
+        F.floor(F.col("lon") * HOT_CELL_DEG).alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    core = (
+        cells.join(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_cells") * HOT_DEN >= F.col("total") * HOT_NUM)
+        .select(
+            "cx", "cy", "n", (F.col("cx") * 100000 + F.col("cy") + 50000).alias("key")
+        )
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = core.select(
+        F.col("key").alias("src"), "cx", "cy", F.explode(offsets).alias("o")
+    ).select(
+        "src",
+        ((F.col("cx") + F.col("o.dx")) * 100000 + F.col("cy") + F.col("o.dy") + 50000).alias(
+            "nbr_key"
+        ),
+    )
+    edges = probes.join(
+        core.select(F.col("key").alias("dst")), probes.nbr_key == F.col("dst")
+    ).select("src", "dst")
+    labels = connected_components(edges, src="src", dst="dst")
+    return (
+        labels.join(core, labels.doc_id == core.key)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+    )

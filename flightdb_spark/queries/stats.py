@@ -579,11 +579,10 @@ RRF_TOP = 10
 RRF_TERMS = ("query", "join", "scan")
 RRF_PROBE_ID = 0
 
-
-@query(
-    "q137_rrf_fusion",
-    oracle=f"""
-    WITH lex_scored AS (
+# Shared CTE block: the two ranked runs, reused verbatim by q137
+# (fusion) and q144 (nDCG evaluation) so both oracles score the exact
+# same retrieval lists.
+_RUNS_SQL = f"""lex_scored AS (
       SELECT doc_id,
              len(list_filter(string_split(text, ' '),
                  t -> t IN ({", ".join("'" + t + "'" for t in RRF_TERMS)}))) AS s
@@ -618,25 +617,21 @@ RRF_PROBE_ID = 0
     sem AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
       FROM sem_top
-    )
-    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-           ROUND(COALESCE(1.0 / ({RRF_K} + lex.r), 0)
-                 + COALESCE(1.0 / ({RRF_K} + sem.r), 0), 8) AS rrf
-    FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
-    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
-    """,
-)
-def q137_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of a lexical and a semantic retrieval
-    run — the standard hybrid-search merge. Each run is a bounded
-    top-RRF_DEPTH list (TakeOrderedAndProject), so the row_number
-    windows rank <= RRF_DEPTH rows; the fusion itself is a tiny
-    full-outer equi-join. 1/(K+rank) on identical integer ranks is
-    engine-identical; one 8-dp rounding at the end."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    )"""
+
+_FUSED_SQL = f"""fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({RRF_K} + lex.r), 0)
+                   + COALESCE(1.0 / ({RRF_K} + sem.r), 0), 8) AS rrf
+      FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+    )"""
+
+
+def _lex_ranked(docs: DataFrame) -> DataFrame:
+    """(doc_id, r): the lexical run — query-term occurrence count,
+    truncated to RRF_DEPTH before the (bounded) rank window."""
     terms = F.array(*[F.lit(t) for t in RRF_TERMS])
-    lex_top = (
+    top = (
         docs.select(
             "doc_id",
             F.size(
@@ -647,8 +642,12 @@ def q137_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_DEPTH)
     )
     w = Window.orderBy(F.desc("s"), "doc_id")
-    lex = lex_top.select("doc_id", F.row_number().over(w).alias("r"))
+    return top.select("doc_id", F.row_number().over(w).alias("r"))
 
+
+def _sem_ranked(emb: DataFrame) -> DataFrame:
+    """(doc_id, r): the semantic run — cosine to the probe embedding
+    (vec_id links to doc_id), truncated to RRF_DEPTH before ranking."""
     probe = emb.filter(F.col("vec_id") == RRF_PROBE_ID).select(
         F.col("embedding").alias("pv")
     )
@@ -664,7 +663,7 @@ def q137_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    sem_top = (
+    top = (
         emb.filter(F.col("vec_id") != RRF_PROBE_ID)
         .join(F.broadcast(probe))
         .select(
@@ -674,20 +673,44 @@ def q137_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s"), "doc_id")
         .limit(RRF_DEPTH)
     )
-    sem = sem_top.select("doc_id", F.row_number().over(w).alias("r"))
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    return top.select("doc_id", F.row_number().over(w).alias("r"))
 
+
+def _fused(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """(doc_id, rrf): full-outer RRF merge of the two ranked runs."""
     lexr = lex.select("doc_id", F.col("r").alias("rl"))
     semr = sem.select("doc_id", F.col("r").alias("rs"))
+    return lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rs")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+
+
+@query(
+    "q137_rrf_fusion",
+    oracle=f"""
+    WITH {_RUNS_SQL},
+    {_FUSED_SQL}
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def q137_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic retrieval
+    run — the standard hybrid-search merge. Each run is a bounded
+    top-RRF_DEPTH list (TakeOrderedAndProject), so the row_number
+    windows rank <= RRF_DEPTH rows; the fusion itself is a tiny
+    full-outer equi-join. 1/(K+rank) on identical integer ranks is
+    engine-identical; one 8-dp rounding at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        lexr.join(semr, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.round(
-                F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("rs")), F.lit(0.0)),
-                8,
-            ).alias("rrf"),
-        )
+        _fused(_lex_ranked(docs), _sem_ranked(emb))
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(RRF_TOP)
     )
@@ -833,4 +856,105 @@ def q139_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             2,
         ).alias("value_delta"),
+    )
+
+
+# --- q144: nDCG@k of the lexical and fused rankings ----------------------------------
+# Graded relevance comes from the semantic (exact-cosine) run: the doc
+# at semantic rank r <= NDCG_K earns gain NDCG_K + 1 - r. Position
+# discounts 1/log2(i+1) are PYTHON-precomputed literals embedded in
+# both engines' queries, so no runtime log2 ULP difference can flip a
+# rounded term.
+NDCG_K = 10
+_DISCOUNTS = [1.0 / math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+_DISC_SQL = ", ".join(repr(d) for d in _DISCOUNTS)
+
+
+@query(
+    "q144_ndcg",
+    oracle=f"""
+    WITH {_RUNS_SQL},
+    {_FUSED_SQL},
+    truth AS (
+      SELECT doc_id, {NDCG_K} + 1 - r AS rel FROM sem WHERE r <= {NDCG_K}
+    ),
+    runs AS (
+      SELECT 'lexical' AS run, doc_id,
+             ROW_NUMBER() OVER (ORDER BY r) AS pos
+      FROM lex WHERE r <= {NDCG_K}
+      UNION ALL
+      SELECT 'fused' AS run, doc_id,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS pos
+      FROM (SELECT doc_id, rrf FROM fused
+            ORDER BY rrf DESC, doc_id LIMIT {NDCG_K})
+    ),
+    terms AS (
+      SELECT r.run,
+             ROUND(COALESCE(t.rel, 0) * ([{_DISC_SQL}])[r.pos], 8) AS term
+      FROM runs r LEFT JOIN truth t ON t.doc_id = r.doc_id
+    ),
+    ideal AS (
+      SELECT SUM(CAST(ROUND(({NDCG_K} + 1 - i.i) * ([{_DISC_SQL}])[i.i], 8)
+                 AS DECIMAL(38,8))) AS idcg
+      FROM (SELECT unnest(range(1, {NDCG_K} + 1)) AS i) i
+    )
+    SELECT t.run,
+           ROUND(CAST(SUM(CAST(t.term AS DECIMAL(38,8))) AS DOUBLE), 5) AS dcg,
+           ROUND(CAST(SUM(CAST(t.term AS DECIMAL(38,8))) AS DOUBLE)
+                 / CAST(d.idcg AS DOUBLE), 5) AS ndcg
+    FROM terms t, ideal d
+    GROUP BY t.run, d.idcg
+    """,
+)
+def q144_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the lexical-only and RRF-fused rankings against
+    graded relevance from the exact-cosine run — the evaluation that
+    justifies (or rejects) hybrid fusion, beside q115's ANN recall.
+    Every frame after the runs is <= NDCG_K rows; discounts are
+    precomputed Python literals so both engines multiply identical
+    doubles; terms round at 8 dp into DECIMAL sums, 5-dp output."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = _lex_ranked(docs)
+    sem = _sem_ranked(emb)
+    truth = sem.filter(F.col("r") <= NDCG_K).select(
+        "doc_id", (NDCG_K + 1 - F.col("r")).alias("rel")
+    )
+    disc = F.array(*[F.lit(d) for d in _DISCOUNTS])
+
+    lex_run = lex.filter(F.col("r") <= NDCG_K).select(
+        F.lit("lexical").alias("run"),
+        "doc_id",
+        F.row_number().over(Window.orderBy("r")).alias("pos"),
+    )
+    fused_run = (
+        _fused(lex, sem)
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(NDCG_K)
+        .select(
+            F.lit("fused").alias("run"),
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf"), "doc_id"))
+            .alias("pos"),
+        )
+    )
+    runs = lex_run.unionByName(fused_run)
+    terms = runs.join(F.broadcast(truth), "doc_id", "left").select(
+        "run",
+        F.round(
+            F.coalesce(F.col("rel"), F.lit(0)) * F.element_at(disc, F.col("pos")),
+            8,
+        ).alias("term"),
+    )
+    idcg = sum(
+        round((NDCG_K + 1 - i) * _DISCOUNTS[i - 1], 8) for i in range(1, NDCG_K + 1)
+    )
+    return terms.groupBy("run").agg(
+        F.round(F.sum(F.col("term").cast("decimal(38,8)")).cast("double"), 5).alias(
+            "dcg"
+        ),
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,8)")).cast("double") / idcg, 5
+        ).alias("ndcg"),
     )

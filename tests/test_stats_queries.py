@@ -182,3 +182,22 @@ def test_promo_revenue_fraction(spark, sf_dir):
     r = REGISTRY["q142_promo_revenue"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r["promo_pct"] <= 100.0
     assert r["n_lines"] > 0
+
+
+def test_density_hotspots_cover_core_cells(spark, sf_dir):
+    rows = REGISTRY["q143_density_hotspots"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_cells"] >= 1
+        assert r["n_points"] >= r["n_cells"]  # core cells are dense
+
+
+def test_ndcg_bounds_and_fusion_dominates_nothing_false(spark, sf_dir):
+    rows = {r["run"]: r for r in REGISTRY["q144_ndcg"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"lexical", "fused"}
+    for r in rows.values():
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert r["dcg"] >= 0.0
+    # fused includes the semantic (truth-defining) run, so it must beat
+    # the purely lexical ranking on this corpus
+    assert rows["fused"]["ndcg"] > rows["lexical"]["ndcg"]

@@ -58,6 +58,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q137_rrf_fusion",
     # CUSUM scan runs over the bounded daily aggregate only
     "q138_cusum_changepoint",
+    # rank/position windows over <= RRF_DEPTH-row truncated run lists
+    "q144_ndcg",
 }
 
 
