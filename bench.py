@@ -78,6 +78,14 @@ HEADLINE = [
     "q126_seasonal_residuals",
     "q128_psi_drift",
     "q129_chi_square",
+    # round 7: boilerplate removal, market-basket lift, distributed-
+    # prefix-sum AUC, hybrid fusion, TPC-H Q3, hotspot clustering
+    "q130_boilerplate_segments",
+    "q133_copurchase_lift",
+    "q135_auc",
+    "q137_rrf_fusion",
+    "q140_shipping_priority",
+    "q143_density_hotspots",
 ]
 
 
