@@ -99,6 +99,64 @@ def bucketed_cumsum(
     return out.drop(_BUCKET)
 
 
+def bucketed_cummax(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    exclusive: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Add ``cummax_<value_col>``: the running maximum of ``value_col``
+    over the total order of ``order_col`` — same two-phase shape as
+    ``bucketed_cumsum`` (max combines across buckets with GREATEST
+    instead of +). With ``exclusive=True`` the frame ends at the
+    previous row (NULL for the global first row), the form dominance /
+    skyline sweeps need.
+
+    Same tie contract as bucketed_cumsum: pre-collapse equal order
+    keys (e.g. groupBy(order_col).agg(max(value))) for deterministic
+    per-row results.
+    """
+    n_buckets = max(2, n_buckets)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = df.agg(
+        F.expr(
+            f"approx_percentile({order_col}, array({', '.join(str(q) for q in qs)}), 1000)"
+        ).alias("__edges")
+    )
+    bucketed = (
+        df.join(F.broadcast(edges_row))
+        .withColumn(
+            _BUCKET,
+            F.size(F.filter("__edges", lambda e: e < F.col(order_col))),
+        )
+        .drop("__edges")
+    )
+    end = -1 if exclusive else Window.currentRow
+    w_in = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = bucketed.withColumn("__local", F.max(value_col).over(w_in))
+
+    totals = bucketed.groupBy(_BUCKET).agg(F.max(value_col).alias("__tot"))
+    w_off = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _BUCKET, F.max("__tot").over(w_off).alias("__off")
+    )
+    out = local.join(F.broadcast(offsets), _BUCKET).withColumn(
+        f"cummax_{value_col}",
+        F.when(
+            F.col("__local").isNull(), F.col("__off")
+        ).when(
+            F.col("__off").isNull(), F.col("__local")
+        ).otherwise(F.greatest("__local", "__off")),
+    )
+    return out.drop(_BUCKET, "__local", "__off")
+
+
 def ecdf_counts(
     df: DataFrame, order_col: str, flag_cols: dict[str, Column], n_buckets: int = 64
 ) -> DataFrame:

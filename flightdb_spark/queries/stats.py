@@ -958,3 +958,218 @@ def q144_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(38,8)")).cast("double") / idcg, 5
         ).alias("ndcg"),
     )
+
+
+# --- q145: RFM customer segmentation -------------------------------------------------
+# Recency / Frequency / Monetary quintile codes per user, mapped to the
+# classic marketing segments. Quintile edges come from ONE exact
+# percentile over the bounded per-user aggregate and broadcast back —
+# no ntile global window (swap approx_percentile at 100 TB, same plan).
+RFM_SEGMENTS_SQL = """
+      CASE
+        WHEN r_s >= 4 AND f_s >= 4 AND m_s >= 4 THEN 'champion'
+        WHEN f_s >= 4 THEN 'loyal'
+        WHEN m_s >= 4 THEN 'big_spender'
+        WHEN r_s <= 2 AND f_s >= 3 THEN 'at_risk'
+        WHEN r_s <= 2 THEN 'hibernating'
+        ELSE 'regular'
+      END
+"""
+
+
+@query(
+    "q145_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', MAX(ts), (SELECT MAX(ts) FROM events)) AS rec,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS mon
+      FROM events GROUP BY user_id
+    ),
+    e AS (
+      SELECT quantile_cont(-rec, [0.2, 0.4, 0.6, 0.8]) AS re,
+             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fe,
+             quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS me
+      FROM u
+    ),
+    scored AS (
+      SELECT u.user_id, u.rec, u.freq, u.mon,
+             1 + len(list_filter(e.re, x -> x < -u.rec)) AS r_s,
+             1 + len(list_filter(e.fe, x -> x < u.freq)) AS f_s,
+             1 + len(list_filter(e.me, x -> x < u.mon)) AS m_s
+      FROM u, e
+    )
+    SELECT {RFM_SEGMENTS_SQL} AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(rec), 2) AS avg_recency_days,
+           ROUND(AVG(freq), 2) AS avg_frequency,
+           ROUND(CAST(SUM(CAST(ROUND(mon, 2) AS DECIMAL(38,2))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def q145_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quintile
+    scores (1-5; recency scored on -days so MORE recent = higher)
+    mapped to champion / loyal / big_spender / at_risk / hibernating /
+    regular. One shuffle builds the user aggregate; edges are a single
+    broadcast row; scoring is pure column arithmetic. avg_monetary
+    accumulates 2-dp DECIMAL terms so the float sum cannot drift
+    between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("mx"))
+    u = (
+        ev.join(F.broadcast(max_ts))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("mx"), F.max("ts")).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round("value", 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("mon"),
+        )
+    )
+    edges = u.agg(
+        F.expr("percentile(-rec, array(0.2, 0.4, 0.6, 0.8))").alias("re"),
+        F.expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").alias("fe"),
+        F.expr("percentile(mon, array(0.2, 0.4, 0.6, 0.8))").alias("me"),
+    )
+
+    def score(edge_col, val):
+        return 1 + F.size(F.filter(edge_col, lambda x: x < val))
+
+    scored = u.join(F.broadcast(edges)).select(
+        "rec",
+        "freq",
+        "mon",
+        score(F.col("re"), -F.col("rec")).alias("r_s"),
+        score(F.col("fe"), F.col("freq")).alias("f_s"),
+        score(F.col("me"), F.col("mon")).alias("m_s"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_s") >= 4) & (F.col("f_s") >= 4) & (F.col("m_s") >= 4),
+            "champion",
+        )
+        .when(F.col("f_s") >= 4, "loyal")
+        .when(F.col("m_s") >= 4, "big_spender")
+        .when((F.col("r_s") <= 2) & (F.col("f_s") >= 3), "at_risk")
+        .when(F.col("r_s") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("rec"), 2).alias("avg_recency_days"),
+        F.round(F.avg("freq"), 2).alias("avg_frequency"),
+        F.round(
+            F.sum(F.round("mon", 2).cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_monetary"),
+    )
+
+
+# --- q146: weighted median per group -------------------------------------------------
+@query(
+    "q146_weighted_median",
+    oracle="""
+    WITH pw AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS price,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, price, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY price) AS cw,
+             SUM(w) OVER (PARTITION BY grp) AS tw
+      FROM pw
+    )
+    SELECT grp AS l_returnflag,
+           ROUND(MIN(price) FILTER (WHERE 2 * cw >= tw), 2) AS wmedian_price,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY grp
+    """,
+)
+def q146_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag: the
+    smallest price whose cumulative weight reaches half the group
+    total. Equal prices pre-collapse (one row per (group, price)), the
+    cumulative window partitions by group, and the half-point test
+    cross-multiplies integers (2*cw >= tw) — no float decides the
+    median at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("grp")
+    cum = pw.select(
+        "grp",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return cum.groupBy(F.col("grp").alias("l_returnflag")).agg(
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))), 2
+        ).alias("wmedian_price"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+# --- q147: Pareto frontier (skyline) -------------------------------------------------
+@query(
+    "q147_pareto_frontier",
+    oracle="""
+    WITH best AS (
+      SELECT p_retailprice AS pr, MAX(p_size) AS bs
+      FROM part GROUP BY 1
+    ),
+    sweep AS (
+      SELECT pr, bs,
+             MAX(bs) OVER (ORDER BY pr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS em
+      FROM best
+    ),
+    front AS (SELECT pr, bs FROM sweep WHERE em IS NULL OR bs > em)
+    SELECT p.p_partkey, ROUND(p.p_retailprice, 2) AS price, p.p_size
+    FROM part p JOIN front f
+      ON p.p_retailprice = f.pr AND p.p_size = f.bs
+    """,
+)
+def q147_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog: parts no other part dominates on
+    (cheaper price, larger size) — the classic Pareto-frontier query.
+    The sweep is the exclusive running max of best-size over price
+    order, computed by operators/prefix.py's bucketed_cummax (same
+    two-phase scan-then-offset shape as the AUC prefix sum; the only
+    global window is over bucket totals). A part is on the frontier
+    iff its size strictly beats every strictly-cheaper part's."""
+    from flightdb_spark.operators.prefix import bucketed_cummax
+
+    part = load_table(spark, sf_dir, "part")
+    best = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.max("p_size").alias("bs")
+    )
+    sweep = bucketed_cummax(best, "pr", "bs", exclusive=True)
+    front = sweep.filter(
+        F.col("cummax_bs").isNull() | (F.col("bs") > F.col("cummax_bs"))
+    ).select("pr", "bs")
+    return (
+        part.join(
+            F.broadcast(front),
+            (F.col("p_retailprice") == F.col("pr"))
+            & (F.col("p_size") == F.col("bs")),
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            "p_size",
+        )
+    )

@@ -201,3 +201,70 @@ def test_ndcg_bounds_and_fusion_dominates_nothing_false(spark, sf_dir):
     # fused includes the semantic (truth-defining) run, so it must beat
     # the purely lexical ranking on this corpus
     assert rows["fused"]["ndcg"] > rows["lexical"]["ndcg"]
+
+
+def test_bucketed_cummax_matches_global_window(spark):
+    """Inclusive and exclusive running max equal the single-window
+    forms, including more buckets than rows."""
+    from flightdb_spark.operators.prefix import bucketed_cummax
+
+    df = spark.range(0, 499).select(
+        ((F.col("id") * 263) % 509).alias("k"),
+        ((F.col("id") * 31) % 97).alias("v"),
+    )
+    for exclusive in (False, True):
+        end = -1 if exclusive else Window.currentRow
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, end)
+        exp = df.withColumn("cm", F.max("v").over(w))
+        for nb in (2, 16, 1024):
+            got = bucketed_cummax(df, "k", "v", exclusive=exclusive, n_buckets=nb)
+            diff = (
+                got.select("k", F.col("cummax_v").alias("cm"))
+                .exceptAll(exp.select("k", "cm"))
+                .count()
+            )
+            assert diff == 0, f"exclusive={exclusive} nb={nb}"
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    out = REGISTRY["q145_rfm_segments"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_users"] for r in out) == ev.select("user_id").distinct().count()
+    assert {r["segment"] for r in out} <= {
+        "champion", "loyal", "big_spender", "at_risk", "hibernating", "regular",
+    }
+
+
+def test_weighted_median_is_half_point(spark, sf_dir):
+    """At least half the weight sits at or below the reported median,
+    and strictly less than half below it."""
+    rows = REGISTRY["q146_weighted_median"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    for r in rows:
+        grp = li.filter(F.col("l_returnflag") == r["l_returnflag"])
+        at_or_below = grp.filter(
+            F.col("l_extendedprice") <= r["wmedian_price"] + 0.005
+        ).agg(F.sum(F.col("l_quantity").cast("bigint"))).collect()[0][0]
+        below = grp.filter(
+            F.col("l_extendedprice") < r["wmedian_price"] - 0.005
+        ).agg(F.sum(F.col("l_quantity").cast("bigint"))).collect()[0][0] or 0
+        assert 2 * at_or_below >= r["total_weight"]
+        assert 2 * below < r["total_weight"]
+
+
+def test_pareto_frontier_is_undominated(spark, sf_dir):
+    front = REGISTRY["q147_pareto_frontier"].fn(spark, sf_dir).toPandas()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_retailprice", "p_size"
+    ).toPandas()
+    assert len(front) > 0
+    for _, f in front.iterrows():
+        dominators = part[
+            (part.p_retailprice <= f.price + 0.005)
+            & (part.p_size >= f.p_size)
+            & (
+                (part.p_retailprice < f.price - 0.005)
+                | (part.p_size > f.p_size)
+            )
+        ]
+        assert len(dominators) == 0, (f.price, f.p_size)

@@ -60,6 +60,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q138_cusum_changepoint",
     # rank/position windows over <= RRF_DEPTH-row truncated run lists
     "q144_ndcg",
+    # bucketed_cummax: the only global window is over bucket totals
+    "q147_pareto_frontier",
 }
 
 
