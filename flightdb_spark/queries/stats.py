@@ -1173,3 +1173,166 @@ def q147_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
         )
     )
+
+
+# --- q148: Gini coefficient of revenue concentration ---------------------------------
+@query(
+    "q148_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+             SUM(rev) OVER (ORDER BY rev, o_custkey) AS cumrev
+      FROM cust
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(rev) AS s FROM cust)
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM((2 * r.i - t.n - 1) * r.rev) AS DOUBLE)
+                 / (t.n * CAST(t.s AS DOUBLE)), 6) AS gini
+    FROM ranked r, tot t
+    GROUP BY t.n, t.s
+    """,
+)
+def q148_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    metric behind 'how unequal is this corpus/market' questions
+    (same math a data-mix audit runs on per-source token shares).
+    Uses the rank formula G = sum((2i - n - 1) * x_i) / (n * sum x)
+    over revenue order; rank and cumulative come from the bucketed
+    prefix-sum operator, so no global sort. Revenue pre-collapses to
+    2-dp DECIMAL (exact sums); ties on revenue are broken by customer
+    key on both engines before ranking — here revenue sums at 2 dp
+    are already unique per customer (asserted in tests), so the
+    tie-break never fires."""
+    from flightdb_spark.operators.prefix import bucketed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(38,2)")).alias("rev")
+    )
+    # rank = cumulative count over revenue order (revenues unique at
+    # this rounding; the _cumsum 'one' column IS the row number)
+    scan = bucketed_cumsum(
+        cust.select("rev", F.lit(1).alias("one")), "rev", ["one", "rev"]
+    )
+    tot = cust.agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("s"))
+    return (
+        scan.join(F.broadcast(tot))
+        .select(
+            "n",
+            "s",
+            (
+                (2 * F.col("cum_one") - F.col("n") - 1)
+                * F.col("rev").cast("double")
+            ).alias("term"),
+        )
+        .groupBy("n", "s")
+        .agg(
+            F.round(
+                F.sum("term") / (F.col("n") * F.col("s").cast("double")), 6
+            ).alias("gini")
+        )
+        .select(F.col("n").cast("bigint").alias("n_customers"), "gini")
+    )
+
+
+# --- q149: two-proportion A/B z-test -------------------------------------------------
+# Conversion = purchased in the final window (a rate that is neither 0
+# nor 1 at any SF — 'ever purchased' saturates and zeroes the pooled
+# variance on this synthetic corpus).
+AB_CONV_SPLIT = "2024-01-29 00:00:00"
+
+
+@query(
+    "q149_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT a.grp,
+             COUNT(DISTINCT e.user_id) FILTER (
+               WHERE e.event_type = 'purchase'
+                 AND e.ts >= TIMESTAMP '2024-01-29 00:00:00') AS converted,
+             COUNT(DISTINCT e.user_id) AS n
+      FROM events e JOIN assign a ON a.user_id = e.user_id
+      GROUP BY a.grp
+    ),
+    wide AS (
+      SELECT MAX(converted) FILTER (WHERE grp = 'A') AS ca,
+             MAX(n) FILTER (WHERE grp = 'A') AS na,
+             MAX(converted) FILTER (WHERE grp = 'B') AS cb,
+             MAX(n) FILTER (WHERE grp = 'B') AS nb
+      FROM conv
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ROUND((ca * 1.0 / na - cb * 1.0 / nb)
+                 / sqrt((ca + cb) * 1.0 / (na + nb)
+                        * (1 - (ca + cb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 5) AS z_score
+    FROM wide
+    """,
+)
+def q149_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for purchase conversion between two
+    deterministic md5-hash user buckets (conversion = purchase in the
+    final window) — the experiment readout
+    primitive (the hash split is q64's reshuffle-stable assignment,
+    so 'A/B' is reproducible on any engine or partitioning). All
+    inputs to the z formula are integers; the pooled-variance
+    arithmetic is identical IEEE double math on both engines, rounded
+    once at 5 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+    )
+    conv = (
+        ev.join(assign, "user_id")
+        .groupBy("grp")
+        .agg(
+            F.count_distinct(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.lit(AB_CONV_SPLIT).cast("timestamp")),
+                    F.col("user_id"),
+                )
+            ).alias("converted"),
+            F.count_distinct("user_id").alias("n"),
+        )
+    )
+    wide = conv.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("converted"))).alias("ca"),
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "B", F.col("converted"))).alias("cb"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+    )
+    p = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(
+            (F.col("ca") * 1.0 / F.col("na") - F.col("cb") * 1.0 / F.col("nb"))
+            / F.sqrt(p * (1 - p) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            5,
+        ).alias("z_score"),
+    )

@@ -268,3 +268,25 @@ def test_pareto_frontier_is_undominated(spark, sf_dir):
             )
         ]
         assert len(dominators) == 0, (f.price, f.p_size)
+
+
+def test_gini_bounds_and_unique_revenues(spark, sf_dir):
+    """Gini in [0,1); the docstring's tie contract (2-dp revenue sums
+    unique per customer) must hold on this data."""
+    r = REGISTRY["q148_gini"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["gini"] < 1.0
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(38,2)")).alias("rev")
+    )
+    assert cust.count() == cust.select("rev").distinct().count()
+    assert r["n_customers"] == cust.count()
+
+
+def test_ab_test_counts_partition_users(spark, sf_dir):
+    r = REGISTRY["q149_ab_test"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    assert r["n_a"] + r["n_b"] == ev.select("user_id").distinct().count()
+    assert 0 < r["conv_a"] < r["n_a"]
+    assert 0 < r["conv_b"] < r["n_b"]
+    assert abs(r["z_score"]) < 10

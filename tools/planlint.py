@@ -62,6 +62,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q144_ndcg",
     # bucketed_cummax: the only global window is over bucket totals
     "q147_pareto_frontier",
+    # bucketed_cumsum rank scan: only the bucket-totals window is global
+    "q148_gini",
 }
 
 
