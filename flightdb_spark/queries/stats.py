@@ -1336,3 +1336,135 @@ def q149_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("z_score"),
     )
+
+
+# --- q150: fuzzy string self-join (edit distance with q-gram prefilter) --------------
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "q150_fuzzy_name_join",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(len(a.p_name) - len(b.p_name)) <= {FUZZY_MAX_DIST}
+     AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def q150_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate catalog names within edit distance 2 — the
+    entity-resolution primitive for merging dirty dimension values.
+    The oracle states the all-pairs definition; the Spark plan never
+    builds it: candidates come from a shared-BIGRAM equi-join over the
+    distinct-name table plus a length band. No false negatives: every
+    name here has >= 6 bigrams and {FUZZY_MAX_DIST} edits destroy at
+    most 2*{FUZZY_MAX_DIST}, so any pair within distance
+    {FUZZY_MAX_DIST} still shares a bigram. levenshtein() verifies
+    candidates JVM-side (same unit-cost metric both engines)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    grams = names.select(
+        "p_name",
+        F.length("p_name").alias("ln"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(p_name) - 1), "
+                    "i -> substring(p_name, i, 2))"
+                )
+            )
+        ).alias("bg"),
+    )
+    a = grams.select(
+        F.col("p_name").alias("name_a"), F.col("ln").alias("la"), "bg"
+    )
+    b = grams.select(
+        F.col("p_name").alias("name_b"), F.col("ln").alias("lb"), "bg"
+    )
+    cand = (
+        a.join(b, "bg")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_MAX_DIST)
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    verified = cand.filter(
+        F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+    )
+    na = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        verified.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+# --- q151: sliding-window distinct counts --------------------------------------------
+SLIDE_DAYS = 7
+
+
+@query(
+    "q151_sliding_distinct",
+    oracle=f"""
+    WITH ed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ed),
+    contrib AS (
+      SELECT ed.day + CAST(s.o AS INTEGER) AS window_end, ed.user_id
+      FROM ed, LATERAL (
+        SELECT unnest(range({SLIDE_DAYS})) AS o
+      ) s, bounds b
+      WHERE ed.day + CAST(s.o AS INTEGER) <= b.hi
+    )
+    SELECT window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM contrib GROUP BY window_end
+    """,
+)
+def q151_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users over the trailing {SLIDE_DAYS}-day window
+    ending each day — the rolling-MAU primitive. Sliding distinct
+    cannot use a running sum (distinct does not subtract), so each
+    (day, user) pair explodes into the <= {SLIDE_DAYS} windows it
+    covers and one distinct aggregate per window end counts it — the
+    q96 day-bucket trick applied to windows. Fan-out is bounded by
+    the window length; the aggregate keys on (window_end, user).
+    At 100 TB swap the exact distinct for the q56 HLL-sketch merge,
+    identical plan."""
+    ev = load_table(spark, sf_dir, "events")
+    ed = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    hi = ed.agg(F.max("day").alias("hi"))
+    contrib = (
+        ed.join(F.broadcast(hi))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SLIDE_DAYS - 1))
+            ).alias("o"),
+            "day",
+            "user_id",
+            "hi",
+        )
+        .select(
+            F.date_add("day", F.col("o")).alias("window_end"), "user_id", "hi"
+        )
+        .filter(F.col("window_end") <= F.col("hi"))
+    )
+    return contrib.groupBy("window_end").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )

@@ -290,3 +290,37 @@ def test_ab_test_counts_partition_users(spark, sf_dir):
     assert 0 < r["conv_a"] < r["n_a"]
     assert 0 < r["conv_b"] < r["n_b"]
     assert abs(r["z_score"]) < 10
+
+
+def test_fuzzy_join_matches_allpairs(spark, sf_dir):
+    """The bigram-prefiltered join must equal the brute-force
+    all-pairs answer (the no-false-negative bound in the docstring)."""
+    out = REGISTRY["q150_fuzzy_name_join"].fn(spark, sf_dir)
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("na"))
+    b = names.select(F.col("p_name").alias("nb"))
+    brute = (
+        a.join(b, F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .count()
+    )
+    assert out.count() == brute
+    assert out.filter(F.col("dist") > 2).count() == 0
+
+
+def test_sliding_distinct_bounds(spark, sf_dir):
+    """Each trailing-window count is at least the single-day distinct
+    and at most the global distinct."""
+    out = {r["window_end"]: r["n_users"]
+           for r in REGISTRY["q151_sliding_distinct"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.select("user_id").distinct().count()
+    daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(out) > 0
+    for day, n in out.items():
+        assert daily.get(day, 0) <= n <= total
