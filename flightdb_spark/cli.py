@@ -31,7 +31,7 @@ PDT_TZ = "America/Los_Angeles"
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fdb", description=__doc__.splitlines()[0])
-    p.add_argument("--flights", required=True, help="flights parquet path")
+    p.add_argument("--flights", default="", help="flights parquet path")
     p.add_argument("--icao", default="", help="ICAO id for airframe (6-digit hex)")
     p.add_argument("--callsign", default="", help="callsign or registration")
     p.add_argument("--foia", action="store_true", help="FOIA data only")
@@ -45,7 +45,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--archivefrom", default="", help="2015.01.01 — archive start day (PDT)")
     p.add_argument("--archiveto", default="", help="2015.01.02 — archive end day (PDT, inclusive)")
     p.add_argument("--out", default="", help="archive output root (required with --archivefrom)")
+    # registry-query mode: run any driver-gated query by name
+    p.add_argument("--query", default="",
+                   help="registry query name (e.g. q01_pricing_summary); "
+                        "use 'list' to print all names")
+    p.add_argument("--sf-dir", default="",
+                   help="test-table dir for --query (default $SPARK_GRAFT_SF_DIR "
+                        "or /root/testdata/sf0.001)")
+    p.add_argument("--csv", default="",
+                   help="with --query: write the result as a single CSV here "
+                        "instead of printing")
     return p
+
+
+def run_query_mode(spark: SparkSession, args: argparse.Namespace) -> int:
+    """`fdb --query qNN`: run a registry query, print rows or dump CSV.
+
+    The CLI twin of the driver contract — the same registry the driver
+    grades is the one a user can invoke by name."""
+    from .queries import load_registry
+    from .tables import sf_dir_from_env
+
+    registry = load_registry()
+    if args.query == "list":
+        for name, qd in sorted(registry.items()):
+            first = (qd.doc or "").strip().splitlines()
+            print(f"{name}\t{first[0] if first else ''}")
+        return 0
+    if args.query not in registry:
+        print(f"unknown query {args.query!r}; try --query list", file=sys.stderr)
+        return 2
+    sf_dir = args.sf_dir or sf_dir_from_env()
+    df = registry[args.query].fn(spark, sf_dir)
+    if args.csv:
+        from .sinks import write_report_csv
+
+        write_report_csv(df, args.csv)
+        print(f"{args.query}: wrote {args.csv}")
+        return 0
+    rows = df.limit(args.limit).collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols))
+    return 0
 
 
 def query_from_args(flights: DataFrame, args: argparse.Namespace) -> DataFrame:
@@ -95,6 +138,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         spark = get_spark("fdb-cli")
     try:
+        if args.query:
+            return run_query_mode(spark, args)
+        if not args.flights:
+            print("--flights is required unless --query is given", file=sys.stderr)
+            return 2
         flights = spark.read.parquet(args.flights)
         if args.archivefrom:
             # archiver mode (fdb.go:382-386): day range → verified cold

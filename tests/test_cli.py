@@ -128,3 +128,40 @@ def test_cli_archiver_mode(spark, tmp_path, capsys):
             spark.read.parquet(f"{out_root}/2024-06-02-flights").collect()}
     assert day1 == {"D1", "D1X"}
     assert day2 == {"D2"}
+
+
+def test_cli_query_mode(spark, capsys):
+    rc = main(["--query", "q45_market_rollup",
+               "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"],
+              spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) >= 2  # header + rows
+    assert "\t" in out[0]
+
+
+def test_cli_query_mode_list_and_unknown(spark, capsys):
+    assert main(["--query", "list"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out
+    assert main(["--query", "nope"], spark=spark) == 2
+
+
+def test_cli_query_mode_csv(spark, tmp_path, capsys):
+    dest = str(tmp_path / "rollup.csv")
+    rc = main(["--query", "q45_market_rollup",
+               "--sf-dir", "/root/testdata/sf0.001", "--csv", dest],
+              spark=spark)
+    assert rc == 0
+    # write_report_csv emits a Spark CSV directory with one part file
+    import glob
+
+    parts = glob.glob(dest + "/part-*.csv")
+    assert len(parts) == 1
+    with open(parts[0]) as fh:
+        lines = fh.read().strip().splitlines()
+    assert len(lines) >= 2
+
+
+def test_cli_requires_flights_or_query(spark, capsys):
+    assert main([], spark=spark) == 2
