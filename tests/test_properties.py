@@ -157,3 +157,36 @@ def test_connected_components_string_ids_long_chain(spark):
     df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
     got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
     assert got == {d: "doc_a" for d in chain}
+
+
+# --- distributed prefix scan (operators/prefix.py) ----------------------------------
+# Spark-backed, so examples are few and frames small; the deterministic
+# large-frame equality lives in test_stats_queries.py.
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],  # distinct order keys (the tie contract)
+    ),
+    st.sampled_from([2, 3, 7, 64]),
+)
+def test_bucketed_cumsum_property(spark, pairs, n_buckets):
+    from pyspark.sql import functions as F
+
+    from flightdb_spark.operators.prefix import bucketed_cumsum
+
+    df = spark.createDataFrame(pairs, "k long, v long")
+    got = {
+        r["k"]: r["cum_v"]
+        for r in bucketed_cumsum(df, "k", ["v"], n_buckets=n_buckets).collect()
+    }
+    expect, acc = {}, 0
+    for k, v in sorted(pairs):
+        acc += v
+        expect[k] = acc
+    assert got == expect
