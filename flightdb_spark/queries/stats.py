@@ -1468,3 +1468,180 @@ def q151_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("window_end").agg(
         F.count_distinct("user_id").alias("n_users")
     )
+
+
+# --- q152: ABC contribution classes (Pareto 80/95) -----------------------------------
+@query(
+    "q152_abc_classes",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    scan AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY -rev, o_custkey) AS cum,
+             (SELECT SUM(rev) FROM cust) AS tot
+      FROM cust
+    ),
+    classed AS (
+      SELECT rev,
+             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM scan
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(MAX((SELECT SUM(rev) FROM cust)) AS DOUBLE), 4)
+             AS revenue_share
+    FROM classed GROUP BY abc
+    """,
+)
+def q152_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue
+    contribution: A covers the first 80% of cumulative revenue
+    (descending), B to 95%, C the tail — the inventory-management
+    read beside q148's Gini. The descending cumulative runs through
+    the bucketed prefix scan (order key = -revenue; 2-dp DECIMAL
+    revenues are tie-free, q148's asserted contract); class
+    boundaries cross-multiply DECIMAL sums so no float ratio decides
+    a class."""
+    from flightdb_spark.operators.prefix import bucketed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(38,2)")).alias("rev")
+    )
+    scan = bucketed_cumsum(
+        cust.select((-F.col("rev")).alias("neg"), "rev"), "neg", ["rev"]
+    )
+    tot = cust.agg(F.sum("rev").alias("tot"))
+    classed = scan.join(F.broadcast(tot)).select(
+        "rev",
+        "tot",
+        F.when(F.col("cum_rev") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum_rev") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("tot").cast("double"), 4
+        ).alias("revenue_share"),
+    )
+
+
+# --- q153: centroid silhouette score -------------------------------------------------
+@query(
+    "q153_silhouette",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.dim, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim) u
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS m
+      FROM dims GROUP BY label, dim
+    ),
+    cvec AS (
+      SELECT clabel, array_agg(m ORDER BY dim) AS cv FROM cent GROUP BY clabel
+    ),
+    cos AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cs
+      FROM embeddings e, cvec c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             1 - MAX(CASE WHEN clabel = label THEN cs END) AS a,
+             1 - MAX(CASE WHEN clabel <> label THEN cs END) AS b
+      FROM cos GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             ROUND((b - a) / (CASE WHEN a > b THEN a ELSE b END), 8) AS sil
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(sil AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 5)
+             AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def q153_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per label: a = cosine distance to the
+    own-label centroid, b = distance to the nearest other centroid,
+    s = (b-a)/max(a,b) — the label-separation readout beside q125's
+    bucket-vote audit and q115's recall. Centroid means accumulate in
+    DECIMAL (engine-identical doubles); every vector scores against
+    the labels-sized broadcast centroid table (one map-side pass, no
+    pair shuffle); per-vector silhouettes round at 8 dp into a
+    DECIMAL per-label mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d0", "xf")
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (F.sum(F.col("x").cast("decimal(38,10)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cvec = cent.groupBy("clabel").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform("cv", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = emb.join(F.broadcast(cvec)).select(
+        "vec_id", "label", "clabel", (dot / (vnorm * cnorm)).alias("cs")
+    )
+    ab = cos.groupBy("vec_id", "label").agg(
+        (1 - F.max(F.when(F.col("clabel") == F.col("label"), F.col("cs")))).alias("a"),
+        (1 - F.max(F.when(F.col("clabel") != F.col("label"), F.col("cs")))).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"), 8
+        ).alias("sil"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("sil").cast("decimal(38,8)")).cast("double")
+            / F.count(F.lit(1)),
+            5,
+        ).alias("mean_silhouette"),
+    )

@@ -324,3 +324,25 @@ def test_sliding_distinct_bounds(spark, sf_dir):
     assert len(out) > 0
     for day, n in out.items():
         assert daily.get(day, 0) <= n <= total
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    rows = {r["abc"]: r for r in REGISTRY["q152_abc_classes"].fn(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_users"] if "n_users" in r else r["n_customers"] for r in rows.values()) == n_cust
+    # A-class customers are fewer but carry more revenue per head
+    if "A" in rows and "C" in rows:
+        a, c = rows["A"], rows["C"]
+        assert a["revenue"] / a["n_customers"] > c["revenue"] / c["n_customers"]
+    total_share = sum(r["revenue_share"] for r in rows.values())
+    assert abs(total_share - 1.0) < 0.01
+
+
+def test_silhouette_bounds(spark, sf_dir):
+    rows = REGISTRY["q153_silhouette"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.select("label").distinct().count()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0

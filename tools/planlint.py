@@ -64,6 +64,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q147_pareto_frontier",
     # bucketed_cumsum rank scan: only the bucket-totals window is global
     "q148_gini",
+    # descending bucketed_cumsum: same bucket-totals-only global window
+    "q152_abc_classes",
 }
 
 
