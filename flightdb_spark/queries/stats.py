@@ -63,8 +63,8 @@ BOILER_MIN_FRAC = 0.04
     """,
 )
 def q130_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Remove segments repeated across >= BOILER_MIN_DOCS distinct
-    documents (corpus-level boilerplate, the C4 move) and report each
+    """Remove segments repeated across a BOILER_MIN_FRAC share of
+    distinct documents (corpus-level boilerplate, the C4 move) and report each
     document's kept/removed segment budget. Plan: slice the token
     array by index (zero-sort segmentation), one shuffle on the
     segment string for the distinct-doc frequency, one equi-join back,
@@ -73,14 +73,17 @@ def q130_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     min_docs = math.ceil(BOILER_MIN_FRAC * docs.count())
     toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    # Spark's sequence(0, -1) is DESCENDING [0, -1] (DuckDB's range(0)
+    # is empty — textops.py:34 footgun): docs shorter than one segment
+    # must produce NO rows, matching the oracle dropping them.
+    n_segs_expr = (F.floor(F.size("tok") / SEG_TOKENS) - 1).cast("int")
     segs = (
         toks.select(
             "doc_id",
             F.explode(
-                F.sequence(
-                    F.lit(0),
-                    (F.floor(F.size("tok") / SEG_TOKENS) - 1).cast("int"),
-                )
+                F.when(
+                    n_segs_expr >= 0, F.sequence(F.lit(0), n_segs_expr)
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("g"),
             "tok",
         )
@@ -213,10 +216,16 @@ def q131_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded global window: <= KS_BINS rows by construction
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    tr, tc = ref.count(), cur.count()
-    gaps = bins.select(
+    # window totals = sums over the bin table itself — no extra scan
+    # of the raw events (every row lands in exactly one bin)
+    totals = bins.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    gaps = bins.join(F.broadcast(totals)).select(
         "bin",
-        F.abs(F.sum("nr").over(w) * tc - F.sum("nc").over(w) * tr).alias("num"),
+        "tr",
+        "tc",
+        F.abs(
+            F.sum("nr").over(w) * F.col("tc") - F.sum("nc").over(w) * F.col("tr")
+        ).alias("num"),
     )
     # d_bin = the LOWEST bin achieving the max gap: max_by over
     # (num, -bin) picks highest num then lowest bin, deterministically.
@@ -225,7 +234,9 @@ def q131_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("bin", F.struct(F.col("num"), (-F.col("bin")).alias("nb")))
         .cast("bigint")
         .alias("d_bin"),
-        F.round(F.max("num") * 1.0 / (tr * tc), 6).alias("ks_d"),
+        F.round(F.max("num") * 1.0 / (F.first("tr") * F.first("tc")), 6).alias(
+            "ks_d"
+        ),
     )
 
 
@@ -318,7 +329,10 @@ def q133_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part frequencies broadcast back; final top-k is
     TakeOrderedAndProject. The classic market-basket mining shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (both self-join sides, part counts, order count):
+    # truncate lineage once instead of re-deduplicating lineitem per use
+    # (the q93 localCheckpoint pattern; reliable checkpoint on a cluster)
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     a = op.alias("a")
     b = op.alias("b")
     pairs = (
@@ -472,9 +486,13 @@ def q135_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     only global-ordered window is over the bounded bucket-totals
     table. The exact rank statistic with no global sort."""
     ev = load_table(spark, sf_dir, "events")
+    # explicit 0/1 flags: a NULL event_type is a negative (the oracle's
+    # CASE ELSE branch), where ~(NULL == x) would silently drop the row
     is_pos = F.col("event_type") == AUC_POS_TYPE
+    pos_flag = F.when(is_pos, 1).otherwise(0)
+    neg_flag = F.when(is_pos, 0).otherwise(1)
     scan = ecdf_counts(
-        ev, "value", {"pos": is_pos, "neg": ~is_pos}, n_buckets=64
+        ev, "value", {"pos": pos_flag, "neg": neg_flag}, n_buckets=64
     ).select(
         "pos", "neg", (F.col("cum_neg") - F.col("neg")).alias("neg_below")
     )
@@ -1185,9 +1203,7 @@ def q147_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
-      SELECT rev,
-             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
-             SUM(rev) OVER (ORDER BY rev, o_custkey) AS cumrev
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
       FROM cust
     ),
     tot AS (SELECT COUNT(*) AS n, SUM(rev) AS s FROM cust)
@@ -1218,23 +1234,27 @@ def q148_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank = cumulative count over revenue order (revenues unique at
     # this rounding; the _cumsum 'one' column IS the row number)
     scan = bucketed_cumsum(
-        cust.select("rev", F.lit(1).alias("one")), "rev", ["one", "rev"]
+        cust.select("rev", F.lit(1).alias("one")), "rev", ["one"]
     )
     tot = cust.agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("s"))
+    # the (2i - n - 1) * rev products stay DECIMAL (exact at these
+    # magnitudes) and sum order-free; ONE cast to double at the end —
+    # a double-accumulated sum would be partition-order dependent
     return (
         scan.join(F.broadcast(tot))
         .select(
             "n",
             "s",
-            (
-                (2 * F.col("cum_one") - F.col("n") - 1)
-                * F.col("rev").cast("double")
-            ).alias("term"),
+            ((2 * F.col("cum_one") - F.col("n") - 1) * F.col("rev")).alias(
+                "term"
+            ),
         )
         .groupBy("n", "s")
         .agg(
             F.round(
-                F.sum("term") / (F.col("n") * F.col("s").cast("double")), 6
+                F.sum("term").cast("double")
+                / (F.col("n") * F.col("s").cast("double")),
+                6,
             ).alias("gini")
         )
         .select(F.col("n").cast("bigint").alias("n_customers"), "gini")
@@ -1370,7 +1390,13 @@ def q150_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates JVM-side (same unit-cost metric both engines)."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
-    grams = names.select(
+    # The shared-bigram bound needs > 2*FUZZY_MAX_DIST bigrams, i.e.
+    # length > 2*FUZZY_MAX_DIST + 1; shorter names (none in this
+    # catalog, but the operator must be unconditionally correct) fall
+    # back to a length-band pairing below. The length guard also keeps
+    # sequence(1, length-1) ascending (textops.py:34 footgun).
+    short_len = 2 * FUZZY_MAX_DIST + 1
+    grams = names.filter(F.length("p_name") > short_len).select(
         "p_name",
         F.length("p_name").alias("ln"),
         F.explode(
@@ -1397,6 +1423,28 @@ def q150_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b")
         .distinct()
     )
+    # completeness fallback: every SHORT name pairs against the full
+    # length band (short names are rare by construction; broadcast side
+    # is their tiny subset, so this is a cheap guard, empty here)
+    shorts = names.filter(F.length("p_name") <= short_len).select(
+        F.col("p_name").alias("name_s"), F.length("p_name").alias("ls")
+    )
+    all_n = names.select(
+        F.col("p_name").alias("name_o"), F.length("p_name").alias("lo")
+    )
+    short_cand = (
+        all_n.join(
+            F.broadcast(shorts),
+            (F.col("name_s") != F.col("name_o"))
+            & (F.abs(F.col("ls") - F.col("lo")) <= FUZZY_MAX_DIST),
+        )
+        .select(
+            F.least("name_s", "name_o").alias("name_a"),
+            F.greatest("name_s", "name_o").alias("name_b"),
+        )
+        .distinct()
+    )
+    cand = cand.unionByName(short_cand).distinct()
     verified = cand.filter(
         F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
     ).select(
