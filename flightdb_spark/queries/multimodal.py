@@ -354,3 +354,87 @@ def q123_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("media_starts").cast("bigint").alias("n_media_starts"),
         )
     )
+
+
+# --- q154: video frame-level dedup ---------------------------------------------------
+# Frames of the synthetic video blobs are fixed-length byte slices
+# (ASCII corpus: char slice == byte slice, so DuckDB replays the same
+# frames from text). Within-video duplicates catch still frames /
+# loops; cross-video shared frames catch copied footage — the media
+# twin of the q28/q130 text dedup chain.
+FRAME_CHARS = 32
+
+
+@query(
+    "q154_frame_dedup",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT media_id,
+             md5(substring(text, (s.g * {FRAME_CHARS} + 1)::INT, {FRAME_CHARS})) AS fh
+      FROM vids, LATERAL (
+        SELECT unnest(range(CAST(floor(len(text) / {FRAME_CHARS}) AS BIGINT))) AS g
+      ) s
+    ),
+    within AS (
+      SELECT media_id, fh, COUNT(*) AS c FROM frames GROUP BY media_id, fh
+    ),
+    spread AS (
+      SELECT fh, COUNT(DISTINCT media_id) AS nm FROM frames GROUP BY fh
+    )
+    SELECT w.media_id,
+           CAST(SUM(w.c) AS BIGINT) AS n_frames,
+           CAST(SUM(w.c) - COUNT(*) AS BIGINT) AS n_dup_within,
+           CAST(SUM(CASE WHEN s.nm > 1 THEN w.c ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM within w JOIN spread s ON s.fh = w.fh
+    GROUP BY w.media_id
+    """,
+)
+def q154_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup over the video corpus: per video, total
+    frames, internal duplicate frames (stills/loops) and frames shared
+    with OTHER videos (copied footage). Frames are index-sliced
+    (zero-sort), hashed JVM-side; one shuffle on (media, hash) for
+    within-counts, one on hash for corpus spread, re-joined on the
+    hash key — the q28 exact-dedup economics applied to media
+    payloads. Sub-frame videos drop like the oracle (descending-
+    sequence guard, textops.py:34)."""
+    docs = _docs(spark, sf_dir)
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    n_fr = (F.floor(F.length("text") / FRAME_CHARS) - 1).cast("int")
+    frames = vids.select(
+        "media_id",
+        F.explode(
+            F.when(n_fr >= 0, F.sequence(F.lit(0), n_fr)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("g"),
+        "text",
+    ).select(
+        "media_id",
+        F.md5(
+            F.substring(
+                F.col("text"), F.col("g") * FRAME_CHARS + 1, FRAME_CHARS
+            )
+        ).alias("fh"),
+    )
+    within = frames.groupBy("media_id", "fh").agg(F.count(F.lit(1)).alias("c"))
+    spread = frames.groupBy("fh").agg(
+        F.count_distinct("media_id").alias("nm")
+    )
+    return (
+        within.join(spread, "fh")
+        .groupBy("media_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_frames"),
+            (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_dup_within"),
+            F.sum(F.when(F.col("nm") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
