@@ -1693,3 +1693,230 @@ def q153_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("mean_silhouette"),
     )
+
+
+# --- q155: vocabulary coverage curve -------------------------------------------------
+VOCAB_COVER_KS = (10, 20, 50, 100)
+
+
+@query(
+    "q155_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM vc
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vc)
+    SELECT k.k,
+           CAST(SUM(r.c) FILTER (WHERE r.r <= k.k) AS BIGINT) AS covered,
+           CAST(t.n AS BIGINT) AS total_tokens,
+           ROUND(SUM(r.c) FILTER (WHERE r.r <= k.k) * 1.0 / t.n, 6) AS coverage
+    FROM ranked r, tot t,
+         (SELECT unnest([{", ".join(str(k) for k in VOCAB_COVER_KS)}]) AS k) k
+    GROUP BY k.k, t.n
+    """,
+)
+def q155_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-k vocabulary for several k
+    — the tokenizer-budget planning curve (how much of the corpus a
+    k-entry vocab explains). The rank window runs over the AGGREGATED
+    vocabulary only (bounded by distinct tokens, q76's allowlisted
+    class); coverage ratios are integer counts divided once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    vc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = vc.select("c", F.row_number().over(w).alias("r"))
+    tot = vc.agg(F.sum("c").alias("n"))
+    ks = spark.createDataFrame([(k,) for k in VOCAB_COVER_KS], "k int")
+    return (
+        ranked.join(F.broadcast(ks))
+        .join(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("c")))
+            .cast("bigint")
+            .alias("covered")
+        )
+        .select(
+            "k",
+            "covered",
+            F.col("n").cast("bigint").alias("total_tokens"),
+            F.round(F.col("covered") * 1.0 / F.col("n"), 6).alias("coverage"),
+        )
+    )
+
+
+# --- q156: difference-in-differences -------------------------------------------------
+@query(
+    "q156_diff_in_diff",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT a.grp,
+             CASE WHEN e.ts < TIMESTAMP '{DIFF_SPLIT}' THEN 'pre' ELSE 'post' END
+               AS period,
+             CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS mean_v,
+             COUNT(*) AS n
+      FROM events e JOIN assign a ON a.user_id = e.user_id
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT MAX(mean_v) FILTER (WHERE grp='A' AND period='pre') AS a_pre,
+             MAX(mean_v) FILTER (WHERE grp='A' AND period='post') AS a_post,
+             MAX(mean_v) FILTER (WHERE grp='B' AND period='pre') AS b_pre,
+             MAX(mean_v) FILTER (WHERE grp='B' AND period='post') AS b_post,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM cells
+    )
+    SELECT ROUND(a_post - a_pre, 5) AS delta_a,
+           ROUND(b_post - b_pre, 5) AS delta_b,
+           ROUND((a_post - a_pre) - (b_post - b_pre), 5) AS did,
+           n_events
+    FROM wide
+    """,
+)
+def q156_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences point estimate: how much more group
+    A's mean event value moved across the q128 split than group B's —
+    the quasi-experimental companion to q149's A/B z-test, on the same
+    reshuffle-stable md5 user split. Four cell means from one grouped
+    aggregate (DECIMAL sums / integer counts — engine-identical
+    doubles), then pure arithmetic on a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+    )
+    split = F.lit(DIFF_SPLIT).cast("timestamp")
+    cells = (
+        ev.join(assign, "user_id")
+        .groupBy(
+            "grp",
+            F.when(F.col("ts") < split, "pre").otherwise("post").alias("period"),
+        )
+        .agg(
+            (
+                F.sum(F.round("value", 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    def cell(g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v"))
+        )
+
+    wide = cells.agg(
+        cell("A", "pre").alias("a_pre"),
+        cell("A", "post").alias("a_post"),
+        cell("B", "pre").alias("b_pre"),
+        cell("B", "post").alias("b_post"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return wide.select(
+        F.round(F.col("a_post") - F.col("a_pre"), 5).alias("delta_a"),
+        F.round(F.col("b_post") - F.col("b_pre"), 5).alias("delta_b"),
+        F.round(
+            (F.col("a_post") - F.col("a_pre")) - (F.col("b_post") - F.col("b_pre")),
+            5,
+        ).alias("did"),
+        "n_events",
+    )
+
+
+# --- q157: PMI collocation pairs -----------------------------------------------------
+PMI_MIN_PAIR_DOCS = 20
+PMI_TOP = 20
+
+
+@query(
+    "q157_pmi_pairs",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM dt),
+    tc AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cab
+      FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.tok > a.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {PMI_MIN_PAIR_DOCS}
+    )
+    SELECT p.tok_a, p.tok_b, CAST(p.cab AS BIGINT) AS n_docs,
+           ROUND(ln(p.cab * 1.0 * d.nd / (ca.c * 1.0 * cb.c)), 6) AS pmi
+    FROM pairs p
+    JOIN tc ca ON ca.tok = p.tok_a
+    JOIN tc cb ON cb.tok = p.tok_b, d
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT {PMI_TOP}
+    """,
+)
+def q157_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token collocations by document-level pointwise mutual
+    information — the phrase/topic discovery statistic beside q82's
+    BPE pair counts (co-occurrence anywhere in a doc, not adjacency).
+    Per-doc DISTINCT tokens self-join on doc_id (vocabulary-bounded
+    fan-out per doc, the q133 market-basket shape); marginals rejoin
+    as broadcasts; ln on integer ratios rounds once at 6 dp (ranking
+    on the rounded score with a full tie-break, DETERMINISM.md
+    section 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    nd = docs.count()
+    tc = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.tok") > F.col("a.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_PAIR_DOCS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(tc.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))),
+            "tok_b",
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("cab").cast("bigint").alias("n_docs"),
+            F.round(
+                F.log(F.col("cab") * 1.0 * nd / (F.col("ca") * 1.0 * F.col("cb"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(PMI_TOP)
+    )

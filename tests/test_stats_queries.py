@@ -346,3 +346,32 @@ def test_silhouette_bounds(spark, sf_dir):
     assert sum(r["n_vectors"] for r in rows) == emb.count()
     for r in rows:
         assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q155_vocab_coverage"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [10, 20, 50, 100]
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)  # more vocab never covers less
+    assert all(0 < c <= 1 for c in covs)
+    assert len({r["total_tokens"] for r in rows}) == 1
+
+
+def test_did_consistent_with_deltas(spark, sf_dir):
+    r = REGISTRY["q156_diff_in_diff"].fn(spark, sf_dir).collect()[0]
+    assert abs(r["did"] - (r["delta_a"] - r["delta_b"])) < 2e-5
+    ev = load_table(spark, sf_dir, "events")
+    assert r["n_events"] == ev.count()
+
+
+def test_pmi_pairs_shape(spark, sf_dir):
+    rows = REGISTRY["q157_pmi_pairs"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["n_docs"] >= 20
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)

@@ -66,6 +66,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q148_gini",
     # descending bucketed_cumsum: same bucket-totals-only global window
     "q152_abc_classes",
+    # frequency rank over the AGGREGATED vocabulary — q76's bounded class
+    "q155_vocab_coverage",
 }
 
 
