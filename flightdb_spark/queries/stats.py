@@ -1920,3 +1920,128 @@ def q157_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(PMI_TOP)
     )
+
+
+# --- q158: lag autocorrelation of daily volume ---------------------------------------
+ACF_LAGS = (1, 7)
+
+
+@query(
+    "q158_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS d, SUM(c) AS s, SUM(c * c) AS sq FROM daily
+    ),
+    lagged AS (
+      SELECT l.lag, a.c AS ca, b.c AS cb
+      FROM (SELECT unnest([{", ".join(str(x) for x in ACF_LAGS)}]) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    )
+    SELECT l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(ca * cb) - SUM(ca) * SUM(cb) * 1.0)
+                 / (COUNT(*) * 1.0 * (t.sq - t.s * t.s * 1.0 / t.d)), 6)
+             AS acf
+    FROM lagged l, stats t
+    GROUP BY l.lag, t.sq, t.s, t.d
+    """,
+)
+def q158_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of daily event volume — the
+    weekly-seasonality detector beside q126's hour-of-day residuals
+    and q138's changepoint. Lagged pairs come from a date-shift
+    equi-join on the bounded daily table (never a window over raw
+    events); the estimator is pure arithmetic on exact integer sums,
+    normalized by the global variance moment, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    lags = spark.createDataFrame([(x,) for x in ACF_LAGS], "lag int")
+    a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    lagged = (
+        a.join(F.broadcast(lags))
+        .join(b, F.date_add(F.col("da"), F.col("lag")) == F.col("db"))
+    )
+    return (
+        lagged.join(F.broadcast(stats))
+        .groupBy("lag", "sq", "s", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sab"),
+            F.sum("ca").alias("sa"),
+            F.sum("cb").alias("sb"),
+        )
+        .select(
+            "lag",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                (F.col("n_pairs") * F.col("sab") - F.col("sa") * F.col("sb") * 1.0)
+                / (
+                    F.col("n_pairs")
+                    * 1.0
+                    * (F.col("sq") - F.col("s") * F.col("s") * 1.0 / F.col("d"))
+                ),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+# --- q159: burstiness (index of dispersion) per event type ---------------------------
+@query(
+    "q159_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS sq
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           ROUND(s * 1.0 / n, 4) AS mean_per_hour,
+           ROUND((sq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+                 / (s * 1.0 / n), 4) AS fano
+    FROM agg
+    """,
+)
+def q159_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of ACTIVE hourly counts) per
+    event type — the burstiness gauge that separates Poisson-like
+    traffic (fano ~= 1 over occupied hours) from bursty spikes. Two
+    bounded aggregates; moments stay exact integers until the final
+    divisions (identical IEEE ops both engines). Note: hours with no
+    events are absent (occupied-hours convention, stated here because
+    zero-inflation would lower the mean and raise fano)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(mean, 4).alias("mean_per_hour"),
+        F.round(
+            (F.col("sq") * 1.0 / F.col("n") - mean * mean) / mean, 4
+        ).alias("fano"),
+    )

@@ -375,3 +375,20 @@ def test_pmi_pairs_shape(spark, sf_dir):
         assert r["n_docs"] >= 20
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_autocorrelation_bounds(spark, sf_dir):
+    rows = {r["lag"]: r for r in REGISTRY["q158_autocorrelation"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 7}
+    for r in rows.values():
+        assert -1.05 <= r["acf"] <= 1.05  # estimator can exceed [-1,1] slightly
+        assert r["n_pairs"] > 0
+
+
+def test_burstiness_covers_types(spark, sf_dir):
+    rows = REGISTRY["q159_burstiness"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert len(rows) == ev.select("event_type").distinct().count()
+    for r in rows:
+        assert r["mean_per_hour"] > 0
+        assert r["fano"] >= 0
