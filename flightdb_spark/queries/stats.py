@@ -2045,3 +2045,76 @@ def q159_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sq") * 1.0 / F.col("n") - mean * mean) / mean, 4
         ).alias("fano"),
     )
+
+
+# --- q160: referential integrity audit -----------------------------------------------
+@query(
+    "q160_integrity_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey)),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+    )
+    """,
+)
+def q160_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four FK
+    edges: orphan counts per edge — the trust-a-new-drop check beside
+    q104's per-column profile. Each edge is ONE lazy pass: left join
+    against the deduped (broadcastable) key set, orphans and the row
+    total counted in the same aggregate — no driver-side count loop,
+    the whole audit is a single union DAG. Counts are exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, fact, dim, fk, pk):
+        # one lazy aggregate per edge: orphan flag via left join on the
+        # deduped key set, counted in the same pass as the row total
+        keys = dim.select(F.col(pk).alias("__pk")).distinct()
+        return (
+            fact.select(F.col(fk).alias("__fk"))
+            .join(keys, F.col("__fk") == F.col("__pk"), "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.sum(
+                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", li, o, "l_orderkey", "o_orderkey"),
+        edge("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey"),
+        edge("lineitem.l_partkey->part", li, p, "l_partkey", "p_partkey"),
+        edge("customer.c_nationkey->nation", c, n, "c_nationkey", "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

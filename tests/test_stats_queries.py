@@ -392,3 +392,12 @@ def test_burstiness_covers_types(spark, sf_dir):
     for r in rows:
         assert r["mean_per_hour"] > 0
         assert r["fano"] >= 0
+
+
+def test_integrity_audit_clean_schema(spark, sf_dir):
+    rows = {r["fk_edge"]: r for r in REGISTRY["q160_integrity_audit"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    li_rows = load_table(spark, sf_dir, "lineitem").count()
+    assert rows["lineitem.l_orderkey->orders"]["n_rows"] == li_rows
+    # the synthetic star schema is referentially clean
+    assert all(r["n_orphans"] == 0 for r in rows.values())
