@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.arrays import index_sequence
 from ..multimodal import decode_media, media_metadata, sample_frames, synth_media
 from ..tables import ensure_parallelism, load_table
 from . import query
@@ -406,13 +407,11 @@ def q154_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = docs.filter(F.col("doc_id") % 3 == 2).select(
         F.col("doc_id").alias("media_id"), "text"
     )
-    n_fr = (F.floor(F.length("text") / FRAME_CHARS) - 1).cast("int")
     frames = vids.select(
         "media_id",
+        # empty for sub-frame videos (functions/arrays.py guard)
         F.explode(
-            F.when(n_fr >= 0, F.sequence(F.lit(0), n_fr)).otherwise(
-                F.array().cast("array<int>")
-            )
+            index_sequence(F.floor(F.length("text") / FRAME_CHARS))
         ).alias("g"),
         "text",
     ).select(

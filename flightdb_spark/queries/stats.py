@@ -15,6 +15,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flightdb_spark.functions.arrays import index_sequence
 from flightdb_spark.operators.prefix import ecdf_counts
 from flightdb_spark.tables import load_table
 
@@ -73,17 +74,13 @@ def q130_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     min_docs = math.ceil(BOILER_MIN_FRAC * docs.count())
     toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
-    # Spark's sequence(0, -1) is DESCENDING [0, -1] (DuckDB's range(0)
-    # is empty — textops.py:34 footgun): docs shorter than one segment
-    # must produce NO rows, matching the oracle dropping them.
-    n_segs_expr = (F.floor(F.size("tok") / SEG_TOKENS) - 1).cast("int")
     segs = (
         toks.select(
             "doc_id",
+            # empty for sub-segment docs (functions/arrays.py guard),
+            # matching the oracle dropping them
             F.explode(
-                F.when(
-                    n_segs_expr >= 0, F.sequence(F.lit(0), n_segs_expr)
-                ).otherwise(F.array().cast("array<int>"))
+                index_sequence(F.floor(F.size("tok") / SEG_TOKENS))
             ).alias("g"),
             "tok",
         )
@@ -1882,10 +1879,15 @@ def q157_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the rounded score with a full tie-break, DETERMINISM.md
     section 4)."""
     docs = load_table(spark, sf_dir, "documents")
+    # three consumers (marginals + both self-join sides): truncate the
+    # explode+distinct lineage once (the q133/q93 checkpoint pattern)
     dt = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    nd = docs.count()
+    ).localCheckpoint()
+    # doc universe = docs PRESENT IN dt (the oracle's COUNT(DISTINCT
+    # doc_id) FROM dt): a NULL/empty-text doc contributes no tokens
+    # and must not inflate the PMI denominator
+    nd = dt.select("doc_id").distinct().count()
     tc = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     a = dt.alias("a")
     b = dt.alias("b")
@@ -1962,10 +1964,13 @@ def q158_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    # moments in DECIMAL: long sums of count products would silently
+    # wrap at extreme scale where DuckDB's SUM promotes to HUGEINT
+    dec = "decimal(38,0)"
     stats = daily.agg(
         F.count(F.lit(1)).alias("d"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum((F.col("c").cast(dec) * F.col("c").cast(dec))).alias("sq"),
     )
     lags = spark.createDataFrame([(x,) for x in ACF_LAGS], "lag int")
     a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
@@ -1979,9 +1984,9 @@ def q158_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag", "sq", "s", "d")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.col("ca") * F.col("cb")).alias("sab"),
-            F.sum("ca").alias("sa"),
-            F.sum("cb").alias("sb"),
+            F.sum(F.col("ca").cast(dec) * F.col("cb").cast(dec)).alias("sab"),
+            F.sum(F.col("ca").cast(dec)).alias("sa"),
+            F.sum(F.col("cb").cast(dec)).alias("sb"),
         )
         .select(
             "lag",
@@ -2031,10 +2036,12 @@ def q159_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("c"))
+    # DECIMAL moments (see q158): scale-proof against long wraparound
+    dec = "decimal(38,0)"
     agg = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sq"),
     )
     mean = F.col("s") * 1.0 / F.col("n")
     return agg.select(

@@ -60,6 +60,22 @@ def _topk(sketch: dict[str, tuple[int, int]], k: int) -> list[tuple[str, int, in
     return [(it, c, e) for it, (c, e) in ranked[:k]]
 
 
+def _ordered_items(
+    pdf: pd.DataFrame, item_col: str, order_col: str | None
+) -> list[str]:
+    """Group rows in a replay-stable order: the shuffle feeding
+    applyInPandas delivers rows in fetch order (varies run to run), so
+    the sketch must impose its own order — by ``order_col`` (e.g. a
+    timestamp, item as tie-break) when given, else by item value. The
+    sketch's guarantees hold for ANY order; sorting only pins WHICH
+    within-error answer every run returns."""
+    if order_col is not None:
+        pdf = pdf.sort_values([order_col, item_col], kind="mergesort")
+    else:
+        pdf = pdf.sort_values(item_col, kind="mergesort")
+    return list(pdf[item_col].astype(str))
+
+
 def spacesaving_batch(
     df: DataFrame,
     *,
@@ -67,14 +83,14 @@ def spacesaving_batch(
     item_col: str,
     capacity: int = 32,
     k: int = 10,
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Static-frame twin: one Space-Saving pass per group in item
-    order (ts/appearance order must be pre-sorted by the caller if it
-    matters; the guarantees hold for ANY order)."""
+    """Static-frame twin: one deterministic Space-Saving pass per
+    group (rows re-ordered per ``_ordered_items``)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = pdf[grp_col].iloc[0]
-        sketch = _update({}, list(pdf[item_col].astype(str)), capacity)
+        sketch = _update({}, _ordered_items(pdf, item_col, order_col), capacity)
         rows = _topk(sketch, k)
         return pd.DataFrame(
             {
@@ -95,10 +111,12 @@ def heavy_hitters_stream(
     item_col: str,
     capacity: int = 32,
     k: int = 10,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Streaming Space-Saving per group key: state = the sketch's
     parallel arrays, output = the group's current top-k after each
-    micro-batch."""
+    micro-batch. Within a batch, rows feed the sketch in the
+    ``_ordered_items`` order so checkpoint replays are bit-identical."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def _fn(key, pdfs: Iterator[pd.DataFrame], state: "GroupState"):
@@ -111,8 +129,10 @@ def heavy_hitters_stream(
             n = int(n)
         else:
             sketch, n = {}, 0
-        for pdf in pdfs:
-            vals = list(pdf[item_col].astype(str))
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks)
+            vals = _ordered_items(batch, item_col, order_col)
             sketch = _update(sketch, vals, capacity)
             n += len(vals)
         its = sorted(sketch)  # canonical state order

@@ -89,9 +89,10 @@ def test_stream_matches_single_pass(spark, tmp_path):
     assert len(out) == 2
     final = max(out)[1].sort_values("item").reset_index(drop=True)
 
-    # order across batches matters to the sketch: replicate file order
-    all_items = [i for _, i in rows1] + [i for _, i in rows2]
-    ref = _update({}, all_items, 5)
+    # the operator feeds each micro-batch to the sketch in item-sorted
+    # order (no order_col given): replicate batch-by-batch
+    ref = _update({}, sorted(i for _, i in rows1), 5)
+    ref = _update(ref, sorted(i for _, i in rows2), 5)
     ref_rows = (
         pd.DataFrame(
             [(it, c, e) for it, (c, e) in ref.items()],
