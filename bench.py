@@ -86,6 +86,13 @@ HEADLINE = [
     "q137_rrf_fusion",
     "q140_shipping_priority",
     "q143_density_hotspots",
+    # round 7b: prefix-scan Gini, silhouette, PMI, frame dedup,
+    # integrity audit
+    "q148_gini",
+    "q153_silhouette",
+    "q157_pmi_pairs",
+    "q154_frame_dedup",
+    "q160_integrity_audit",
 ]
 
 
