@@ -2213,3 +2213,62 @@ def q161_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --- q162: weekly cohort retention triangle ------------------------------------------
+@query(
+    "q162_cohort_triangle",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    first_wk AS (
+      SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS n0 FROM first_wk GROUP BY cohort),
+    cells AS (
+      SELECT f.cohort,
+             CAST(date_diff('week', f.cohort, u.wk) AS BIGINT) AS week_n,
+             COUNT(*) AS n
+      FROM uw u JOIN first_wk f ON f.user_id = u.user_id
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort, c.week_n, CAST(c.n AS BIGINT) AS n_active,
+           CAST(s.n0 AS BIGINT) AS cohort_size,
+           ROUND(c.n * 1.0 / s.n0, 4) AS retention
+    FROM cells c JOIN sizes s ON s.cohort = c.cohort
+    """,
+)
+def q162_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weekly cohort retention triangle (first-active week x
+    weeks-since-cohort -> active fraction) — the generalization of
+    q106's D1/D7 flags into the canonical retention artifact. One
+    (user, week) distinct, a per-user min, and a co-partitioned
+    user_id join; every output ratio is integer counts divided once.
+    Week buckets are date_trunc('week') on both engines (ISO Monday
+    weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    first_wk = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first_wk.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
+    cells = (
+        uw.join(first_wk, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "week_n",
+        F.col("n").cast("bigint").alias("n_active"),
+        F.col("n0").cast("bigint").alias("cohort_size"),
+        F.round(F.col("n") * 1.0 / F.col("n0"), 4).alias("retention"),
+    )

@@ -411,3 +411,15 @@ def test_markov_accuracy_beats_uniform(spark, sf_dir):
     n_types = ev.select("event_type").distinct().count()
     assert 0 < r["n_correct"] <= r["n_transitions"]
     assert r["accuracy"] >= 1.0 / (2 * n_types)  # weak lower bound
+
+
+def test_cohort_triangle_week_zero_full(spark, sf_dir):
+    """Week 0 retention is 1.0 by definition for every cohort, and no
+    cell exceeds its cohort size."""
+    rows = REGISTRY["q162_cohort_triangle"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    wk0 = [r for r in rows if r["week_n"] == 0]
+    assert wk0 and all(r["retention"] == 1.0 for r in wk0)
+    for r in rows:
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert 0 < r["retention"] <= 1.0
