@@ -2272,3 +2272,30 @@ def q162_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("bigint").alias("cohort_size"),
         F.round(F.col("n") * 1.0 / F.col("n0"), 4).alias("retention"),
     )
+
+
+# --- q163: daily value percentile bands ----------------------------------------------
+@query(
+    "q163_percentile_bands",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q163_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99 ribbon of the event value — the monitoring
+    band chart behind every latency/value dashboard. One grouped exact
+    percentile aggregate (interpolation identical across engines, the
+    q128-edges contract); at 100 TB swap approx_percentile per the
+    q56/q74 sketch discipline, same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

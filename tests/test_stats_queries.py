@@ -423,3 +423,11 @@ def test_cohort_triangle_week_zero_full(spark, sf_dir):
     for r in rows:
         assert 0 < r["n_active"] <= r["cohort_size"]
         assert 0 < r["retention"] <= 1.0
+
+
+def test_percentile_bands_ordered(spark, sf_dir):
+    rows = REGISTRY["q163_percentile_bands"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n"] > 0
