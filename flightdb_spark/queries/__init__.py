@@ -34,6 +34,7 @@ REGISTRY: dict[str, QueryDef] = {}
 
 _MODULES = [
     "relational",
+    "relational2",
     "windows",
     "geo",
     "textops",
