@@ -35,6 +35,7 @@ REGISTRY: dict[str, QueryDef] = {}
 _MODULES = [
     "relational",
     "relational2",
+    "layout",
     "windows",
     "geo",
     "textops",

@@ -68,6 +68,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
     "q155_vocab_coverage",
+    # bucketed_cumsum compaction fill: only the bucket-totals window is
+    # global (the file inventory itself never single-tasks)
+    "q171_compaction_plan",
 }
 
 
