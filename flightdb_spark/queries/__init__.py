@@ -36,6 +36,7 @@ _MODULES = [
     "relational",
     "relational2",
     "layout",
+    "warehouse",
     "windows",
     "geo",
     "textops",
