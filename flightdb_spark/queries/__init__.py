@@ -37,6 +37,7 @@ _MODULES = [
     "relational2",
     "layout",
     "warehouse",
+    "governance",
     "windows",
     "geo",
     "textops",
