@@ -49,6 +49,7 @@ _MODULES = [
     "curation",
     "evalops",
     "stats",
+    "analytics",
 ]
 
 
