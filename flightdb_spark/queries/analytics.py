@@ -103,8 +103,11 @@ def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both engines. Plan: pushed shipdate filter on the fact
     scan, one shuffle on suppkey for the revenue aggregate, the
     1-row global max broadcast back over the bounded revenue table,
-    and the supplier dim broadcast into the final join — the fact
-    table is scanned exactly once."""
+    and the supplier dim broadcast into the final join. Spark has no
+    automatic subplan reuse, so the quarter-pruned scan+aggregate
+    runs once more for the max — at 100 TB persist the
+    supplier-bounded revenue table first and both consumers read the
+    cached rows instead."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = (
@@ -403,9 +406,10 @@ def q187_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds and the interpolation fraction is one
     identically-shaped DOUBLE expression. An observation exactly on a
     grid hour sorts before the grid row (is_obs DESC), so t0 = t and
-    the output is exactly v0. Plan: ONE shuffle on user_id serves the
-    tie-collapse, the span aggregate, and both fill windows; the grid
-    explode is bounded by the per-user hour span."""
+    the output is exactly v0. Plan: every shuffle keys on user_id
+    (the (user,t) tie-collapse, the span aggregate feeding the
+    bounded grid explode, and the partition for both fill windows —
+    which share one sort); no global window, no theta join."""
     ev = load_table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "user_id", F.unix_micros("ts").alias("t")
