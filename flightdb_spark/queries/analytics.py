@@ -82,8 +82,8 @@ _Q15_TO = "1996-04-01"
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
-                                 AS DECIMAL(38,2))) AS DOUBLE), 2)
+             ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                                 AS DECIMAL(38,4))) AS DOUBLE), 2)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM}'
@@ -120,8 +120,8 @@ def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
-                    ).cast("decimal(38,2)")
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    ).cast("decimal(38,4)")
                 ).cast("double"),
                 2,
             ).alias("total_revenue")
@@ -584,4 +584,452 @@ def q188_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — incremental join-view maintenance audit (delta-join identity)
+
+_IVM_SPLIT = "1998-01-01"
+
+
+@query(
+    "q189_ivm_delta_join",
+    oracle=f"""
+    WITH o_base AS (SELECT o_orderkey FROM orders
+                    WHERE o_orderdate < TIMESTAMP '{_IVM_SPLIT}'),
+    o_delta AS (SELECT o_orderkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '{_IVM_SPLIT}'),
+    l_base AS (SELECT l_orderkey,
+                      ROUND(l_extendedprice * (1 - l_discount), 4) AS rev
+               FROM lineitem WHERE l_shipdate < TIMESTAMP '{_IVM_SPLIT}'),
+    l_delta AS (SELECT l_orderkey,
+                       ROUND(l_extendedprice * (1 - l_discount), 4) AS rev
+                FROM lineitem WHERE l_shipdate >= TIMESTAMP '{_IVM_SPLIT}'),
+    terms AS (
+      SELECT 'base_base' AS term, COUNT(*) AS n_rows,
+             COALESCE(SUM(CAST(rev AS DECIMAL(38,4))), 0) AS rev
+      FROM o_base o JOIN l_base l ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'base_delta', COUNT(*),
+             COALESCE(SUM(CAST(rev AS DECIMAL(38,4))), 0)
+      FROM o_base o JOIN l_delta l ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'delta_base', COUNT(*),
+             COALESCE(SUM(CAST(rev AS DECIMAL(38,4))), 0)
+      FROM o_delta o JOIN l_base l ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'delta_delta', COUNT(*),
+             COALESCE(SUM(CAST(rev AS DECIMAL(38,4))), 0)
+      FROM o_delta o JOIN l_delta l ON l.l_orderkey = o.o_orderkey
+    ),
+    assembled AS (
+      SELECT 'assembled' AS term, SUM(n_rows) AS n_rows, SUM(rev) AS rev
+      FROM terms
+    ),
+    direct AS (
+      SELECT 'direct' AS term, COUNT(*) AS n_rows,
+             COALESCE(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(38,4))), 0) AS rev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT term, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue
+    FROM (SELECT * FROM terms UNION ALL
+          SELECT * FROM assembled UNION ALL
+          SELECT * FROM direct)
+    ORDER BY term
+    """,
+)
+def q189_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view, audited: with
+    orders and lineitem each split into base/delta by date, the
+    delta-join identity O⋈L = Ob⋈Lb ∪ Ob⋈ΔL ∪ ΔO⋈Lb ∪ ΔO⋈ΔL must
+    reassemble the direct join exactly (row count AND DECIMAL
+    revenue). This is the algebra a materialized-view refresher runs
+    so a nightly delta never recomputes history — q174 maintains an
+    AGGREGATE incrementally; this maintains the join itself. In
+    production only the three Δ-terms run (Ob⋈Lb is the stored
+    view); the audit here executes all terms plus the direct join to
+    prove the identity on this engine. Plan: every term is a
+    hash-equi join on the order key with BOTH date filters pushed to
+    the scans; the union is an aggregate-only assembly, so the audit
+    output is 6 bounded rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "rev"
+        ),
+    )
+    split = F.lit(_IVM_SPLIT).cast("timestamp")
+    o_b = o.filter(F.col("o_orderdate") < split)
+    o_d = o.filter(F.col("o_orderdate") >= split)
+    l_b = li.filter(F.col("l_shipdate") < split)
+    l_d = li.filter(F.col("l_shipdate") >= split)
+
+    def term(label: str, os: DataFrame, ls: DataFrame) -> DataFrame:
+        return (
+            os.join(ls, F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("rev").cast("decimal(38,4)")),
+                    F.lit(0).cast("decimal(38,4)"),
+                ).alias("rev"),
+            )
+            .select(F.lit(label).alias("term"), "n_rows", "rev")
+        )
+
+    terms = (
+        term("base_base", o_b, l_b)
+        .unionByName(term("base_delta", o_b, l_d))
+        .unionByName(term("delta_base", o_d, l_b))
+        .unionByName(term("delta_delta", o_d, l_d))
+    )
+    assembled = terms.agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("rev").alias("rev")
+    ).select(F.lit("assembled").alias("term"), "n_rows", "rev")
+    direct = term("direct", o, li)
+    return (
+        terms.unionByName(assembled)
+        .unionByName(direct)
+        .select(
+            "term",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — OLS residual prediction intervals (companion to q184)
+
+
+@query(
+    "q190_prediction_intervals",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - {_T0_US}) // {_HOUR_US} AS x,
+             ROUND(value, 6) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n,
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+             ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8)
+               AS intercept
+      FROM sums
+    ),
+    resid AS (
+      SELECT p.event_type,
+             ROUND(p.y - (f.slope * p.x + f.intercept), 6) AS r
+      FROM pts p JOIN fit f ON f.event_type = p.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(r, 0.05), 6) AS r_lo,
+           ROUND(quantile_cont(r, 0.95), 6) AS r_hi,
+           ROUND(quantile_cont(r, 0.50), 6) AS r_med
+    FROM resid GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q190_prediction_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical prediction intervals around the q184 trend fit: the
+    5th/50th/95th percentiles of per-point residuals against each
+    group's ROUNDED (slope, intercept) — the conformal-style band a
+    monitor draws around a forecast (observed value outside
+    [fit+r_lo, fit+r_hi] => alarm). Residuals use the 8-dp-rounded
+    coefficients, so both engines subtract identical constants
+    (DETERMINISM.md §6). Plan: the moment aggregate is one shuffle on
+    event_type; the |types|-row fit broadcasts back over the point
+    stream (the big side never reshuffles for the join); the exact
+    percentile aggregate is the q74 anchor — swap approx_percentile
+    at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) - {_T0_US}) div {_HOUR_US}").alias("x"),
+        F.round("value", 6).alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(num / den, 8)
+    fit = sums.select(
+        F.col("event_type").alias("f_type"),
+        slope.alias("slope"),
+        F.round((F.col("sy") - (num / den) * F.col("sx")) / F.col("n"), 8).alias(
+            "intercept"
+        ),
+    )
+    resid = pts.join(
+        F.broadcast(fit), F.col("f_type") == F.col("event_type")
+    ).select(
+        "event_type",
+        F.round(
+            F.col("y") - (F.col("slope") * F.col("x") + F.col("intercept")), 6
+        ).alias("r"),
+    )
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(r, 0.05)"), 6).alias("r_lo"),
+            F.round(F.expr("percentile(r, 0.95)"), 6).alias("r_hi"),
+            F.round(F.expr("percentile(r, 0.50)"), 6).alias("r_med"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — top principal component via integer power iteration
+
+_PCA_SCALE = 100_000_000  # loading fixed-point scale (1e-8 units)
+
+
+def _pca_iter_sql(it: int) -> str:
+    """One unrolled INTEGER power-iteration step for the DuckDB oracle.
+
+    State vu is a fixed-point BIGINT (1e-8 units, |vu| <= 1e8); the
+    matrix-vector product is exact BIGINT; rescaling divides by
+    d = max|w| // 1e8 + 1 with explicit sign * (abs // d) so DuckDB's
+    floor-divide and Spark's truncate-divide agree on negatives."""
+    prod = (
+        f"SUM(cov.cu * {_PCA_SCALE})"
+        if it == 1
+        else f"SUM(cov.cu * v{it-1}.vu)"
+    )
+    join = "" if it == 1 else f" JOIN v{it-1} ON v{it-1}.j = cov.j"
+    return f"""
+    w{it} AS (
+      SELECT cov.i, CAST({prod} AS BIGINT) AS w FROM cov{join} GROUP BY cov.i
+    ),
+    d{it} AS (
+      SELECT (MAX(ABS(w)) // {_PCA_SCALE}) + 1 AS d FROM w{it}
+    ),
+    v{it} AS (
+      SELECT i AS j,
+             (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+               * (ABS(w) // (SELECT d FROM d{it})) AS vu
+      FROM w{it}
+    )"""
+
+
+@query(
+    "q191_pca_power_iteration",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM e),
+    dims AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e
+    ),
+    means AS (
+      SELECT i,
+             ROUND(CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / (SELECT n FROM nn), 6) AS m
+      FROM dims GROUP BY i
+    ),
+    crossp AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(ROUND(a.x * b.x, 10) AS DECIMAL(38,10)))
+                  AS DOUBLE) AS sxy
+      FROM dims a JOIN dims b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    cov AS MATERIALIZED (
+      SELECT c.i AS i, c.j AS j,
+             ROUND(c.sxy / (SELECT n FROM nn) - ma.m * mb.m, 8) AS c,
+             CAST(ROUND((c.sxy / (SELECT n FROM nn) - ma.m * mb.m)
+                        * {_PCA_SCALE}) AS BIGINT) AS cu
+      FROM crossp c
+      JOIN means ma ON ma.i = c.i JOIN means mb ON mb.i = c.j
+    ),
+    {_pca_iter_sql(1)},
+    {_pca_iter_sql(2)},
+    {_pca_iter_sql(3)},
+    load AS (
+      SELECT j AS dim,
+             ROUND(vu / sqrt((SELECT SUM(vu * vu) FROM v3)), 8) AS loading
+      FROM v3
+    ),
+    rayleigh AS (
+      SELECT
+        CAST(SUM(CAST(ROUND(cov.c * la.loading * lb.loading, 12)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS num
+      FROM cov JOIN load la ON la.dim = cov.i JOIN load lb ON lb.dim = cov.j
+    ),
+    vnorm AS (
+      SELECT CAST(SUM(CAST(ROUND(loading * loading, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS den
+      FROM load
+    ),
+    trace AS (
+      SELECT CAST(SUM(CAST(c AS DECIMAL(38,8))) AS DOUBLE) AS tr
+      FROM cov WHERE i = j
+    )
+    SELECT CAST(dim AS INT) AS dim, loading,
+           ROUND((SELECT num FROM rayleigh) / (SELECT den FROM vnorm), 6)
+             AS eigenvalue,
+           ROUND((SELECT num FROM rayleigh) / (SELECT den FROM vnorm)
+                 / (SELECT tr FROM trace), 6) AS explained_ratio
+    FROM load ORDER BY dim
+    """,
+)
+def q191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration — the whitening/compression direction q113's
+    per-dim stats cannot give (variance is not covariance). The
+    covariance matrix is built in ONE corpus pass: per-vector outer
+    products expand JVM-side (nested transform → explode, no self
+    join), partial aggregation collapses the d² stream map-side, and
+    the d×d table (64×64 = 4096 rows) is localCheckpointed so the
+    iterations never rescan the corpus. The iteration state is a
+    fixed-point BIGINT vector (1e-8 units) and every matrix-vector
+    product and rescale is EXACT integer arithmetic (DETERMINISM.md
+    §2, the q86 PageRank discipline) — iterated double rounding
+    diverges across engines (1-ulp drift compounds through the
+    normalize-multiply chain; found empirically), integer state
+    cannot. Doubles appear only in one-shot terminal expressions:
+    the unit-normalized loadings, the Rayleigh quotient eigenvalue
+    vᵀCv / vᵀv, and λ/trace(C). At 100 TB the corpus pass dominates
+    and is embarrassingly parallel; iteration cost is constant."""
+    from flightdb_spark.tables import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    dims = e.select(F.posexplode("v").alias("i", "x"))
+    means = dims.groupBy("i").agg(
+        F.round(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(38,9)")).cast("double")
+            / F.lit(n),
+            6,
+        ).alias("m")
+    )
+    crossp = (
+        e.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(v, (xi, i) -> "
+                    "transform(v, (xj, j) -> "
+                    "struct(i AS i, j AS j, xi * xj AS p))))"
+                )
+            ).alias("s")
+        )
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.round(F.col("p"), 10).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sxy")
+        )
+    )
+    raw_c = F.col("sxy") / F.lit(n) - F.col("ma") * F.col("mb")
+    cov = (
+        crossp.join(
+            F.broadcast(
+                means.select(F.col("i").alias("mi"), F.col("m").alias("ma"))
+            ),
+            F.col("mi") == F.col("i"),
+        )
+        .join(
+            F.broadcast(
+                means.select(F.col("i").alias("mj"), F.col("m").alias("mb"))
+            ),
+            F.col("mj") == F.col("j"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(raw_c, 8).alias("c"),
+            F.round(raw_c * _PCA_SCALE, 0).cast("long").alias("cu"),
+        )
+        .localCheckpoint()
+    )
+    v = None  # fixed-point state (j, vu); None = constant v0 = 1.0
+    for _ in range(3):
+        if v is None:
+            w = cov.groupBy("i").agg(
+                F.sum(F.col("cu") * F.lit(_PCA_SCALE)).alias("w")
+            )
+        else:
+            w = (
+                cov.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("cu") * F.col("vu")).alias("w"))
+            )
+        d = w.agg(
+            (
+                F.expr(f"max(abs(w)) div {_PCA_SCALE}") + F.lit(1)
+            ).alias("d")
+        )
+        v = w.join(F.broadcast(d)).select(
+            F.col("i").alias("j"),
+            (
+                F.when(F.col("w") < 0, -1).otherwise(1)
+                * F.expr("abs(w) div d")
+            ).alias("vu"),
+        )
+    vnorm_int = v.agg(F.sum(F.col("vu") * F.col("vu")).alias("s2"))
+    load = v.join(F.broadcast(vnorm_int)).select(
+        F.col("j").alias("dim"),
+        F.round(F.col("vu") / F.sqrt(F.col("s2")), 8).alias("loading"),
+    )
+    la = load.select(F.col("dim").alias("ia"), F.col("loading").alias("lva"))
+    lb = load.select(F.col("dim").alias("ib"), F.col("loading").alias("lvb"))
+    rayleigh = (
+        cov.join(F.broadcast(la), F.col("ia") == F.col("i"))
+        .join(F.broadcast(lb), F.col("ib") == F.col("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("c") * F.col("lva") * F.col("lvb"), 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("num")
+        )
+    )
+    vnorm = load.agg(
+        F.sum(F.round(F.col("loading") * F.col("loading"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("den")
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("c").cast("decimal(38,8)")).cast("double").alias("tr")
+    )
+    lam = F.col("num") / F.col("den")
+    return (
+        load.join(F.broadcast(rayleigh))
+        .join(F.broadcast(vnorm))
+        .join(F.broadcast(trace))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "loading",
+            F.round(lam, 6).alias("eigenvalue"),
+            F.round(lam / F.col("tr"), 6).alias("explained_ratio"),
+        )
+        .orderBy("dim")
     )

@@ -261,7 +261,9 @@ _RANGE_PARTS = 8
     "q177_range_partition_plan",
     oracle=f"""
     WITH edges AS (
-      SELECT quantile_cont(value, [{", ".join(str(i / _RANGE_PARTS) for i in range(1, _RANGE_PARTS))}]) AS e
+      SELECT list_transform(
+               quantile_cont(value, [{", ".join(str(i / _RANGE_PARTS) for i in range(1, _RANGE_PARTS))}]),
+               x -> ROUND(x, 6)) AS e
       FROM events
     ),
     assigned AS (
@@ -294,7 +296,9 @@ def q177_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [i / _RANGE_PARTS for i in range(1, _RANGE_PARTS)]
     edges = ev.agg(
         F.expr(
-            f"percentile(value, array({', '.join(str(q) for q in qs)}))"
+            "transform(percentile(value, array("
+            + ", ".join(str(q) for q in qs)
+            + ")), x -> round(x, 6))"
         ).alias("e")
     )
     n_total = ev.agg(F.count(F.lit(1)).alias("n"))

@@ -191,3 +191,62 @@ def test_scene_cuts_planted_still(spark):
     res = {r["media_id"]: r for r in agg.collect()}
     assert res[2]["n_cuts"] == 0 and res[2]["longest_run"] == 6
     assert res[5]["n_cuts"] == 4 and res[5]["longest_run"] == 1
+
+
+def test_ivm_identity_holds(spark, sf_dir):
+    """The four delta-join terms must reassemble the direct join
+    exactly — rows and revenue."""
+    rows = {r["term"]: r for r in REGISTRY["q189_ivm_delta_join"].fn(spark, sf_dir).collect()}
+    assert rows["assembled"]["n_rows"] == rows["direct"]["n_rows"]
+    assert abs(rows["assembled"]["revenue"] - rows["direct"]["revenue"]) < 1e-6
+    term_sum = sum(
+        rows[t]["n_rows"]
+        for t in ("base_base", "base_delta", "delta_base", "delta_delta")
+    )
+    assert term_sum == rows["direct"]["n_rows"]
+
+
+def test_prediction_interval_ordering(spark, sf_dir):
+    for r in REGISTRY["q190_prediction_intervals"].fn(spark, sf_dir).collect():
+        assert r["r_lo"] <= r["r_med"] <= r["r_hi"]
+        assert r["n"] > 0
+
+
+def test_pca_loading_is_unit_and_dominant(spark, sf_dir):
+    rows = REGISTRY["q191_pca_power_iteration"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-6
+    lam = rows[0]["eigenvalue"]
+    ratio = rows[0]["explained_ratio"]
+    assert lam > 0
+    # the top eigenvalue can't explain more than the whole trace and
+    # must beat the average dimension's share (1/64)
+    assert 1.0 / 64 < ratio <= 1.0
+
+
+def test_pca_recovers_planted_direction(spark):
+    """Embeddings = strong variance along a planted axis + tiny noise:
+    the dominant loading must concentrate on that axis."""
+    import numpy as np
+    from flightdb_spark.queries.analytics import q191_pca_power_iteration
+    import pandas as pd, tempfile, os
+
+    rng = np.random.RandomState(7)
+    n, d = 200, 64
+    base = rng.normal(0, 0.01, size=(n, d))
+    base[:, 5] += np.linspace(-3, 3, n)  # dominant variance on dim 5
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [row.astype("float32") for row in base],
+            "label": np.zeros(n, dtype="int32"),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pdf.to_parquet(os.path.join(td, "embeddings.parquet"))
+        rows = q191_pca_power_iteration(spark, td).collect()
+    by_dim = {r["dim"]: r["loading"] for r in rows}
+    dominant = max(by_dim, key=lambda k: abs(by_dim[k]))
+    assert dominant == 5
+    assert abs(by_dim[5]) > 0.99
