@@ -93,6 +93,14 @@ HEADLINE = [
     "q157_pmi_pairs",
     "q154_frame_dedup",
     "q160_integrity_audit",
+    # round 8: TPC-H Q13, grouped regression, interpolating resample,
+    # scene cuts, IVM delta-join audit, integer power-iteration PCA
+    "q182_order_count_distribution",
+    "q184_group_ols",
+    "q187_resample_interpolate",
+    "q188_scene_cuts",
+    "q189_ivm_delta_join",
+    "q191_pca_power_iteration",
 ]
 
 
