@@ -47,6 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # engine and the DuckDB oracle agree regardless of which parquet
         # vintage is on disk.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read micros-NTZ parquet as session-zone TIMESTAMP directly at
+        # the scan (session tz pinned UTC above) instead of casting after
+        # the fact: a cast on top of the relation blocks parquet
+        # filter pushdown on ts, so every time-range query would read the
+        # whole fact table. With the scan typed LTZ, `ts >= lit` lands in
+        # PushedFilters (verified via explain).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
