@@ -101,6 +101,12 @@ HEADLINE = [
     "q188_scene_cuts",
     "q189_ivm_delta_join",
     "q191_pca_power_iteration",
+    # round 9: rank-statistic tests on the bucketed prefix scan,
+    # token-budget curation, IVF-cell semantic dedup
+    "q192_mann_whitney",
+    "q195_benford_audit",
+    "q196_token_budget",
+    "q197_semantic_dedup",
 ]
 
 

@@ -50,6 +50,7 @@ _MODULES = [
     "evalops",
     "stats",
     "analytics",
+    "stattests",
 ]
 
 

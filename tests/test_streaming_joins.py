@@ -1,26 +1,31 @@
-"""Stream-stream joins (streaming/joins.py): the watermarked
-attribution join matches its batch twin, and the outer variant emits
-unmatched rows exactly once."""
+"""Stream-stream interval join (streaming/joins.py): results match the
+equivalent batch interval join; out-of-horizon and wrong-user pairs
+are excluded."""
 
 import datetime as dt
 
-from flightdb_spark.streaming.joins import attribute_within_horizon
+from pyspark.sql import functions as F
+
+from flightdb_spark.streaming.joins import (
+    click_purchase_attribution,
+    stream_interval_join,
+)
 
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
 
-def _mk(spark, rows):
-    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
 
 
-def _run(spark, tmp_path, imps, clicks, name, how="inner"):
-    idir, cdir = str(tmp_path / f"{name}_i"), str(tmp_path / f"{name}_c")
-    imps.coalesce(1).write.parquet(idir)
-    clicks.coalesce(1).write.parquet(cdir)
-    si = spark.readStream.schema(imps.schema).parquet(idir)
-    sc = spark.readStream.schema(clicks.schema).parquet(cdir)
+def _run(spark, tmp_path, df, fn, name):
+    src = str(tmp_path / f"{name}_in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
     q = (
-        attribute_within_horizon(si, sc, how=how)
+        fn(stream)
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
@@ -32,42 +37,68 @@ def _run(spark, tmp_path, imps, clicks, name, how="inner"):
     return spark.table(name)
 
 
-IMPS = [
-    (10, T0, 1),
-    (11, T0 + dt.timedelta(minutes=5), 1),
-    (12, T0 + dt.timedelta(minutes=2), 2),
-    (13, T0, 3),  # user 3 never clicks
-    # flush row: pushes the global watermark (min across sources - 30m)
-    # past click 21 + horizon so the outer join can PROVE it unmatched
-    (30, T0 + dt.timedelta(hours=2), 9),
-]
-CLICKS = [
-    (20, T0 + dt.timedelta(minutes=7), 1),   # joins imps 10 and 11
-    (21, T0 + dt.timedelta(minutes=30), 2),  # outside the 10-min horizon
-    (22, T0 + dt.timedelta(minutes=3), 2),   # joins imp 12
-    (31, T0 + dt.timedelta(hours=2, minutes=1), 9),  # flush; joins imp 30
-]
-MATCHED = {(20, 10), (20, 11), (22, 12), (31, 30)}
-
-
-def test_stream_join_matches_batch(spark, tmp_path):
-    imps, clicks = _mk(spark, IMPS), _mk(spark, CLICKS)
-    got = _run(spark, tmp_path, imps, clicks, "ssj")
-    batch = attribute_within_horizon(imps, clicks)  # watermark no-op on batch
-    cols = ["user_id", "follow_id", "lead_id"]
-    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
-        map(tuple, batch.select(*cols).collect())
+def test_click_purchase_attribution_matches_batch(spark, tmp_path):
+    m = dt.timedelta
+    rows = [
+        (1, T0, 7, "click", 1.0),
+        (2, T0 + m(minutes=10), 7, "purchase", 5.0),   # click1 +10min
+        (3, T0 + m(minutes=45), 7, "purchase", 5.0),   # click1 +45 (out); click4 +5 (in)
+        (4, T0 + m(minutes=40), 7, "click", 1.0),
+        (5, T0 + m(minutes=50), 7, "purchase", 5.0),   # click1 +50 (out); click4 +10 (in)
+        (6, T0 + m(minutes=5), 8, "purchase", 5.0),    # other user, no click
+        (7, T0, 9, "click", 1.0),                      # click with no purchase
+    ]
+    df = _events(spark, rows)
+    got = _run(spark, tmp_path, df, click_purchase_attribution, "cp_attr")
+    pairs = sorted(
+        (r.user_id, r.click_ts, r.purchase_ts, r.lag_us) for r in got.collect()
     )
-    # click 20 attributed to both in-horizon impressions, click 22 to one
-    pairs = {(r["follow_id"], r["lead_id"]) for r in got.collect()}
-    assert pairs == MATCHED
+    assert pairs == [
+        (7, T0, T0 + m(minutes=10), 600_000_000),
+        (7, T0 + m(minutes=40), T0 + m(minutes=45), 300_000_000),
+        (7, T0 + m(minutes=40), T0 + m(minutes=50), 600_000_000),
+    ]
+    # cross-check the full pair set against the batch interval join
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purch = df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("purchase_ts")
+    )
+    batch = clicks.join(
+        purch,
+        (clicks.user_id == purch.u2)
+        & (purch.purchase_ts > clicks.click_ts)
+        & (purch.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 30 minutes")),
+    ).select("user_id", "click_ts", "purchase_ts")
+    want = sorted((r.user_id, r.click_ts, r.purchase_ts) for r in batch.collect())
+    assert [p[:3] for p in pairs] == want
 
 
-def test_stream_outer_join_emits_unmatched_follow(spark, tmp_path):
-    imps, clicks = _mk(spark, IMPS), _mk(spark, CLICKS)
-    got = _run(spark, tmp_path, imps, clicks, "ssj_outer", how="leftOuter")
-    unmatched = [r for r in got.collect() if r["lead_id"] is None]
-    # click 21 (past the horizon) emits exactly once with a NULL lead
-    assert [(r["follow_id"], r["user_id"]) for r in unmatched] == [(21, 2)]
-    matched = {(r["follow_id"], r["lead_id"]) for r in got.collect() if r["lead_id"]}
-    assert matched == MATCHED
+def test_stream_interval_join_generic(spark, tmp_path):
+    m = dt.timedelta
+    left = spark.createDataFrame(
+        [(7, T0), (8, T0 + m(minutes=5))], "user_id long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, T0 + m(minutes=20)), (8, T0 + m(hours=2))],
+        "user_id long, r_ts timestamp",
+    )
+    lsrc, rsrc = str(tmp_path / "l_in"), str(tmp_path / "r_in")
+    left.coalesce(1).write.parquet(lsrc)
+    right.coalesce(1).write.parquet(rsrc)
+    ls = spark.readStream.schema(left.schema).parquet(lsrc)
+    rs = spark.readStream.schema(right.schema).parquet(rsrc)
+    q = (
+        stream_interval_join(ls, rs)
+        .writeStream.format("memory")
+        .queryName("gen_join")
+        .option("checkpointLocation", str(tmp_path / "gen_ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.user_id, r.lag_us) for r in spark.table("gen_join").collect()]
+    # user 8's right event is 2h out — beyond the 30-min horizon
+    assert got == [(7, 1_200_000_000)]

@@ -53,6 +53,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # operators/prefix.py bucketed cumsum: the only global window is
     # over the <= n_buckets-row bucket-totals table
     "q135_auc",
+    # same bucketed-cumsum primitive: the global window is over the
+    # bounded bucket-totals table, rank scan itself is per-bucket
+    "q192_mann_whitney",
+    "q193_ks_test",
     # row_number ranks two bounded top-RRF_DEPTH lists (TakeOrdered
     # pre-truncates before the window)
     "q137_rrf_fusion",
