@@ -107,6 +107,10 @@ HEADLINE = [
     "q195_benford_audit",
     "q196_token_budget",
     "q197_semantic_dedup",
+    # round 9: iterative BFS, interval-join attribution, corpus KL
+    "q198_bfs_hops",
+    "q199_attribution",
+    "q200_kl_divergence",
 ]
 
 

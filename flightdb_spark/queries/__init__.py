@@ -51,6 +51,7 @@ _MODULES = [
     "stats",
     "analytics",
     "stattests",
+    "mining",
 ]
 
 

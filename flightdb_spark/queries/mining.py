@@ -1,0 +1,515 @@
+"""Mining batch 10 (q198-q203): BFS hop distances over the
+part-supplier graph (the reachability sibling of q86's PageRank /
+q93's triangles), multi-touch marketing attribution (first/last/linear
+credit — the generalization of q80's single-model funnel), per-source
+KL divergence against the corpus token distribution (the
+distribution-shift audit beside q128's PSI), expected calibration
+error (the calibration half of q135's AUC), Douglas-Peucker track
+simplification (operators/simplify.py — keeps turn apexes, collapses
+straight runs; the shape-aware sibling of SampleEvery/SampleEveryDist,
+track.go:604-666), and a distributed BPE merge trainer (the first k
+merge rules learned corpus-wide with exact integer counts — the
+tokenizer-construction step of a training-data pipeline).
+
+Determinism: BFS/BPE are pure integer computations; attribution
+credits are integer flags plus per-row-rounded DECIMAL linear shares;
+KL rounds transcendental terms 4 decimals finer than the output
+(DETERMINISM.md §5); ECE is exact double arithmetic in one assembled
+shape per term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flightdb_spark.operators.simplify import douglas_peucker
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+from .synth import synth_trackpoints
+
+# ---------------------------------------------------------------------------
+# q198 — BFS hop distances (bounded-depth reachability)
+
+BFS_HOPS = 3
+
+_BFS_EDGES = """
+    e0 AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    seed AS (SELECT MIN(l_partkey) * 2 AS node FROM lineitem),
+    d0 AS (SELECT node, 0 AS hops FROM seed)
+"""
+
+
+def _bfs_oracle() -> str:
+    layers = ["d0"]
+    chain = []
+    for h in range(1, BFS_HOPS + 1):
+        prev = layers[-1]
+        seen = " UNION ALL ".join(f"SELECT node FROM {d}" for d in layers)
+        chain.append(
+            f"""f{h} AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN {prev} p ON p.node = e.src
+    ),
+    d{h} AS (
+      SELECT node, {h} AS hops FROM f{h}
+      WHERE node NOT IN ({seen})
+    )"""
+        )
+        layers.append(f"d{h}")
+    union = " UNION ALL ".join(f"SELECT * FROM {d}" for d in layers)
+    chain_sql = ",\n    ".join(chain)
+    return f"""
+    WITH {_BFS_EDGES},
+    {chain_sql}
+    SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           CAST(hops AS INT) AS hops
+    FROM ({union})
+    ORDER BY hops, node
+    """
+
+
+@query("q198_bfs_hops", oracle=_bfs_oracle())
+def q198_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= BFS_HOPS) from the lowest part node to
+    every reachable node in the undirected part<->supplier graph —
+    frontier-expansion BFS, the canonical iterative-join shape: each
+    round is ONE equi-join of the (shrinking) frontier against the
+    edge list plus a left-anti against the visited set; newly found
+    nodes are localCheckpoint-ed so lineage stays flat (q86/q173
+    discipline; reliable checkpoint dir on a cluster). Integer node
+    ids and hop counts — nothing to round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seed = li.agg((F.min("l_partkey") * 2).alias("node"))
+    visited = seed.withColumn("hops", F.lit(0)).localCheckpoint()
+    frontier = visited.select("node")
+    for h in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        newly = (
+            nxt.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        visited = visited.union(newly)
+        frontier = newly.select("node")
+    return visited.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+            F.expr("CAST(node div 2 AS STRING)"),
+        ).alias("node"),
+        F.col("hops").cast("int").alias("hops"),
+    ).orderBy("hops", "node")
+
+
+# ---------------------------------------------------------------------------
+# q199 — multi-touch attribution
+
+ATTR_HORIZON_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "q199_attribution",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.click_id, p.purchase_id, c.c_ts
+      FROM clicks c JOIN purch p
+        ON p.user_id = c.user_id
+       AND epoch_us(p.p_ts) - epoch_us(c.c_ts) BETWEEN 1 AND {ATTR_HORIZON_US}
+    ),
+    ranked AS (
+      SELECT click_id, purchase_id,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS k,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ts, click_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ts DESC, click_id DESC) AS rn_last
+      FROM pairs
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / k, 9) AS DECIMAL(38,9)))
+                      AS DOUBLE), 6) AS linear_credit
+    FROM ranked
+    GROUP BY click_id
+    ORDER BY click_id
+    """,
+)
+def q199_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase credits the clicks of
+    the same user in the preceding 30 minutes under three models at
+    once — first-touch, last-touch (integer flags from per-purchase
+    rank windows with full (ts, id) tie-breaks) and linear (1/k
+    per-row-rounded into DECIMAL). q80 answers 'did it convert'; this
+    distributes the credit. The interval predicate compares integer
+    microseconds (engine-identical); the join + windows all key on
+    purchase_id/user_id — bounded fan-out per user, no global state."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    lag_us = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    pairs = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("user_id"))
+        & (lag_us >= 1)
+        & (lag_us <= ATTR_HORIZON_US),
+    ).select("click_id", "purchase_id", "c_ts")
+    wp = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "click_id",
+        "purchase_id",
+        F.count(F.lit(1)).over(wp).alias("k"),
+        F.row_number()
+        .over(wp.orderBy(F.col("c_ts").asc(), F.col("click_id").asc()))
+        .alias("rn_first"),
+        F.row_number()
+        .over(wp.orderBy(F.col("c_ts").desc(), F.col("click_id").desc()))
+        .alias("rn_last"),
+    )
+    return (
+        ranked.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch"),
+            F.round(
+                F.sum(F.round(F.lit(1.0) / F.col("k"), 9).cast("decimal(38,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("linear_credit"),
+        )
+        .orderBy("click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — per-source KL divergence vs the corpus token distribution
+
+
+@query(
+    "q200_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM st GROUP BY source),
+    gt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM st GROUP BY tok),
+    ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM st),
+    terms AS (
+      SELECT st.source,
+             ROUND((CAST(st.c AS DOUBLE) / stot.cs)
+                   * ln(CAST(st.c * ntot.n AS DOUBLE)
+                        / CAST(stot.cs * gt.g AS DOUBLE)), 9) AS term
+      FROM st
+      JOIN stot ON stot.source = st.source
+      JOIN gt ON gt.tok = st.tok, ntot
+    )
+    SELECT t.source, s.cs AS n_tokens,
+           ROUND(CAST(SUM(CAST(t.term AS DECIMAL(38,9))) AS DOUBLE), 5) AS kl
+    FROM terms t JOIN stot s ON s.source = t.source
+    GROUP BY t.source, s.cs
+    ORDER BY t.source
+    """,
+)
+def q200_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over unigram token distributions — which
+    sources are most unlike the pooled corpus (domain skew, template
+    spam). q128's PSI bins a scalar; this compares whole vocabularies.
+    Every probability is a ratio of exact BIGINT counts; the single ln
+    per (source, token) takes an argument built from integer products
+    (exact in double through ~2^53 — at larger corpora shift to
+    per-thousand scaled counts, same plan) and its term rounds at 9 dp,
+    four finer than the 5-dp output (DETERMINISM.md §5). Plan: one
+    (source, tok) aggregate off the explode, a vocab-sized equi-join on
+    tok, 20-row + 1-row broadcasts; output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    gt = st.groupBy("tok").agg(F.sum("c").cast("bigint").alias("g"))
+    ntot = st.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(gt, "tok")
+        .join(F.broadcast(ntot))
+        .select(
+            "source",
+            F.round(
+                (F.col("c").cast("double") / F.col("cs"))
+                * F.log(
+                    (F.col("c") * F.col("n")).cast("double")
+                    / (F.col("cs") * F.col("g")).cast("double")
+                ),
+                9,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(38,9)")).cast("double"), 5
+            ).alias("kl")
+        )
+        .join(F.broadcast(stot), "source")
+        .select("source", F.col("cs").alias("n_tokens"), "kl")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — expected calibration error
+
+ECE_BINS = 10
+
+
+@query(
+    "q201_ece_calibration",
+    oracle=f"""
+    WITH lbl AS (
+      SELECT value / 100.0 AS conf,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(conf * {ECE_BINS}) AS INT), {ECE_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(conf, 9) AS DECIMAL(38,9))) AS sconf,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM lbl GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM binned)
+    SELECT bin, n,
+           ROUND(CAST(sconf AS DOUBLE) / n, 6) AS avg_conf,
+           ROUND(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+           ROUND(ABS(CAST(sconf AS DOUBLE) / n - CAST(pos AS DOUBLE) / n)
+                 * n / nt, 6) AS ece_term
+    FROM binned, tot
+    ORDER BY bin
+    """,
+)
+def q201_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of 'value/100 predicts purchase':
+    10 equal-width confidence bins, each reporting mean confidence,
+    observed positive rate, and its |conf - acc| * n/N contribution
+    (sum of ece_term = ECE). q135's AUC measures ranking; this
+    measures whether the probabilities mean what they say — the model
+    evaluation pair. Confidences accumulate per-row-rounded DECIMAL;
+    every output is one assembled double expression over the 10-row
+    bin table. One shuffle into a constant-size aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    conf = F.col("value") / 100.0
+    lbl = ev.select(
+        conf.alias("conf"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = lbl.groupBy(
+        F.least(
+            F.floor(F.col("conf") * ECE_BINS).cast("int"), F.lit(ECE_BINS - 1)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("conf", 9).cast("decimal(38,9)")).alias("sconf"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = binned.agg(F.sum("n").alias("nt"))
+    avg_conf = F.col("sconf").cast("double") / F.col("n")
+    frac_pos = F.col("pos").cast("double") / F.col("n")
+    return (
+        binned.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(avg_conf, 6).alias("avg_conf"),
+            F.round(frac_pos, 6).alias("frac_pos"),
+            F.round(
+                F.abs(avg_conf - frac_pos) * F.col("n") / F.col("nt"), 6
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — Douglas-Peucker track simplification (rows-only: recursive
+# geometry, not SQL-expressible; exactness pinned by unit tests)
+
+DP_EPSILON_KM = 30.0
+
+
+@query("q202_track_simplify")
+def q202_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flight Douglas-Peucker simplification summary (epsilon =
+    30 km against the synthetic tracks' ~200 km extent): original vs
+    kept point counts and the kept fraction. The Arrow stage receives
+    one flight per group after a JVM-side projection (the same
+    deliberate boundary as the intersect crawl); unit tests pin the
+    kept-set on hand-built geometries and the <=2-point edge cases
+    (tests/test_simplify.py)."""
+    tp = synth_trackpoints(spark, sf_dir)
+    simplified = douglas_peucker(tp, DP_EPSILON_KM)
+    orig = tp.groupBy("flight_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    kept = simplified.groupBy("flight_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return (
+        orig.join(kept, "flight_id")
+        .select(
+            "flight_id",
+            "n_points",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_points"), 6).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("flight_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — distributed BPE merge training (rows-only: k chained
+# corpus-wide argmax iterations have no SQL-oracle form; exactness is
+# pinned against a pure-Python reference in tests/test_bpe.py)
+
+BPE_MERGES = 5
+
+def _merge_expr() -> str:
+    # Greedy left-to-right application of ONE merge rule (la, lb) -> lm
+    # to a symbol array, as a JVM-side fold: 'pend' holds the symbol
+    # that may still start a merge. No Python in the loop.
+    fold = """
+aggregate(
+  syms,
+  named_struct('out', cast(array() as array<string>),
+               'pend', cast(null as string)),
+  (acc, x) -> CASE
+    WHEN acc.pend IS NULL
+      THEN named_struct('out', acc.out, 'pend', x)
+    WHEN acc.pend = la AND x = lb
+      THEN named_struct('out', array_append(acc.out, lm),
+                        'pend', cast(null as string))
+    ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x)
+  END,
+  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+              ELSE array_append(acc.out, acc.pend) END
+)
+"""
+    return f"CASE WHEN size(syms) < 2 THEN syms ELSE {fold} END"
+
+
+@query("q203_bpe_train")
+def q203_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES byte-pair-encoding merge rules over
+    the whole corpus — the tokenizer-training step of a data pipeline,
+    distributed: words collapse once to a vocab-bounded (word, freq)
+    table; each round counts adjacent symbol pairs (slice+zip_with,
+    map-side), takes the global argmax (TakeOrdered over the bounded
+    pair table; ties break lexicographically), and applies the merge
+    with a JVM-side fold over the symbol array (no Python anywhere).
+    Counts are exact integers, so the learned merges are deterministic
+    at any partitioning. localCheckpoint per round keeps lineage flat
+    (q86 discipline). Output: one row per merge step."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr("filter(split(word, ''), s -> s <> '')"))
+        .select("freq", "syms")
+        .localCheckpoint()
+    )
+    merge_frames = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1),"
+                    "         slice(syms, 2, size(syms) - 1),"
+                    "         (x, y) -> named_struct('a', x, 'b', y))"
+                )
+            ).alias("p"),
+        )
+        cnt = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("freq").cast("bigint").alias("cnt")
+        )
+        top1 = (
+            cnt.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.col("a").alias("la"),
+                F.col("b").alias("lb"),
+                F.concat("a", "b").alias("lm"),
+                "cnt",
+            )
+        )
+        merge_frames.append(
+            top1.select(
+                F.lit(step).alias("step"),
+                F.col("la").alias("left_sym"),
+                F.col("lb").alias("right_sym"),
+                F.col("lm").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = (
+            words.join(F.broadcast(top1.select("la", "lb", "lm")))
+            .withColumn("syms", F.expr(_merge_expr()))
+            .select("freq", "syms")
+            .localCheckpoint()
+        )
+    out = merge_frames[0]
+    for fr in merge_frames[1:]:
+        out = out.union(fr)
+    return out.orderBy("step")
