@@ -513,3 +513,125 @@ def q203_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in merge_frames[1:]:
         out = out.union(fr)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# q204 — Kaplan-Meier survival (signup -> first purchase, censored)
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q204_kaplan_meier",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS tmax,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                  THEN (epoch_us(tp) - epoch_us(t0)) // {_HOUR_US}
+                  ELSE (epoch_us(tmax) - epoch_us(t0)) // {_HOUR_US} END AS dur,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ),
+    keys AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY dur
+    ),
+    tot AS (SELECT CAST(SUM(d) + SUM(c) AS BIGINT) AS n FROM keys),
+    scan AS (
+      SELECT dur, d, c,
+             n - (SUM(d + c) OVER (ORDER BY dur) - (d + c)) AS n_risk
+      FROM keys, tot
+    ),
+    terms AS (
+      SELECT dur, d, c, n_risk,
+             CASE WHEN n_risk = d THEN CAST(0 AS DECIMAL(38,9))
+                  ELSE CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9)
+                            AS DECIMAL(38,9)) END AS lnterm,
+             CASE WHEN n_risk = d THEN 1 ELSE 0 END AS hit_zero
+      FROM scan
+    ),
+    km AS (
+      SELECT dur, d, c, n_risk,
+             SUM(lnterm) OVER (ORDER BY dur) AS cum_ln,
+             MAX(hit_zero) OVER (ORDER BY dur) AS z
+      FROM terms
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_h,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           d AS d_events, c AS c_censored,
+           CASE WHEN z = 1 THEN 0.0
+                ELSE ROUND(exp(CAST(cum_ln AS DOUBLE)), 5) END AS survival
+    FROM km WHERE d > 0 ORDER BY duration_h
+    """,
+)
+def q204_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase in whole
+    hours since each user's first event, right-censored at the user's
+    last event — the retention/conversion estimator that handles
+    users who simply haven't converted YET (q162's cohort triangle
+    ignores censoring). Plan: one user_id aggregate collapses events
+    to one (duration, event) row per subject; durations collapse again
+    to distinct hour keys, which are CALENDAR-bounded (<= era hours,
+    independent of corpus size), so the risk-set scan and the log-sum
+    scan are windows over a provably bounded table. The product
+    survives as a DECIMAL sum of 9-dp-rounded ln terms (4 finer than
+    the 5-dp output, DETERMINISM.md §5) exponentiated once."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    has = F.col("tp").isNotNull()
+    subj = per_user.select(
+        F.when(
+            has,
+            F.expr(f"(unix_micros(tp) - unix_micros(t0)) div {_HOUR_US}"),
+        )
+        .otherwise(F.expr(f"(unix_micros(tmax) - unix_micros(t0)) div {_HOUR_US}"))
+        .alias("dur"),
+        F.when(has, 1).otherwise(0).alias("ev"),
+    )
+    keys = subj.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = keys.agg((F.sum("d") + F.sum("c")).cast("bigint").alias("n"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scan = keys.join(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n") - (F.sum(F.col("d") + F.col("c")).over(w) - (F.col("d") + F.col("c"))),
+    )
+    exhausted = F.col("n_risk") == F.col("d")
+    terms = scan.withColumn(
+        "lnterm",
+        F.when(exhausted, F.lit(0).cast("decimal(38,9)")).otherwise(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+                ),
+                9,
+            ).cast("decimal(38,9)")
+        ),
+    ).withColumn("hit_zero", F.when(exhausted, 1).otherwise(0))
+    km = terms.withColumn("cum_ln", F.sum("lnterm").over(w)).withColumn(
+        "z", F.max("hit_zero").over(w)
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").cast("bigint").alias("duration_h"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").alias("d_events"),
+            F.col("c").alias("c_censored"),
+            F.when(F.col("z") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 5))
+            .alias("survival"),
+        )
+        .orderBy("duration_h")
+    )
