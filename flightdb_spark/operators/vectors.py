@@ -235,3 +235,83 @@ def kmeans(
         .withColumnRenamed("_id", id_col)
     )
     return final, cents
+
+
+# --- IVF cells + SemDeDup (the library behind q50 / q197) --------------------
+
+_CELL_EXPR = """
+slice(reverse(array_sort(transform(cents, c -> struct(
+  aggregate(zip_with({v}, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / c.nrm AS s,
+  -c.id AS negid)))), 1, {n})
+"""
+
+
+def ivf_assign(
+    e: DataFrame,
+    n_centroids: int,
+    *,
+    id_col: str = "vec_id",
+    v: str = "v",
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (centroids =
+    the ``n_centroids`` lowest-id vectors — deterministic, no RNG; swap
+    in kmeans() output for data-adaptive cells, same downstream plan).
+    Zero shuffle: one broadcast centroid row + an HOF argmax per row.
+    Returns (id_col, v, vnorm, cell); ties break toward the lower
+    centroid id (struct ordering on (score desc, -id desc))."""
+    cents = (
+        e.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.struct(
+                F.col(id_col).cast("int").alias("id"),
+                F.col(v).alias("cv"),
+                F.expr(f"sqrt({dot_expr(v, v)})").alias("nrm"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    return (
+        e.join(F.broadcast(cents))
+        .withColumn("cell", -F.expr(_CELL_EXPR.format(v=v, n=1))[0]["negid"])
+        .withColumn("vnorm", F.expr(f"sqrt({dot_expr(v, v)})"))
+        .select(id_col, v, "vnorm", "cell")
+    )
+
+
+def semantic_dedup_drops(
+    e: DataFrame,
+    *,
+    n_centroids: int = 8,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    v: str = "v",
+) -> DataFrame:
+    """SemDeDup: within each IVF cell, a vector is dropped when a
+    lower-id cell-mate's cosine (6-dp rounded) meets the threshold.
+    Returns (id_col, cell, canonical_id, max_sim) — one row per DROPPED
+    vector. The within-cell self-join is the point: the n² is confined
+    to cells (k grows ~sqrt(n), cells stay bounded; cap or refine k if
+    one outgrows its budget)."""
+    cells = ivf_assign(e, n_centroids, id_col=id_col, v=v)
+    a = cells.select(
+        F.col(id_col).alias("a_id"),
+        F.col(v).alias("av"),
+        F.col("vnorm").alias("anorm"),
+        F.col("cell").alias("a_cell"),
+    )
+    pairs = cells.join(
+        a, (F.col("cell") == F.col("a_cell")) & (F.col("a_id") < F.col(id_col))
+    ).select(
+        id_col,
+        "cell",
+        "a_id",
+        F.round(
+            F.expr(f"({dot_expr('av', v)})") / (F.col("anorm") * F.col("vnorm")), 6
+        ).alias("sim"),
+    )
+    return (
+        pairs.filter(F.col("sim") >= F.lit(threshold))
+        .groupBy(id_col, "cell")
+        .agg(F.min("a_id").alias("canonical_id"), F.max("sim").alias("max_sim"))
+        .select(id_col, "cell", "canonical_id", "max_sim")
+    )

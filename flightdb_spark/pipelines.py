@@ -6,10 +6,14 @@ real 100 TB pre-training data build runs them.
       -> exact dedup         (one shuffle on the content fingerprint)
       -> near-dup resolution (MinHash -> LSH pairs -> components;
                               keep each cluster's canonical doc)
+      -> semantic dedup      (optional, given embeddings: IVF-cell
+                              SemDeDup, q197 semantics)
       -> span gate           (repeated 5-gram span fraction, q81)
       -> fluency gate        (corpus bigram LM, drop the worst tail)
       -> source caps         (top-k per source by quality — the
                               domain-balancing cap, q108 semantics)
+      -> token budget        (optional: best docs per source until the
+                              token budget is spent, q196 semantics)
       -> language mix        (deterministic hash-threshold sampling)
       -> split assignment    (hash-stable train/val/test column)
       -> curriculum + packing annotations (quality decile per doc,
@@ -46,6 +50,9 @@ class PipelineConfig:
     min_avg_logp: float = -12.0  # bigram-LM fluency floor (q69 semantics)
     max_dup_span_frac: float = 0.5  # span-dedup gate (q81 semantics)
     source_cap: int | None = None  # top-k docs per source (None = uncapped)
+    token_budget: int | None = None  # per-source token budget (None = uncapped)
+    semantic_centroids: int = 8  # IVF cells for the semantic-dedup stage
+    semantic_threshold: float = 0.25  # within-cell cosine drop threshold
     curriculum_bins: int = 10  # quality deciles annotated on survivors
     pack_budget: int = 512  # tokens per training sequence (annotation)
     stage_counts: dict = field(default_factory=dict)  # filled by run()
@@ -130,6 +137,47 @@ def language_mix(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).drop("_thr")
 
 
+def semantic_dedup(
+    docs: DataFrame, embeddings: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Drop semantic near-duplicates that survive the lexical chain
+    (paraphrases, translations, templated rewrites share no shingles
+    but sit together in embedding space). ``embeddings`` is
+    (doc_id, v: array<double>); the drop set comes from
+    operators/vectors.py::semantic_dedup_drops (q197 semantics —
+    IVF-cell-scoped, keep-lowest-id) and crosses back as a broadcast
+    anti. Docs without an embedding pass through untouched."""
+    from .operators import vectors
+
+    drops = vectors.semantic_dedup_drops(
+        embeddings,
+        n_centroids=cfg.semantic_centroids,
+        threshold=cfg.semantic_threshold,
+        id_col="doc_id",
+    ).select("doc_id")
+    return docs.join(F.broadcast(drops), "doc_id", "anti")
+
+
+def token_budget_gate(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Keep each source's best documents until its token budget is
+    spent (q196 semantics — descending quality with doc_id tie-break,
+    per-source running token total). The 'best N tokens per domain'
+    mix builder; no-op when the budget is None."""
+    if cfg.token_budget is None:
+        return docs
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.round(quality_score_col(), 6).desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.withColumn("_cum_tok", F.sum(n_tok).over(w))
+        .filter(F.col("_cum_tok") <= cfg.token_budget)
+        .drop("_cum_tok")
+    )
+
+
 def quality_score_col() -> F.Column:
     """Stopword-density quality score (q108/q110/q120's shared metric)."""
     toks = F.split(F.col("text"), " ")
@@ -179,10 +227,15 @@ def annotate_curriculum_and_packing(
     )
 
 
-def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+def run(
+    docs: DataFrame,
+    cfg: PipelineConfig | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
     """Run the full pipeline, recording per-stage survivor counts in
     cfg.stage_counts (each count is one scalar aggregate — acceptable
-    job boundaries; drop them for a single-job production run)."""
+    job boundaries; drop them for a single-job production run). Pass
+    ``embeddings`` (doc_id, v) to enable the semantic-dedup stage."""
     cfg = cfg or PipelineConfig()
     stages = [
         ("raw", docs),
@@ -193,9 +246,14 @@ def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     # LM): each later stage count and the returned frame would otherwise
     # re-execute the full upstream lineage once per action.
     stages.append(("near_dedup", near_dedup(stages[-1][1], cfg).localCheckpoint()))
+    if embeddings is not None:
+        stages.append(
+            ("semantic", semantic_dedup(stages[-1][1], embeddings, cfg))
+        )
     stages.append(("spans", span_gate(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("fluency", fluency_gate(stages[-1][1], cfg).localCheckpoint()))
     stages.append(("caps", source_caps(stages[-1][1], cfg)))
+    stages.append(("budget", token_budget_gate(stages[-1][1], cfg)))
     stages.append(("mix", language_mix(stages[-1][1], cfg)))
     stages.append(("split", split_assignment(stages[-1][1])))
     stages.append(

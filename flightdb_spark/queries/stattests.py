@@ -23,11 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flightdb_spark.operators import vectors
 from flightdb_spark.operators.prefix import ecdf_counts
 from flightdb_spark.tables import load_table
 
 from . import query
-from .vector import _BEST_CELLS, _dot, _emb, N_CENTROIDS
+from .vector import _emb, N_CENTROIDS
 
 # ---------------------------------------------------------------------------
 # q192 — Mann-Whitney U rank-sum test (two-sample, tie-corrected)
@@ -450,45 +451,10 @@ def q197_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and best similarity. The within-cell self-join is the whole point
     at scale — k grows with sqrt(n) so cells stay bounded and the n^2
     never happens globally (cap cell population or refine k if a cell
-    outgrows its budget). Cosine compared on the shared 6-dp rounding."""
+    outgrows its budget). Cosine compared on the shared 6-dp rounding.
+    Implementation: operators/vectors.py::semantic_dedup_drops (also a
+    pipelines.py stage)."""
     e = _emb(spark, sf_dir)
-    cents = (
-        e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(
-            F.struct(
-                F.col("vec_id").cast("int").alias("id"),
-                F.col("v").alias("cv"),
-                F.expr(f"sqrt({_dot('v', 'v')})").alias("nrm"),
-            ).alias("c")
-        )
-        .agg(F.collect_list("c").alias("cents"))
-    )
-    cells = (
-        e.join(F.broadcast(cents))
-        .withColumn("cell", -F.expr(_BEST_CELLS.format(n=1))[0]["negid"])
-        .withColumn("vnorm", F.expr(f"sqrt({_dot('v', 'v')})"))
-        .select("vec_id", "v", "vnorm", "cell")
-    )
-    a = cells.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("vnorm").alias("anorm"),
-        F.col("cell").alias("a_cell"),
-    )
-    pairs = cells.join(
-        a, (F.col("cell") == F.col("a_cell")) & (F.col("a_id") < F.col("vec_id"))
-    ).select(
-        "vec_id",
-        "cell",
-        "a_id",
-        F.round(
-            F.expr(f"({_dot('av', 'v')})") / (F.col("anorm") * F.col("vnorm")), 6
-        ).alias("sim"),
-    )
-    return (
-        pairs.filter(F.col("sim") >= F.lit(float(SEM_TH)))
-        .groupBy("vec_id", "cell")
-        .agg(F.min("a_id").alias("canonical_id"), F.max("sim").alias("max_sim"))
-        .select("vec_id", "cell", "canonical_id", "max_sim")
-        .orderBy("vec_id")
-    )
+    return vectors.semantic_dedup_drops(
+        e, n_centroids=N_CENTROIDS, threshold=float(SEM_TH)
+    ).orderBy("vec_id")

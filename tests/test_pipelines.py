@@ -71,3 +71,54 @@ def test_exact_dedup_keeps_min_doc_per_fingerprint(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r.doc_id for r in pipelines.exact_dedup(docs).collect())
     assert kept == [1, 3]  # 2 and 4 (case-dup) collapse into 1
+
+
+def test_token_budget_gate_matches_q196_semantics(spark):
+    docs = load_table(spark, SF, "documents")
+    cfg = pipelines.PipelineConfig(token_budget=300)
+    out = pipelines.token_budget_gate(docs, cfg)
+    # every source's kept set is a prefix of its quality-descending
+    # order and never exceeds the budget
+    n_tok = F.size(F.split("text", " "))
+    per_src = (
+        out.withColumn("_n", n_tok)
+        .groupBy("source")
+        .agg(F.sum("_n").alias("tok"))
+        .collect()
+    )
+    assert per_src and all(r.tok <= 300 for r in per_src)
+    # no-op when unset
+    cfg2 = pipelines.PipelineConfig()
+    assert pipelines.token_budget_gate(docs, cfg2) is docs
+
+
+def test_semantic_dedup_stage_drops_planted_duplicate(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha text", "en", "s", 10), (2, "beta text", "en", "s", 9),
+         (3, "gamma text", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # doc 2's embedding is identical to doc 1's -> dropped; doc 3 is
+    # orthogonal -> kept. 2 centroids from the lowest ids.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "doc_id long, v array<double>",
+    )
+    cfg = pipelines.PipelineConfig(semantic_centroids=2, semantic_threshold=0.9)
+    out = pipelines.semantic_dedup(docs, emb, cfg)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_run_with_embeddings_records_semantic_stage(spark):
+    docs = load_table(spark, SF, "documents")
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cfg = pipelines.PipelineConfig(min_chars=50, token_budget=500)
+    out = pipelines.run(docs, cfg, embeddings=emb)
+    c = cfg.stage_counts
+    assert c["near_dedup"] >= c["semantic"] >= c["spans"]
+    assert c["caps"] >= c["budget"] >= c["mix"]
+    assert out.count() == c["annotate"]
