@@ -635,3 +635,255 @@ def q204_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — Mann-Kendall trend test over daily order counts
+
+
+@query(
+    "q205_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                           WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY n) g
+      WHERE t > 1
+    )
+    SELECT m.m AS n_days, s.s AS s_stat,
+           ROUND(CASE WHEN s.s > 0 THEN (s.s - 1)
+                      WHEN s.s < 0 THEN (s.s + 1)
+                      ELSE 0 END
+                 / sqrt((m.m * (m.m - 1) * (2 * m.m + 5) - ties.tt) / 18.0),
+                 6) AS z
+    FROM s, m, ties
+    """,
+)
+def q205_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over the daily order count
+    series — the nonparametric companion to q184's parametric OLS
+    slope (no linearity or normality assumption; robust to outliers).
+    The raw scan collapses to one row per day, so the pairwise
+    sign sum runs over a CALENDAR-bounded self-join (days², not
+    rows²); S and the tie term are exact integers, and the
+    continuity-corrected z is one assembled double expression."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("n_b"))
+    s = (
+        daily.join(b, F.col("day_b") > F.col("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_b") > F.col("n"), 1)
+                .when(F.col("n_b") < F.col("n"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    m = daily.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    joined = s.join(F.broadcast(m)).join(F.broadcast(ties))
+    corrected = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    var = (
+        F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5) - F.col("tt")
+    ) / 18.0
+    return joined.select(
+        F.col("m").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(corrected / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — correlation matrix of lineitem numeric columns
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        aggs.append(
+            f"CAST(SUM(CAST(ROUND({c}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_{c}"
+        )
+        aggs.append(
+            f"CAST(SUM(CAST(ROUND({c} * {c}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+            f" AS sq_{c}"
+        )
+    selects = []
+    for i, a in enumerate(_CORR_COLS):
+        for bcol in _CORR_COLS[i + 1 :]:
+            aggs.append(
+                f"CAST(SUM(CAST(ROUND({a} * {bcol}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+                f" AS x_{a}_{bcol}"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{bcol}' AS col_b,"
+                f" ROUND((n * x_{a}_{bcol} - s_{a} * s_{bcol})"
+                f" / (sqrt(n * sq_{a} - s_{a} * s_{a})"
+                f"    * sqrt(n * sq_{bcol} - s_{bcol} * s_{bcol})), 6) AS corr"
+                f" FROM mom"
+            )
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH mom AS (SELECT {", ".join(aggs)} FROM lineitem)
+    SELECT * FROM ({union}) ORDER BY col_a, col_b
+    """
+
+
+@query("q206_corr_matrix", oracle=_corr_oracle())
+def q206_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    columns in ONE scan: a single aggregate computes every first and
+    second moment (per-row-rounded DECIMAL — merge-order-free), and
+    the 6 upper-triangle correlations are assembled from that 1-row
+    frame with identically-shaped double expressions (q75 does one
+    pair; this is the all-pairs audit). Cost at any scale = the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.round(F.col(c), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(F.round(F.col(c) * F.col(c), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias(f"sq_{c}")
+        )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for bcol in _CORR_COLS[i + 1 :]:
+            aggs.append(
+                F.sum(F.round(F.col(a) * F.col(bcol), 6).cast("decimal(38,6)"))
+                .cast("double")
+                .alias(f"x_{a}_{bcol}")
+            )
+            pairs.append((a, bcol))
+    mom = li.agg(*aggs)
+    outs = []
+    for a, bcol in pairs:
+        corr = F.round(
+            (F.col("n") * F.col(f"x_{a}_{bcol}") - F.col(f"s_{a}") * F.col(f"s_{bcol}"))
+            / (
+                F.sqrt(F.col("n") * F.col(f"sq_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(
+                    F.col("n") * F.col(f"sq_{bcol}")
+                    - F.col(f"s_{bcol}") * F.col(f"s_{bcol}")
+                )
+            ),
+            6,
+        )
+        outs.append(
+            mom.select(
+                F.lit(a).alias("col_a"), F.lit(bcol).alias("col_b"), corr.alias("corr")
+            )
+        )
+    out = outs[0]
+    for fr in outs[1:]:
+        out = out.union(fr)
+    return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# q207 — audio silence-run segmentation
+
+SILENCE_RMS = 99  # silent frame: rms < 99  <=>  s2 < 99^2 * n  (exact ints)
+MIN_SILENCE_RUN = 2
+
+
+@query(
+    "q207_audio_silence",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    chars AS (
+      SELECT media_id,
+             ascii(unnest(regexp_extract_all(text, '.'))) AS s,
+             generate_subscripts(regexp_extract_all(text, '.'), 1) AS pos
+      FROM a
+    ),
+    fr AS (
+      SELECT media_id, (pos - 1) // 256 AS frame_idx,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s * s) AS BIGINT) AS s2
+      FROM chars GROUP BY media_id, (pos - 1) // 256
+    ),
+    silent AS (
+      SELECT media_id, frame_idx FROM fr
+      WHERE s2 < {SILENCE_RMS * SILENCE_RMS} * n
+    ),
+    runs AS (
+      SELECT media_id, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+                                            ORDER BY frame_idx) AS run_key
+      FROM silent
+    )
+    SELECT media_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM runs GROUP BY media_id, run_key
+    HAVING COUNT(*) >= {MIN_SILENCE_RUN}
+    ORDER BY media_id, start_frame
+    """,
+)
+def q207_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over the audio corpus: consecutive
+    low-energy 256-sample frames collapse to (start, length) runs —
+    the trim/VAD preprocessing step beside q90's energy summary and
+    q188's visual scene cuts. The silence test is EXACT integer
+    arithmetic (s2 < rms²·n — no sqrt, no rounding contract at all);
+    runs are q26's gaps-and-islands on the frame index. One shuffle on
+    media_id serves framing, the run window, and the run aggregate."""
+    from ..multimodal import audio_frame_stats
+    from .multimodal import synth_media, _docs
+
+    media = synth_media(_docs(spark, sf_dir)).filter(F.col("kind") == "audio")
+    frames = audio_frame_stats(media, frame_len=256)
+    silent = frames.filter(
+        F.col("sum_sq") < SILENCE_RMS * SILENCE_RMS * F.col("n_samples")
+    ).select("media_id", "frame_idx")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = silent.withColumn(
+        "run_key", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("media_id", "run_key")
+        .agg(
+            F.min("frame_idx").cast("bigint").alias("start_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+        .filter(F.col("n_frames") >= MIN_SILENCE_RUN)
+        .select("media_id", "start_frame", "n_frames")
+        .orderBy("media_id", "start_frame")
+    )
