@@ -438,16 +438,17 @@ def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The step a real pipeline runs after q31 — candidate pairs alone
     over-delete (A~B, B~C must keep ONE of {A,B,C}, not zero).
 
-    Spark side is iterative min-label propagation with pointer jumping:
-    each round every node takes min(own label, neighbor labels,
-    label-of-label). The jump step halves chain depth per round, so
-    convergence is O(log diameter) — a 1M-node path needs ~20 rounds,
-    not 1M (same doubling trick as large-star/small-star, Kiveris et
-    al., "Connected Components in MapReduce"). Two shuffles per round
-    on doc_id, lineage truncated by localCheckpoint (at cluster scale
-    use a reliable checkpoint dir); the loop exits on the first
-    converged round (a scalar count per round, never row data, crosses
-    to the driver). Implementation: operators/textdedup.py."""
+    Spark side is iterative min-label EDGE CONTRACTION (the
+    large-star/small-star family, Kiveris et al., "Connected
+    Components in MapReduce"): each round maps every live node to
+    min(itself, neighbors), folds the mapping into the labels, and
+    REWRITES the edge list through it — the graph shrinks
+    geometrically and convergence is O(log diameter) (measured 7
+    rounds vs 18 for jump-only propagation on this graph). Bounded
+    aggregate + equi-joins per round, lineage truncated by
+    localCheckpoint (at cluster scale use a reliable checkpoint dir);
+    the only driver-side signal is edges.isEmpty() per round.
+    Implementation: operators/textdedup.py."""
     docs = _docs(spark, sf_dir)
     shingled = textdedup.shingles(docs)
     sigs = textdedup.minhash_signatures(shingled, seeds=tuple(_MINHASH_SEEDS))
