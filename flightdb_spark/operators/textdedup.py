@@ -146,18 +146,21 @@ def connected_components(
     every surviving edge strictly decreases its endpoint-id sum, and
     max_rounds backstops pathological inputs.
     """
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col(src) != F.col(dst)
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # nodes come from ALL pairs — a self-loop (a, a) contributes an
+    # isolated node that must still appear in the output as its own
+    # singleton component (q143's grid graph encodes lone cells that
+    # way); only the EDGE list drops self-loops.
+    nodes = (
+        p.select(F.col("a").alias("doc_id"))
+        .union(p.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
     edges = (
-        p.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        p.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
         .localCheckpoint()
-    )
-    nodes = (
-        edges.select(F.col("a").alias("doc_id"))
-        .union(edges.select(F.col("b").alias("doc_id")))
-        .distinct()
     )
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
     for _ in range(max_rounds):

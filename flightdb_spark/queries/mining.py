@@ -887,3 +887,215 @@ def q207_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "start_frame", "n_frames")
         .orderBy("media_id", "start_frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — k-fold cross-validated regression via leave-fold-out moments
+
+CV_FOLDS = 5
+_T0 = 1_704_067_200_000_000  # 2024-01-01 UTC in microseconds
+
+
+@query(
+    "q208_cv_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+               % {CV_FOLDS} AS fold,
+             (epoch_us(ts) - {_T0}) // {_HOUR_US} AS x,
+             ROUND(value, 6) AS y
+      FROM events
+    ),
+    fm AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS sxy
+      FROM pts GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sx) AS BIGINT) AS tsx,
+             CAST(SUM(sxx) AS BIGINT) AS tsxx,
+             SUM(sy) AS tsy, SUM(sxy) AS tsxy
+      FROM fm
+    ),
+    loo AS (
+      SELECT fold,
+             (tn - n) AS ln_, (tsx - sx) AS lsx, (tsxx - sxx) AS lsxx,
+             CAST(tsy - sy AS DOUBLE) AS lsy, CAST(tsxy - sxy AS DOUBLE) AS lsxy
+      FROM fm, tot
+    ),
+    coef AS (
+      SELECT fold,
+             ROUND((ln_ * lsxy - lsx * lsy) / (ln_ * lsxx - CAST(lsx AS DOUBLE) * lsx), 8)
+               AS slope,
+             ROUND((lsy - (ln_ * lsxy - lsx * lsy)
+                          / (ln_ * lsxx - CAST(lsx AS DOUBLE) * lsx) * lsx) / ln_, 8)
+               AS intercept
+      FROM loo
+    ),
+    resid AS (
+      SELECT p.fold, c.slope, c.intercept,
+             CAST(ROUND((p.y - (c.intercept + c.slope * p.x))
+                        * (p.y - (c.intercept + c.slope * p.x)), 6)
+                  AS DECIMAL(38,6)) AS r2
+      FROM pts p JOIN coef c ON c.fold = p.fold
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+           ANY_VALUE(slope) AS slope, ANY_VALUE(intercept) AS intercept,
+           ROUND(sqrt(CAST(SUM(r2) AS DOUBLE) / COUNT(*)), 6) AS rmse
+    FROM resid GROUP BY fold ORDER BY fold
+    """,
+)
+def q208_cv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the q184 regression (value ~ hours
+    since 2024-01-01) WITHOUT k training passes: per-fold moment sums
+    are computed once, each fold's leave-fold-out coefficients come
+    from TOTAL-minus-FOLD algebra on the k-row table (exact integer
+    x-moments, DECIMAL y-moments), and one second pass scores every
+    row against its own fold's held-out model (8-dp-rounded
+    coefficients shared by both engines; residuals per-row-rounded
+    into DECIMAL). Two scans total, independent of k — the textbook
+    form is k+1. Folds are md5 buckets (q64's engine-stable split)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (
+            F.expr("cast(conv(substring(md5(cast(event_id as string)),1,4),16,10) as bigint)")
+            % CV_FOLDS
+        ).alias("fold"),
+        F.expr(f"(unix_micros(ts) - {_T0}) div {_HOUR_US}").alias("x"),
+        F.round("value", 6).alias("y"),
+    )
+    fm = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)")).alias("sxy"),
+    )
+    tot = fm.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("sxx").cast("bigint").alias("tsxx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    loo = fm.join(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("ln_"),
+        (F.col("tsx") - F.col("sx")).alias("lsx"),
+        (F.col("tsxx") - F.col("sxx")).alias("lsxx"),
+        (F.col("tsy") - F.col("sy")).cast("double").alias("lsy"),
+        (F.col("tsxy") - F.col("sxy")).cast("double").alias("lsxy"),
+    )
+    den = F.col("ln_") * F.col("lsxx") - F.col("lsx").cast("double") * F.col("lsx")
+    num = F.col("ln_") * F.col("lsxy") - F.col("lsx") * F.col("lsy")
+    coef = loo.select(
+        "fold",
+        F.round(num / den, 8).alias("slope"),
+        F.round((F.col("lsy") - num / den * F.col("lsx")) / F.col("ln_"), 8).alias(
+            "intercept"
+        ),
+    )
+    resid = pts.join(F.broadcast(coef), "fold").select(
+        "fold",
+        "slope",
+        "intercept",
+        F.round(
+            (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+            * (F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("r2"),
+    )
+    return (
+        resid.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.any_value(F.col("slope")).alias("slope"),
+            F.any_value(F.col("intercept")).alias("intercept"),
+            F.round(
+                F.sqrt(F.sum("r2").cast("double") / F.count(F.lit(1))), 6
+            ).alias("rmse"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — join-key skew audit
+
+SKEW_PARTITIONS = 32  # the planner's assumed shuffle partition count
+
+_SKEW_KEYS = [("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+              ("orders", "o_custkey")]
+
+
+def _skew_oracle() -> str:
+    selects = []
+    for tbl, col in _SKEW_KEYS:
+        selects.append(f"""
+    SELECT '{tbl}.{col}' AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_per_key,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS avg_per_key,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4) AS skew_ratio,
+           CAST(CEIL(CAST(MAX(c) AS DOUBLE) * {SKEW_PARTITIONS} / SUM(c)) AS BIGINT)
+             AS rec_salt
+    FROM (SELECT {col} AS k, COUNT(*) AS c FROM {tbl} GROUP BY {col})""")
+    union = " UNION ALL ".join(selects)
+    return f"SELECT * FROM ({union}) ORDER BY key_col"
+
+
+@query("q209_skew_audit", oracle=_skew_oracle())
+def q209_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for the three workhorse join keys: NDV,
+    per-key max vs mean, the skew ratio, and a recommended salt factor
+    (ceil(max_per_key · P / n_rows) — the replication that brings the
+    hottest key's task back to the average task size at P shuffle
+    partitions). This is the measurement half of operators/skew.py's
+    salted joins: run the audit, salt only where skew_ratio says so.
+    One (key → count) aggregate per audited column; everything after
+    is a constant-size rollup."""
+    frames = []
+    for tbl, col in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, tbl)
+        per_key = t.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        frames.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("bigint").alias("ndv"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.max("c").cast("bigint").alias("max_per_key"),
+            ).select(
+                F.lit(f"{tbl}.{col}").alias("key_col"),
+                "ndv",
+                "n_rows",
+                "max_per_key",
+                F.round(F.col("n_rows").cast("double") / F.col("ndv"), 4).alias(
+                    "avg_per_key"
+                ),
+                F.round(
+                    F.col("max_per_key").cast("double")
+                    * F.col("ndv")
+                    / F.col("n_rows"),
+                    4,
+                ).alias("skew_ratio"),
+                F.ceil(
+                    F.col("max_per_key").cast("double")
+                    * SKEW_PARTITIONS
+                    / F.col("n_rows")
+                )
+                .cast("bigint")
+                .alias("rec_salt"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.union(fr)
+    return out.orderBy("key_col")
