@@ -1099,3 +1099,97 @@ def q209_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.union(fr)
     return out.orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# q210 — quantile normalization of per-source length distributions
+
+
+@query(
+    "q210_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    targets AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN ns = 1 THEN (n - 1) // 2
+                  ELSE ((r - 1) * (n - 1) * 2 + (ns - 1)) // (2 * (ns - 1))
+             END AS k
+      FROM ranked, tot
+    ),
+    vals AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+      GROUP BY n_chars
+    ),
+    scan AS (
+      SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM vals
+    ),
+    pooled AS (
+      SELECT CAST(u.k AS BIGINT) AS k, v
+      FROM scan, LATERAL (
+        SELECT unnest(range(CAST(cum - cnt AS BIGINT), CAST(cum AS BIGINT))) AS k
+      ) u
+    )
+    SELECT t.doc_id, t.source, t.n_chars,
+           CAST(p.v AS BIGINT) AS qnorm_chars
+    FROM targets t JOIN pooled p ON p.k = t.k
+    ORDER BY t.doc_id
+    """,
+)
+def q210_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources: each
+    doc's n_chars is replaced by the POOLED order statistic at the
+    doc's within-source rank position — after which every source has
+    an identical length distribution (the cross-batch normalization
+    move from expression arrays, applied to corpus features). All
+    arithmetic is integer: the target pooled index is a floor((x+.5))
+    rational on ranks, and the pooled (index -> value) table comes
+    from exploding each distinct value's cumulative-count interval —
+    N rows total, an equi-join on k, never a non-equi rank lookup.
+    Windows run per source (bounded); the pooled scan is over distinct
+    values. At 100 TB swap the distinct-value scan onto
+    operators/prefix.bucketed_cumsum (same values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    targets = ranked.join(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("ns") == 1, F.expr("(n - 1) div 2")
+        )
+        .otherwise(
+            F.expr("((r - 1) * (n - 1) * 2 + (ns - 1)) div (2 * (ns - 1))")
+        )
+        .alias("k"),
+    )
+    vals = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scan = vals.withColumn("cum", F.sum("cnt").over(wv))
+    pooled = scan.select(
+        F.explode(F.expr("sequence(cum - cnt, cum - 1)")).alias("k"),
+        F.col("v"),
+    )
+    return (
+        targets.join(pooled, "k")
+        .select(
+            "doc_id", "source", "n_chars", F.col("v").cast("bigint").alias("qnorm_chars")
+        )
+        .orderBy("doc_id")
+    )

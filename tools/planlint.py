@@ -60,6 +60,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # risk-set and log-survival scans run over the distinct-hour key
     # table, bounded by calendar hours in the era, not corpus size
     "q204_kaplan_meier",
+    # pooled-index scan runs over DISTINCT length values, bounded by
+    # the max document length (value domain), not corpus size
+    "q210_quantile_normalize",
     # row_number ranks two bounded top-RRF_DEPTH lists (TakeOrdered
     # pre-truncates before the window)
     "q137_rrf_fusion",
