@@ -447,18 +447,11 @@ aggregate(
     return f"CASE WHEN size(syms) < 2 THEN syms ELSE {fold} END"
 
 
-@query("q203_bpe_train")
-def q203_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first BPE_MERGES byte-pair-encoding merge rules over
-    the whole corpus — the tokenizer-training step of a data pipeline,
-    distributed: words collapse once to a vocab-bounded (word, freq)
-    table; each round counts adjacent symbol pairs (slice+zip_with,
-    map-side), takes the global argmax (TakeOrdered over the bounded
-    pair table; ties break lexicographically), and applies the merge
-    with a JVM-side fold over the symbol array (no Python anywhere).
-    Counts are exact integers, so the learned merges are deterministic
-    at any partitioning. localCheckpoint per round keeps lineage flat
-    (q86 discipline). Output: one row per merge step."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (vocab, merge_frames) where
+    vocab is the (word, freq, syms) frame AFTER all merges and
+    merge_frames is one 1-row frame per learned rule. Used by q203
+    (report the rules) and q211 (encode the corpus with them)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -466,7 +459,7 @@ def q203_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms", F.expr("filter(split(word, ''), s -> s <> '')"))
-        .select("freq", "syms")
+        .select("word", "freq", "syms")
         .localCheckpoint()
     )
     merge_frames = []
@@ -506,9 +499,25 @@ def q203_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = (
             words.join(F.broadcast(top1.select("la", "lb", "lm")))
             .withColumn("syms", F.expr(_merge_expr()))
-            .select("freq", "syms")
+            .select("word", "freq", "syms")
             .localCheckpoint()
         )
+    return words, merge_frames
+
+
+@query("q203_bpe_train")
+def q203_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES byte-pair-encoding merge rules over
+    the whole corpus — the tokenizer-training step of a data pipeline,
+    distributed: words collapse once to a vocab-bounded (word, freq)
+    table; each round counts adjacent symbol pairs (slice+zip_with,
+    map-side), takes the global argmax (TakeOrdered over the bounded
+    pair table; ties break lexicographically), and applies the merge
+    with a JVM-side fold over the symbol array (no Python anywhere).
+    Counts are exact integers, so the learned merges are deterministic
+    at any partitioning. localCheckpoint per round keeps lineage flat
+    (q86 discipline). Output: one row per merge step."""
+    _, merge_frames = _bpe_train(spark, sf_dir)
     out = merge_frames[0]
     for fr in merge_frames[1:]:
         out = out.union(fr)
@@ -1190,6 +1199,54 @@ def q210_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets.join(pooled, "k")
         .select(
             "doc_id", "source", "n_chars", F.col("v").cast("bigint").alias("qnorm_chars")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — BPE encode (apply the learned merges to the corpus; rows-only:
+# the k-round train+apply chain has no SQL-oracle form, exactness is
+# pinned against the pure-Python reference in tests/test_bpe.py)
+
+
+@query("q211_bpe_encode")
+def q211_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the BPE rules q203 just learned — the
+    apply half of tokenizer training. The merges fold into the
+    DISTINCT-word vocab during training (so encoding costs nothing
+    extra per occurrence); each doc then joins its words against the
+    vocab's final symbol counts and aggregates. Output per doc:
+    whitespace word count, character-token count (pre-BPE), BPE token
+    count after BPE_MERGES merges, and the exact compression ratio as
+    a 6-dp round of a ratio of integers. Join keys: word (vocab side
+    broadcast — vocabulary-bounded), doc_id."""
+    vocab, _ = _bpe_train(spark, sf_dir)
+    vocab_counts = vocab.select(
+        "word",
+        F.length(F.concat_ws("", "syms")).alias("n_chars_w"),
+        F.size("syms").alias("n_bpe_w"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    joined = doc_words.join(F.broadcast(vocab_counts), "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
+            F.sum("n_bpe_w").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_char_tokens").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("compression"),
         )
         .orderBy("doc_id")
     )

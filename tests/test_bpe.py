@@ -66,3 +66,51 @@ def test_bpe_matches_reference(spark):
         for r in q203_bpe_train(spark, SF_DIR).orderBy("step").collect()
     ]
     assert got == want
+
+
+def test_bpe_encode_matches_reference(spark):
+    from flightdb_spark.queries.mining import q211_bpe_encode
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    wf = {}
+    for r in rows:
+        for w in r.text.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    merges = _reference_bpe(wf, BPE_MERGES)
+
+    def encode(word):
+        syms = list(word)
+        for a, b, m, _ in merges:
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(m)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        return syms
+
+    want = {}
+    for r in rows:
+        words = [w for w in r.text.split(" ") if w]
+        if not words:
+            continue
+        enc = [encode(w) for w in words]
+        want[r.doc_id] = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(e) for e in enc),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_char_tokens, r.n_bpe_tokens)
+        for r in q211_bpe_encode(spark, SF_DIR).collect()
+    }
+    assert got == want
