@@ -111,6 +111,14 @@ HEADLINE = [
     "q198_bfs_hops",
     "q199_attribution",
     "q200_kl_divergence",
+    # round 9: survival, one-scan corr matrix, audio VAD runs, two-scan
+    # k-fold CV, skew audit, quantile normalization
+    "q204_kaplan_meier",
+    "q206_corr_matrix",
+    "q207_audio_silence",
+    "q208_cv_regression",
+    "q209_skew_audit",
+    "q210_quantile_normalize",
 ]
 
 

@@ -1250,3 +1250,70 @@ def q211_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — quality-aware canonical selection for dedup clusters
+
+
+def _q212_oracle() -> str:
+    from .textops import _dedup_clusters_oracle
+
+    cc = _dedup_clusters_oracle().strip()
+    # reuse the recursive-CTE component computation, swap the reporting
+    body = cc[: cc.rindex("SELECT doc_id, cluster_id,")].rstrip()
+    return f"""
+    {body},
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id
+                                         ORDER BY d.n_chars DESC, c.doc_id)
+               AS keeper_id
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, keeper_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn > 1
+    ORDER BY doc_id
+    """
+
+
+@query("q212_quality_canonical", oracle=_q212_oracle())
+def q212_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup resolution: within each LSH near-dup
+    cluster keep the HIGHEST-QUALITY member (longest doc, doc_id
+    tie-break) instead of q51's lowest-id convention — what a real
+    pipeline ships, since near-dup clusters usually contain one full
+    document plus truncated/boilerplate variants. Output: every
+    DROPPED doc with its cluster and keeper. Plan: the q51 component
+    labels (edge-contraction CC) joined once against doc lengths, one
+    rank window per cluster (bounded by cluster size)."""
+    from flightdb_spark.operators import textdedup
+
+    from .textops import _MINHASH_SEEDS, _docs
+
+    docs = _docs(spark, sf_dir)
+    shingled = textdedup.shingles(docs)
+    sigs = textdedup.minhash_signatures(shingled, seeds=tuple(_MINHASH_SEEDS))
+    bands = textdedup.lsh_bands(sigs, seeds=tuple(_MINHASH_SEEDS))
+    pairs = textdedup.lsh_candidate_pairs(bands)
+    comp = textdedup.connected_components(pairs)
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.first("doc_id").over(w).alias("keeper_id"),
+    )
+    return (
+        ranked.filter(F.col("rn") > 1)
+        .select(
+            "doc_id", "cluster_id", "keeper_id", F.col("n_chars").cast("bigint")
+        )
+        .orderBy("doc_id")
+    )
