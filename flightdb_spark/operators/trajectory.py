@@ -16,6 +16,7 @@ all-pairs cross join — the same bucket-join shape as the LSH ANN path
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.geo import haversine_km
@@ -135,4 +136,102 @@ def candidate_pairs_by_grid(tp: DataFrame, grid_deg: float = GRID_DEG) -> DataFr
         .filter(F.col("flight_a") < F.col("flight_b"))
         .select("flight_a", "flight_b")
         .distinct()
+    )
+
+
+# --- DTW (dynamic time warping) distance, grid-gated -------------------------------
+
+DTW_MAX_POINTS = 64  # per-flight cap before the O(m·n) matrix
+DTW_BAND = 8  # Sakoe-Chiba band half-width (after downsampling)
+
+
+def dtw_via_pairs(tp: DataFrame, pairs: DataFrame) -> DataFrame:
+    """DTW distance (planar-equirectangular km, symmetric step pattern,
+    Sakoe-Chiba band) for each candidate flight pair — the
+    time-warping-tolerant companion to directed_hausdorff_via_pairs
+    (Hausdorff ignores ordering; DTW respects it, so a reversed track
+    scores far instead of 0). Each flight is evenly downsampled to at
+    most DTW_MAX_POINTS points JVM-side, so the Arrow stage sees a
+    bounded matrix per pair; pairs come from candidate_pairs_by_grid
+    (equi-join, never n²). Deterministic: point order is (ts, lat,
+    lon), downsample indices are exact integers, numpy float64."""
+    import numpy as np
+    import pandas as pd
+
+    w = W.partitionBy("flight_id").orderBy("ts", "lat", "lon")
+    idx = tp.select(
+        "flight_id",
+        "lat",
+        "lon",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("flight_id")).alias("n"),
+    )
+    # even downsample: keep i=0 and every i where floor(i*K/n) advances
+    # (K = cap; all-integer, engine-stable)
+    keep = idx.filter(
+        (F.col("n") <= DTW_MAX_POINTS)
+        | (F.col("i") == 0)
+        | (
+            F.expr(f"i * {DTW_MAX_POINTS} div n")
+            != F.expr(f"(i - 1) * {DTW_MAX_POINTS} div n")
+        )
+    )
+    a_pts = keep.select(
+        F.col("flight_id").alias("flight_a"),
+        F.lit(0).alias("side"),
+        "i",
+        "lat",
+        "lon",
+    )
+    b_pts = keep.select(
+        F.col("flight_id").alias("flight_b"),
+        F.lit(1).alias("side"),
+        "i",
+        "lat",
+        "lon",
+    )
+    left = pairs.join(a_pts, "flight_a").select(
+        "flight_a", "flight_b", "side", "i", "lat", "lon"
+    )
+    right = pairs.join(b_pts, "flight_b").select(
+        "flight_a", "flight_b", "side", "i", "lat", "lon"
+    )
+    both = left.unionByName(right)
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        fa = int(pdf["flight_a"].iloc[0])
+        fb = int(pdf["flight_b"].iloc[0])
+        out = []
+        g0 = pdf[pdf["side"] == 0].sort_values("i")
+        g1 = pdf[pdf["side"] == 1].sort_values("i")
+        if len(g0) and len(g1):
+            lat0 = g0["lat"].to_numpy()
+            mean_lat = float(np.mean(np.concatenate([lat0, g1["lat"].to_numpy()])))
+            kx = 111.32 * np.cos(np.deg2rad(mean_lat))
+            ax = g0["lon"].to_numpy() * kx
+            ay = lat0 * 111.32
+            bx = g1["lon"].to_numpy() * kx
+            by = g1["lat"].to_numpy() * 111.32
+            m, n = len(ax), len(bx)
+            band = max(DTW_BAND, abs(m - n) + 1)
+            INF = float("inf")
+            prev = np.full(n + 1, INF)
+            prev[0] = 0.0
+            for i in range(1, m + 1):
+                cur = np.full(n + 1, INF)
+                lo = max(1, i - band)
+                hi = min(n, i + band)
+                dx = ax[i - 1] - bx[lo - 1 : hi]
+                dy = ay[i - 1] - by[lo - 1 : hi]
+                cost = np.hypot(dx, dy)
+                for k, j in enumerate(range(lo, hi + 1)):
+                    cur[j] = cost[k] + min(prev[j], prev[j - 1], cur[j - 1])
+                prev = cur
+            out.append((fa, fb, m, n, round(float(prev[n]), 3)))
+        return pd.DataFrame(
+            out, columns=["flight_a", "flight_b", "n_a", "n_b", "dtw_km"]
+        )
+
+    return both.groupBy("flight_a", "flight_b").applyInPandas(
+        _one, "flight_a long, flight_b long, n_a int, n_b int, dtw_km double"
     )

@@ -1317,3 +1317,28 @@ def q212_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — DTW trajectory similarity, grid-gated (rows-only: the banded
+# dynamic program is not SQL-expressible; properties pinned in
+# tests/test_dtw.py)
+
+
+@query("q213_dtw_similarity")
+def q213_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance for every grid-candidate flight pair — the
+    order-respecting companion to q47's Hausdorff (a reversed track is
+    FAR under DTW, identical under Hausdorff). Candidates come from
+    the same 3x3-expanded cell equi-join as q47; each flight is evenly
+    downsampled to <=64 points JVM-side before the Arrow stage, so the
+    per-pair dynamic program is a bounded 64x64 band. Output: pair,
+    downsampled lengths, dtw_km."""
+    from flightdb_spark.operators.trajectory import (
+        candidate_pairs_by_grid,
+        dtw_via_pairs,
+    )
+
+    tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 40)
+    pairs = candidate_pairs_by_grid(tp)
+    return dtw_via_pairs(tp, pairs).orderBy("flight_a", "flight_b")
