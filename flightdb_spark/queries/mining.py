@@ -1342,3 +1342,175 @@ def q213_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 40)
     pairs = candidate_pairs_by_grid(tp)
     return dtw_via_pairs(tp, pairs).orderBy("flight_a", "flight_b")
+
+
+# ---------------------------------------------------------------------------
+# q214 — DAU/WAU stickiness ratio
+
+
+@query(
+    "q214_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN du u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    ORDER BY dau.day
+    """,
+)
+def q214_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — daily actives over trailing-7-day
+    actives, the engagement ratio a product dashboard runs forever.
+    Events collapse once to DISTINCT (day, user); the trailing-window
+    distinct is the day-bucket explode trick (each (day,user) row
+    serves the 7 window-ends it can influence — q151's shape), so no
+    windowed COUNT DISTINCT state ever exists. Both aggregates key on
+    the calendar-bounded day table."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    ends = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    wau = (
+        ends.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — airspace occupancy time series
+
+OCC_BUCKET_MIN = 30
+
+
+@query(
+    "q215_airspace_occupancy",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id AS flight_id,
+             epoch_us(MIN(ts)) // ({OCC_BUCKET_MIN} * 60000000) AS b0,
+             epoch_us(MAX(ts)) // ({OCC_BUCKET_MIN} * 60000000) AS b1
+      FROM events GROUP BY user_id
+    ),
+    buckets AS (
+      SELECT CAST(u.b AS BIGINT) AS bucket, flight_id
+      FROM spans, LATERAL (
+        SELECT unnest(range(CAST(b0 AS BIGINT), CAST(b1 + 1 AS BIGINT))) AS b
+      ) u
+    )
+    SELECT bucket,
+           make_timestamp(bucket * {OCC_BUCKET_MIN} * 60 * 1000000)
+             AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_aloft
+    FROM buckets GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q215_airspace_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Airspace occupancy: how many flights are aloft in each 30-min
+    bucket — the historical load curve behind the reference's realtime
+    airspace view (SURVEY §2.11), and exactly the reference's timeslot
+    quantization (flightdb.go:6-11, 30-min slots a flight's span
+    overlaps). Per-flight spans collapse first (one aggregate), then
+    explode to their covered slots — fan-out is span/30min per flight,
+    the same bounded interval-explode as q96 — and a slot-keyed count
+    finishes. The slot table is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    us = OCC_BUCKET_MIN * 60_000_000
+    spans = ev.groupBy(F.col("user_id").alias("flight_id")).agg(
+        F.expr(f"unix_micros(min(ts)) div {us}").alias("b0"),
+        F.expr(f"unix_micros(max(ts)) div {us}").alias("b1"),
+    )
+    buckets = spans.select(
+        F.explode(F.expr("sequence(b0, b1)")).alias("bucket"), "flight_id"
+    )
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_aloft"))
+        .select(
+            "bucket",
+            F.timestamp_seconds(F.col("bucket") * OCC_BUCKET_MIN * 60).alias(
+                "bucket_start"
+            ),
+            "n_aloft",
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — repeat-purchase interval distribution
+
+
+@query(
+    "q216_repeat_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey, (d - prev_d) AS gap_days FROM o WHERE prev_d IS NOT NULL
+    )
+    SELECT CAST(gap_days AS BIGINT) AS gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps GROUP BY gap_days ORDER BY gap_days
+    """,
+)
+def q216_repeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's consecutive orders —
+    the inter-purchase-interval histogram behind repeat-rate and churn
+    models (q204's KM curve estimates time-to-FIRST conversion; this
+    is the repeat cadence). One shuffle on o_custkey for the lag
+    window (order ties broken by o_orderkey), then a histogram keyed
+    on the integer day gap — output bounded by the calendar span."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .select(F.datediff("d", "prev_d").alias("gap_days"))
+    )
+    return (
+        gaps.groupBy(F.col("gap_days").cast("bigint").alias("gap_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+        .orderBy("gap_days")
+    )
