@@ -1514,3 +1514,68 @@ def q216_repeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
         .orderBy("gap_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — custom Python Data Source, oracle-checked
+
+PYDS_FLIGHTS = 50
+PYDS_POINTS = 120
+
+
+@query(
+    "q217_python_datasource",
+    oracle=f"""
+    WITH grid AS (
+      SELECT f.f AS flight_id, s.s AS seq,
+             ('0x' || substr(md5(f.f || ':' || s.s), 1, 15))::BIGINT AS h
+      FROM (SELECT unnest(range({PYDS_FLIGHTS})) AS f) f,
+           (SELECT unnest(range({PYDS_POINTS})) AS s) s
+    ),
+    pts AS (
+      SELECT flight_id,
+             37.0 + (h % 18000) / 10000.0 AS lat,
+             -122.5 + ((h // 18000) % 22900) / 10000.0 AS lon,
+             CAST(1000 + ((h // (18000 * 22900)) % 350) * 100 AS BIGINT) AS alt
+      FROM grid
+    )
+    SELECT flight_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MIN(lat), 4) AS min_lat, ROUND(MAX(lat), 4) AS max_lat,
+           ROUND(MIN(lon), 4) AS min_lon, ROUND(MAX(lon), 4) AS max_lon,
+           CAST(SUM(alt) AS BIGINT) AS alt_sum
+    FROM pts GROUP BY flight_id ORDER BY flight_id
+    """,
+)
+def q217_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python Data Source (sources/pyds.py — Spark 4
+    ``pyspark.sql.datasource``) exercised end-to-end: the engine plans
+    one InputPartition per flight shard, executors GENERATE their
+    shard's trackpoints (no driver data), and the per-flight bounding
+    boxes + altitude sums are aggregated downstream. Because
+    generation is md5-folded integer arithmetic, the DuckDB oracle
+    rebuilds the identical rows from range()+md5() — the connector
+    itself is value-hash-verified, not just smoke-tested. (sf_dir is
+    unused: the source generates its input.)"""
+    from flightdb_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthetic_tracks")
+        .option("n_flights", PYDS_FLIGHTS)
+        .option("points_per_flight", PYDS_POINTS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("flight_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.min("lat"), 4).alias("min_lat"),
+            F.round(F.max("lat"), 4).alias("max_lat"),
+            F.round(F.min("lon"), 4).alias("min_lon"),
+            F.round(F.max("lon"), 4).alias("max_lon"),
+            F.sum(F.col("alt_ft").cast("bigint")).cast("bigint").alias("alt_sum"),
+        )
+        .orderBy("flight_id")
+    )
