@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flightdb_spark.operators.prefix import ecdf_counts
 from flightdb_spark.operators.simplify import douglas_peucker
 from flightdb_spark.tables import ensure_parallelism, load_table
 
@@ -1576,6 +1577,268 @@ def q217_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("lon"), 4).alias("min_lon"),
             F.round(F.max("lon"), 4).alias("max_lon"),
             F.sum(F.col("alt_ft").cast("bigint")).cast("bigint").alias("alt_sum"),
+        )
+        .orderBy("flight_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — GROUPING SETS with grouping_id
+
+
+@query(
+    "q218_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, priority, status
+    """,
+)
+def q218_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (priority, status) — the four-way subtotal
+    lattice in ONE Expand pass (q72's cube restricted to the sets a
+    dashboard actually wants), with grouping_id disambiguating NULL
+    group values from the 'ALL' rollup rows. Revenue accumulates
+    per-row-rounded DECIMAL. Catalyst plans a single Expand +
+    aggregate — no union of scans."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q218_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM q218_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, priority, status
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — confusion matrix + precision/recall/F1 at a threshold
+
+CLS_THRESHOLD = 50.0
+
+
+@query(
+    "q219_confusion_matrix",
+    oracle=f"""
+    WITH lbl AS (
+      SELECT CASE WHEN value >= {CLS_THRESHOLD} THEN 1 ELSE 0 END AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    cm AS (
+      SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+      FROM lbl
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM cm
+    """,
+)
+def q219_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classification readout of 'value >= 50 predicts
+    purchase': confusion counts as exact integer conditional sums in
+    ONE aggregate, precision/recall/F1 assembled from them (the
+    threshold-metric companion to q135's AUC and q201's ECE). Scan-
+    bound at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    pred = F.when(F.col("value") >= CLS_THRESHOLD, 1).otherwise(0)
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cm = ev.select(pred.alias("pred"), y.alias("y")).agg(
+        F.sum(F.col("pred") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("bigint").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall"
+        ),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — step-wise average precision (AUC-PR)
+
+
+@query(
+    "q220_average_precision",
+    oracle="""
+    WITH lbl AS (
+      SELECT value AS score,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+             COUNT(*) AS t
+      FROM events GROUP BY value
+    ),
+    scan AS (
+      SELECT SUM(pos) OVER (ORDER BY score DESC) AS cum_pos,
+             SUM(t) OVER (ORDER BY score DESC) AS cum_t,
+             pos
+      FROM lbl
+    ),
+    tot AS (SELECT SUM(pos) AS p FROM lbl),
+    terms AS (
+      SELECT CAST(ROUND((CAST(pos AS DOUBLE) / tot.p)
+                        * (CAST(cum_pos AS DOUBLE) / cum_t), 9)
+                  AS DECIMAL(38,9)) AS term
+      FROM scan, tot WHERE pos > 0
+    )
+    SELECT CAST(tot.p AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS avg_precision
+    FROM terms, tot GROUP BY tot.p
+    """,
+)
+def q220_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-wise average precision (area under the precision-recall
+    curve evaluated at distinct score thresholds — well-defined under
+    ties because scores collapse to distinct values first, q135
+    discipline): AP = sum over thresholds of delta-recall x precision.
+    The descending cumulative scan runs through the bucketed prefix
+    primitive (distinct scores, per-bucket windows); each term rounds
+    at 9 dp into DECIMAL, output at 6. Completes the ranking-metric
+    family: AUC (q135) scores order, ECE (q201) scores probability
+    truth, AP scores the retrieval tradeoff."""
+    ev = load_table(spark, sf_dir, "events")
+    is_pos = F.col("event_type") == "purchase"
+    scan = ecdf_counts(
+        ev.select((-F.col("value")).alias("neg_score"), is_pos.alias("y")),
+        "neg_score",
+        {
+            "pos": F.when(F.col("y"), 1).otherwise(0),
+            "t": F.lit(1),
+        },
+        n_buckets=64,
+    )
+    tot = scan.agg(F.sum("pos").cast("bigint").alias("p"))
+    terms = (
+        scan.filter(F.col("pos") > 0)
+        .join(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("pos").cast("double") / F.col("p"))
+                * (F.col("cum_pos").cast("double") / F.col("cum_t")),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("term"),
+            "p",
+        )
+    )
+    return terms.groupBy("p").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("avg_precision")
+    ).select(F.col("p").alias("n_pos"), "avg_precision")
+
+
+# ---------------------------------------------------------------------------
+# q221 — airway conformance (cross-track deviation from a fixed route)
+
+# Airway EPICK -> EDDYY -> MENLO (geo.py waypoint fixtures), projected
+# to planar km. All segment constants are Python-precomputed literals
+# (DETERMINISM.md §11) so both engines evaluate identical arithmetic.
+_AIRWAY = [(37.50, -122.00), (37.80, -121.50), (38.00, -121.00)]
+_KY = 111.32
+_KX = 88.018  # 111.32 * cos(radians(37.75)) at the airway's mid-latitude
+
+AIRWAY_NEAR_KM = 5.0
+
+
+def _seg_d2_exprs() -> list[str]:
+    """Squared point-to-segment distances, one expression per airway
+    leg, over (px, py) columns — identical text for Spark and DuckDB."""
+    out = []
+    for (lat1, lon1), (lat2, lon2) in zip(_AIRWAY, _AIRWAY[1:]):
+        x1, y1 = round(lon1 * _KX, 6), round(lat1 * _KY, 6)
+        x2, y2 = round(lon2 * _KX, 6), round(lat2 * _KY, 6)
+        dx, dy = round(x2 - x1, 6), round(y2 - y1, 6)
+        l2 = round(dx * dx + dy * dy, 6)
+        t = f"LEAST(GREATEST(((px - {x1}) * {dx} + (py - {y1}) * {dy}) / {l2}, 0.0), 1.0)"
+        out.append(
+            f"((px - ({x1} + {t} * {dx})) * (px - ({x1} + {t} * {dx}))"
+            f" + (py - ({y1} + {t} * {dy})) * (py - ({y1} + {t} * {dy})))"
+        )
+    return out
+
+
+def _airway_oracle() -> str:
+    d2 = f"LEAST({', '.join(_seg_d2_exprs())})"
+    from .synth import SYNTH_TP_CTE
+
+    return f"""
+    WITH {SYNTH_TP_CTE},
+    proj AS (
+      SELECT flight_id, lon * {_KX} AS px, lat * {_KY} AS py FROM trackpoints
+    ),
+    dev AS (
+      SELECT flight_id, ROUND(sqrt({d2}), 6) AS dev_km FROM proj
+    )
+    SELECT flight_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MAX(dev_km), 4) AS max_dev_km,
+           CAST(SUM(CASE WHEN dev_km <= {AIRWAY_NEAR_KM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_on_airway,
+           ROUND(CAST(SUM(CASE WHEN dev_km <= {AIRWAY_NEAR_KM} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_on_airway
+    FROM dev GROUP BY flight_id ORDER BY flight_id
+    """
+
+
+@query("q221_airway_conformance", oracle=_airway_oracle())
+def q221_airway_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Airway conformance: each trackpoint's cross-track distance to
+    the EPICK->EDDYY->MENLO route (min over clamped point-to-segment
+    projections in planar km), rolled up per flight as max deviation
+    and the fraction of points within 5 km — the route-adherence
+    audit an ANSP runs (the reference's vertical-plane gates answer
+    'did it cross'; this answers 'did it FOLLOW'). Segment constants
+    are Python-precomputed 6-dp literals shared by both engines; the
+    per-point math is one straight-line double expression, map-side;
+    one flight_id aggregate finishes."""
+    tp = synth_trackpoints(spark, sf_dir)
+    d2 = f"LEAST({', '.join(_seg_d2_exprs())})"
+    dev = tp.select(
+        "flight_id",
+        (F.col("lon") * _KX).alias("px"),
+        (F.col("lat") * _KY).alias("py"),
+    ).select("flight_id", F.expr(f"ROUND(sqrt({d2}), 6)").alias("dev_km"))
+    on_air = F.when(F.col("dev_km") <= AIRWAY_NEAR_KM, 1).otherwise(0)
+    return (
+        dev.groupBy("flight_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.max("dev_km"), 4).alias("max_dev_km"),
+            F.sum(on_air).cast("bigint").alias("n_on_airway"),
+            F.round(
+                F.sum(on_air).cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_on_airway"),
         )
         .orderBy("flight_id")
     )

@@ -57,6 +57,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # bounded bucket-totals table, rank scan itself is per-bucket
     "q192_mann_whitney",
     "q193_ks_test",
+    "q220_average_precision",
     # risk-set and log-survival scans run over the distinct-hour key
     # table, bounded by calendar hours in the era, not corpus size
     "q204_kaplan_meier",
