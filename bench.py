@@ -119,6 +119,13 @@ HEADLINE = [
     "q208_cv_regression",
     "q209_skew_audit",
     "q210_quantile_normalize",
+    # round 9: repeat cadence, subtotal lattice, AP, airway audit,
+    # oracle-verified Python DataSource
+    "q216_repeat_intervals",
+    "q218_grouping_sets",
+    "q220_average_precision",
+    "q221_airway_conformance",
+    "q217_python_datasource",
 ]
 
 

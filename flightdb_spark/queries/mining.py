@@ -1,15 +1,14 @@
-"""Mining batch 10 (q198-q203): BFS hop distances over the
-part-supplier graph (the reachability sibling of q86's PageRank /
-q93's triangles), multi-touch marketing attribution (first/last/linear
-credit — the generalization of q80's single-model funnel), per-source
-KL divergence against the corpus token distribution (the
-distribution-shift audit beside q128's PSI), expected calibration
-error (the calibration half of q135's AUC), Douglas-Peucker track
-simplification (operators/simplify.py — keeps turn apexes, collapses
-straight runs; the shape-aware sibling of SampleEvery/SampleEveryDist,
-track.go:604-666), and a distributed BPE merge trainer (the first k
-merge rules learned corpus-wide with exact integer counts — the
-tokenizer-construction step of a training-data pipeline).
+"""Mining batches 10-11 (q198-q221): graph reachability (BFS),
+multi-touch attribution, KL drift, calibration (ECE / confusion /
+average precision), Douglas-Peucker and DTW track geometry, BPE
+tokenizer train+encode, survival (Kaplan-Meier), Mann-Kendall trend,
+one-scan correlation matrix, audio silence runs, two-scan k-fold CV,
+join-skew audit, quantile normalization, quality-aware dedup
+canonicalization, DAU/WAU stickiness, airspace occupancy, repeat
+intervals, the oracle-verified Spark-4 Python Data Source, GROUPING
+SETS, and airway conformance. Each docstring names the sibling
+operator it extends and its 100 TB plan shape (PLANS.md has the
+audit).
 
 Determinism: BFS/BPE are pure integer computations; attribution
 credits are integer flags plus per-row-rounded DECIMAL linear shares;
@@ -25,7 +24,7 @@ from pyspark.sql import functions as F
 
 from flightdb_spark.operators.prefix import ecdf_counts
 from flightdb_spark.operators.simplify import douglas_peucker
-from flightdb_spark.tables import ensure_parallelism, load_table
+from flightdb_spark.tables import load_table
 
 from . import query
 from .synth import synth_trackpoints
