@@ -1841,3 +1841,62 @@ def q221_airway_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flight_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — quarter-over-quarter churned customers
+
+
+@query(
+    "q222_churned_customers",
+    oracle="""
+    WITH q1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    ),
+    q2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-04-01' AND o_orderdate < DATE '1995-07-01'
+    ),
+    churned AS (
+      SELECT o_custkey FROM q1
+      WHERE o_custkey NOT IN (SELECT o_custkey FROM q2)
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_churned
+    FROM churned ch JOIN customer c ON c.c_custkey = ch.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q222_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter churn: customers who ordered in 1995-Q1
+    but not in 1995-Q2, counted per market segment — the semi-join
+    THEN anti-join composition (q73 exercises a single anti; churn
+    needs both on the same fact table). Both quarter scans carry
+    pushed date filters; the anti-join probes the (distinct,
+    customer-bounded) Q2 key set; the segment dim joins broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    q1 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    q2 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-04-01")
+            & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    churned = q1.join(q2, "o_custkey", "left_anti")
+    return (
+        churned.join(c, churned.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+        .orderBy("segment")
+    )
