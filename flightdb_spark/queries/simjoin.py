@@ -30,6 +30,7 @@ from .textops import _SHINGLES_DUCK, _SHINGLES_SPARK
 
 # --- q91: prefix-filtered exact Jaccard self-join ----------------------------------
 J_NUM, J_DEN = 7, 10  # threshold t = 0.7 as an exact rational
+JACCARD_BCAST_DOCS = 500_000  # per-doc shingle-set table broadcast gate
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,13 +68,16 @@ def q91_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — two docs whose prefixes are disjoint provably cannot
     reach the threshold, so this finds EXACTLY the all-pairs answer
     (which is what the oracle computes) without LSH's recall loss or
-    the n² pair join. Verification joins each candidate pair back
-    through the full shingle sets (bounded by candidates x doc size).
+    the n² pair join. Verification is PPJoin-style: each candidate
+    pair picks up both docs' full shingle ARRAYS (broadcast lookups
+    while the set table fits, shuffle joins above the gate) and
+    intersects them JVM-side — the token-level re-join (candidates x
+    doc size rows through two shuffles) never materializes.
     Shuffles: shingle freq, per-doc window, prefix equi-join, pair
-    re-aggregate — all on natural keys."""
-    # toks feeds five consumers (freq, rank, both verification sides,
-    # sizes); materialize once instead of re-running the scan+explode+
-    # distinct lineage per consumer (same discipline as q86/q93)
+    dedupe — all on natural keys."""
+    # toks feeds the freq/rank lineage and the per-doc set table;
+    # materialize once instead of re-running the scan+explode+distinct
+    # lineage per consumer (same discipline as q86/q93)
     toks = _shingle_rows(spark, sf_dir).localCheckpoint()
     freq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     wdoc = W.partitionBy("doc_id")
@@ -100,20 +104,30 @@ def q91_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # per-doc shingle sets as arrays (toks is already distinct); gate the
+    # lookup strategy on the doc count — under the gate the whole set
+    # table broadcasts and verification is map-side, above it the two
+    # joins shuffle candidate-sized rows (never candidates x doc size)
+    sets_ = toks.groupBy("doc_id").agg(F.collect_list("sh").alias("w"))
+    n_docs = sets_.count()
+    maybe_bcast = F.broadcast if n_docs <= JACCARD_BCAST_DOCS else (lambda df: df)
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("la")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("lb")), "doc_b")
-        .withColumn("uni", F.col("la") + F.col("lb") - F.col("inter"))
+        cand.join(
+            maybe_bcast(
+                sets_.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+            ),
+            "doc_a",
+        )
+        .join(
+            maybe_bcast(
+                sets_.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("wa", "wb")).cast("bigint"))
+        .withColumn(
+            "uni", F.size("wa") + F.size("wb") - F.col("inter")
+        )
         .filter(J_DEN * F.col("inter") >= J_NUM * F.col("uni"))
     )
     return out.select(
@@ -228,20 +242,26 @@ TRIANGLE_BCAST_EDGES = 3_000_000  # ~48 MB of (long, long) — under the 64 MB c
 )
 def q93_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the co-purchase graph (parts co-occurring in
-    an order): oriented edges a<b, wedges from e1.b = e2.a (so
-    a<b<c), closed by an equi-join probing edge (a, c). Each join is
-    hash-equi on a node id; the two-join enumeration counts each
-    triangle exactly once — the canonical distributed algorithm.
+    an order): oriented edges a<b; each edge (a, b) counts the common
+    ORIENTED out-neighbors of its endpoints, |N+(a) ∩ N+(b)| — triangle
+    a<b<c is found exactly once, at its lowest edge (a, b), as c sits
+    in both out-lists. This is edge-iterator triangle counting: the
+    wedge stream of the two-join enumeration (Σ in·out ≈ 200M rows at
+    sf0.1 on this near-uniform ~2M-edge graph) is never materialized or
+    shuffled; the intersection runs JVM-side (array_intersect) over
+    adjacency arrays whose total size is exactly the edge count.
 
     Edge build: per-order collect_set → in-array pair expansion (one
     shuffle on the order key; fan-out bounded by basket size) — ~40%
     faster than the self-join form, whose SMJ sorts the lineitem scan
     twice. The materialized edge count (needed for the n_edges output
-    anyway) then picks the closure strategy: under ~3M edges the edge
-    list broadcasts (wedge stream never shuffles); above, the joins
-    fall back to shuffle SMJ — the shape that survives when the edge
-    list outgrows any single executor. Heavy-degree wedge keys ride
-    AQE skew splitting either way."""
+    anyway) picks the join strategy: under ~3M edges the adjacency
+    table broadcasts (the edge stream never shuffles); above, the two
+    lookups fall back to shuffle joins on a and b — two edge-sized
+    exchanges, still never the wedge stream. A pathological hub node
+    at 100x scale would fatten one adjacency array; degree-ordering
+    the orientation (lowest-degree endpoint first) is the documented
+    escape hatch, count-invariant by symmetry."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
@@ -259,14 +279,36 @@ def q93_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     maybe_bcast = (
         F.broadcast if n_edges <= TRIANGLE_BCAST_EDGES else (lambda df: df)
     )
+    adj = e.groupBy(F.col("a").alias("node")).agg(
+        F.collect_list("b").alias("nbrs")
+    )
     tri = (
-        e.alias("e1")
-        .join(maybe_bcast(e.alias("e2")), F.col("e2.a") == F.col("e1.b"))
-        .join(
-            maybe_bcast(e.alias("e3")),
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        e.join(
+            maybe_bcast(
+                adj.select(F.col("node").alias("a"), F.col("nbrs").alias("na"))
+            ),
+            "a",
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(
+            # left: the highest-ordered node of an edge may have no out-edges
+            maybe_bcast(
+                adj.select(F.col("node").alias("b"), F.col("nbrs").alias("nb"))
+            ),
+            "b",
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("nb").isNull(), F.lit(0)).otherwise(
+                        F.size(F.array_intersect("na", "nb"))
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     stats = e.select(F.explode(F.array("a", "b")).alias("x")).agg(
         F.countDistinct("x").alias("n_nodes")
