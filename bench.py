@@ -126,6 +126,13 @@ HEADLINE = [
     "q220_average_precision",
     "q221_airway_conformance",
     "q217_python_datasource",
+    # round 10: robust slope, trajectory clustering, perceptual-hash
+    # media dedup, PQ-ADC ANN, exact span removal
+    "q223_theil_sen",
+    "q224_trajectory_clusters",
+    "q225_ahash_neardup",
+    "q226_pq_adc_topk",
+    "q227_dup_span_removal",
 ]
 
 

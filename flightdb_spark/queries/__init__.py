@@ -52,6 +52,7 @@ _MODULES = [
     "analytics",
     "stattests",
     "mining",
+    "mining2",
 ]
 
 

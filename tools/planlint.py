@@ -75,6 +75,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q147_pareto_frontier",
     # bucketed_cumsum rank scan: only the bucket-totals window is global
     "q148_gini",
+    # Theil-Sen lower median: the distinct-slope ECDF runs through
+    # bucketed_cumsum — only the bucket-totals window is global
+    "q223_theil_sen",
     # descending bucketed_cumsum: same bucket-totals-only global window
     "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
