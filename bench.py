@@ -133,6 +133,12 @@ HEADLINE = [
     "q225_ahash_neardup",
     "q226_pq_adc_topk",
     "q227_dup_span_removal",
+    # round 10: rank correlations, KMV sketch audit, span corruption,
+    # proximity encounters
+    "q229_spearman",
+    "q231_kmv_ndv",
+    "q232_span_corruption",
+    "q233_separation_conflicts",
 ]
 
 

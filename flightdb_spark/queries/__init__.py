@@ -53,6 +53,7 @@ _MODULES = [
     "stattests",
     "mining",
     "mining2",
+    "mining3",
 ]
 
 

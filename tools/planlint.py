@@ -78,6 +78,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # Theil-Sen lower median: the distinct-slope ECDF runs through
     # bucketed_cumsum — only the bucket-totals window is global
     "q223_theil_sen",
+    # Spearman tied ranks: distinct-value cumulative counts through
+    # bucketed_cumsum — only the bucket-totals window is global
+    "q229_spearman",
     # descending bucketed_cumsum: same bucket-totals-only global window
     "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
