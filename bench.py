@@ -139,6 +139,9 @@ HEADLINE = [
     "q231_kmv_ndv",
     "q232_span_corruption",
     "q233_separation_conflicts",
+    # round 11: TPC-H completion highlights
+    "q237_product_type_profit",
+    "q243_waiting_suppliers",
 ]
 
 

@@ -54,6 +54,7 @@ _MODULES = [
     "mining",
     "mining2",
     "mining3",
+    "relational3",
 ]
 
 
