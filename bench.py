@@ -142,6 +142,8 @@ HEADLINE = [
     # round 11: TPC-H completion highlights
     "q237_product_type_profit",
     "q243_waiting_suppliers",
+    "q244_dsir_resample",
+    "q246_naive_bayes_langid",
 ]
 
 

@@ -55,6 +55,7 @@ _MODULES = [
     "mining2",
     "mining3",
     "relational3",
+    "learning",
 ]
 
 

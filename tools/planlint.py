@@ -81,6 +81,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # Spearman tied ranks: distinct-value cumulative counts through
     # bucketed_cumsum — only the bucket-totals window is global
     "q229_spearman",
+    # conformal calibration order statistic: distinct-residual counts
+    # through bucketed_cumsum — same bucket-totals-only global window
+    "q245_conformal_interval",
     # descending bucketed_cumsum: same bucket-totals-only global window
     "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
