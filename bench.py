@@ -144,6 +144,8 @@ HEADLINE = [
     "q243_waiting_suppliers",
     "q244_dsir_resample",
     "q246_naive_bayes_langid",
+    "q250_variant_shred",
+    "q254_array_hof_battery",
 ]
 
 

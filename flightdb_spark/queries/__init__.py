@@ -56,6 +56,7 @@ _MODULES = [
     "mining3",
     "relational3",
     "learning",
+    "enginesurface",
 ]
 
 
