@@ -146,6 +146,8 @@ HEADLINE = [
     "q246_naive_bayes_langid",
     "q250_variant_shred",
     "q254_array_hof_battery",
+    "q256_woe_iv",
+    "q259_bounded_sssp",
 ]
 
 

@@ -57,6 +57,7 @@ _MODULES = [
     "relational3",
     "learning",
     "enginesurface",
+    "audit",
 ]
 
 

@@ -1,0 +1,427 @@
+"""Audit-and-selection batch 17 (q255-q259): data-quality audits and
+retrieval/graph operators — functional-dependency violation detection
+with majority-repair suggestions, weight-of-evidence / information-
+value binning (the credit-scoring feature audit), cross-table
+reconciliation drift (the double-entry ledger check), MMR-diversified
+retrieval (greedy reranking, rows-only with a numpy-parity pin), and
+hop-bounded weighted shortest paths over the co-purchase graph
+(Bellman-Ford rounds as relational min-plus, oracled by literally
+chained per-round CTEs).
+
+Determinism: ln terms at 7 dp (DETERMINISM.md §5); majority repair
+ties break (count DESC, value ASC); SSSP path sums are fixed-shape
+left folds over 6-dp edge weights so min() compares identical doubles;
+MMR ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# q255 — functional-dependency violation audit
+
+
+@query(
+    "q255_fd_violations",
+    oracle="""
+    WITH pairs AS (
+      SELECT p_name, p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name, p_brand
+    ),
+    ranked AS (
+      SELECT p_name, p_brand, cnt,
+             ROW_NUMBER() OVER (PARTITION BY p_name
+                                ORDER BY cnt DESC, p_brand) AS rk,
+             SUM(cnt) OVER (PARTITION BY p_name) AS n_rows,
+             COUNT(*) OVER (PARTITION BY p_name) AS n_values
+      FROM pairs
+    )
+    SELECT p_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_values AS BIGINT) AS n_distinct_brands,
+           p_brand AS majority_brand,
+           ROUND(cnt * 1.0 / n_rows, 5) AS majority_support
+    FROM ranked
+    WHERE rk = 1 AND n_values > 1
+    ORDER BY majority_support, p_name
+    """,
+)
+def q255_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for the claimed FD p_name ->
+    p_brand, surface every determinant value bound to MORE than one
+    dependent value, with the majority dependent as the suggested
+    repair and its support fraction — the Holoclean/data-repair
+    primitive. (The synthetic part table draws name and brand
+    independently, so every name violates; the support column is what
+    varies and would drive the repair.)
+
+    Plan: one shuffle to (name, brand) counts; the argmax, group total
+    and distinct count ride THREE window functions over the same
+    name-partitioned sort — no self-joins, no second shuffle; ties
+    break (count DESC, brand ASC) identically on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    pairs = p.groupBy("p_name", "p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wp = Window.partitionBy("p_name")
+    wr = wp.orderBy(F.desc("cnt"), "p_brand")
+    ranked = (
+        pairs.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_rows", F.sum("cnt").over(wp))
+        .withColumn("n_values", F.count(F.lit(1)).over(wp))
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("n_values") > 1))
+        .select(
+            "p_name",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_values").cast("bigint").alias("n_distinct_brands"),
+            F.col("p_brand").alias("majority_brand"),
+            F.round(F.col("cnt") * 1.0 / F.col("n_rows"), 5).alias(
+                "majority_support"
+            ),
+        )
+        .orderBy("majority_support", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 — weight of evidence / information value
+
+
+@query(
+    "q256_woe_iv",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS g, CAST(SUM(n_bad) AS BIGINT) AS b
+      FROM per_bin
+    )
+    SELECT bin, n_good, n_bad,
+           ROUND(ln(((n_good + 0.5) / g) / ((n_bad + 0.5) / b)), 7) AS woe,
+           ROUND(((n_good + 0.5) / g - (n_bad + 0.5) / b)
+                 * ROUND(ln(((n_good + 0.5) / g) / ((n_bad + 0.5) / b)), 7), 9)
+             AS iv_term
+    FROM per_bin CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def q256_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature audit (the
+    credit-scoring binning diagnostic): bin the discount into its 11
+    natural levels, label 'R' returns as bad, and report per-bin WOE
+    = ln((good share)/(bad share)) with 0.5 Laplace smoothing plus the
+    IV contribution — sum of iv_term is the feature's predictive-power
+    score. Per-bin outputs only: no cross-row double accumulation, so
+    the 7-dp ln rounding is the only transcendental boundary.
+
+    Plan: one shuffle into the 11-bin conditional counts; totals are a
+    single broadcast row; WOE/IV are straight-line doubles per bin."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    binned = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").cast("bigint").alias("g"),
+        F.sum("n_bad").cast("bigint").alias("b"),
+    )
+    good_share = (F.col("n_good") + 0.5) / F.col("g")
+    bad_share = (F.col("n_bad") + 0.5) / F.col("b")
+    woe = F.round(F.log(good_share / bad_share), 7)
+    return (
+        per_bin.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_good",
+            "n_bad",
+            woe.alias("woe"),
+            F.round((good_share - bad_share) * woe, 9).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 — cross-table reconciliation drift
+
+
+@query(
+    "q257_reconciliation_drift",
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                      AS DECIMAL(38,6))) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month,
+             o.o_totalprice - CAST(s.computed AS DOUBLE) AS diff
+      FROM orders o JOIN line_sums s ON s.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN ABS(diff) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reconciled,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(diff), 6) AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 2) AS mean_abs_drift
+    FROM joined
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def q257_reconciliation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation (the double-entry ledger audit): does
+    the order header's total match the sum of its lines under the
+    standard charge formula? Reported as a monthly drift series —
+    reconciled count and mean absolute drift — the shape a finance
+    pipeline alerts on. (The synthetic tables draw header and line
+    prices independently, so drift is large everywhere; the audit's
+    value is the per-month series, which is what the oracle pins.)
+
+    Plan: one shuffle aggregates per-order line sums on the natural
+    key; the header join rides the same key (co-partitioned); the
+    monthly rollup is an ~80-key aggregate. Per-row diffs round into
+    DECIMAL before the cross-row sum."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    ).cast("decimal(38,6)")
+    sums = li.groupBy("l_orderkey").agg(F.sum(charge).alias("computed"))
+    joined = o.join(sums, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        (F.col("o_totalprice") - F.col("computed").cast("double")).alias("diff"),
+    )
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.abs("diff") <= 0.01, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_reconciled"),
+            F.round(
+                F.sum(F.round(F.abs("diff"), 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_abs_drift"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — MMR-diversified retrieval (rows-only; numpy-parity pinned)
+
+
+_MMR_SCHEMA = StructType(
+    [
+        StructField("probe_id", LongType()),
+        StructField("rank", IntegerType()),
+        StructField("vec_id", LongType()),
+        StructField("mmr_score", DoubleType()),
+    ]
+)
+
+
+def _mmr_select(pdf, k: int = 10, lam: float = 0.7):
+    """Greedy maximal-marginal-relevance over one probe's candidate set
+    (bounded, ~30 rows). Ties break on vec_id. Pure function shared by
+    the query and its parity test."""
+    import numpy as np
+    import pandas as pd
+
+    probe_id = int(pdf["probe_id"].iloc[0])
+    cand = pdf.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(cand["embedding"].to_numpy())
+    norms = np.sqrt((V * V).sum(axis=1))
+    rel = cand["rel"].to_numpy()
+    sims = (V @ V.T) / np.outer(norms, norms)
+    chosen: list[int] = []
+    rows = []
+    remaining = list(range(len(cand)))
+    for rank in range(1, min(k, len(cand)) + 1):
+        best_i, best_score = None, None
+        for i in remaining:
+            div = max(sims[i][j] for j in chosen) if chosen else 0.0
+            score = lam * rel[i] - (1.0 - lam) * div
+            # strict > keeps the lowest vec_id on ties (remaining is
+            # vec_id-sorted)
+            if best_score is None or score > best_score + 1e-12:
+                best_i, best_score = i, score
+        chosen.append(best_i)
+        remaining.remove(best_i)
+        rows.append(
+            (probe_id, rank, int(cand["vec_id"].iloc[best_i]), round(best_score, 6))
+        )
+    return pd.DataFrame(rows, columns=["probe_id", "rank", "vec_id", "mmr_score"])
+
+
+@query("q258_mmr_rerank")  # rows-only: greedy selection is iterative
+def q258_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell & Goldstein 1998): for each
+    probe, take its exact-cosine top-30 candidates, then greedily pick
+    10 maximizing lambda*relevance - (1-lambda)*max-similarity-to-
+    already-chosen — the reranker that trades relevance against
+    redundancy in RAG retrieval. Greedy selection is inherently
+    sequential, so it runs per probe in an Arrow-batched applyInPandas
+    over the BOUNDED candidate set (30 rows each) — the documented
+    pattern for per-key iterative algorithms (like q234's peeling);
+    semantics are pinned by a pure-numpy parity test instead of a SQL
+    oracle.
+
+    Plan: candidate generation is the q40 economics (probes broadcast,
+    per-partition partial top-k via WindowGroupLimit); only (probe x
+    30) rows with their vectors reach Python."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "probe_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = pairs.withColumn(
+        "rel", dot / (norm(F.col("embedding")) * norm(F.col("probe_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), "vec_id")
+    cands = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 30)
+        .select("probe_id", "vec_id", "embedding", "rel")
+    )
+    def _apply(pdf):
+        return _mmr_select(pdf)
+
+    return (
+        cands.groupBy("probe_id")
+        .applyInPandas(_apply, schema=_MMR_SCHEMA)
+        .orderBy("probe_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — hop-bounded weighted shortest paths (Bellman-Ford rounds)
+
+
+@query(
+    "q259_bounded_sssp",
+    oracle="""
+    WITH co AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY u, v
+    ),
+    edges AS (SELECT u, v, ROUND(1.0 / cnt, 6) AS w FROM co),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0.0 AS dist),
+    d1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d0 d JOIN edges e ON e.u = d.node
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d1 d JOIN edges e ON e.u = d.node
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d2 d JOIN edges e ON e.u = d.node
+      ) GROUP BY node
+    )
+    SELECT node AS partkey, ROUND(dist, 6) AS dist
+    FROM d3
+    ORDER BY dist, partkey
+    """,
+)
+def q259_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded single-source weighted shortest paths over the
+    co-purchase graph: edge weight 1/cooccurrence-count (frequent
+    pairings are 'close'), three Bellman-Ford relaxation rounds from
+    part 0 — the relational min-plus product, which is how shortest
+    paths run on an engine: per round ONE equi-join of the frontier
+    against the edge list and ONE min-aggregate per node, never a
+    path enumeration (the oracle's chained d1/d2/d3 CTEs mirror the
+    rounds literally, so both engines fold identical 6-dp weight sums
+    in the same order and min() compares identical doubles).
+
+    Plan: the edge list builds with one (orderkey) self-join shuffle +
+    one (u, v) aggregate; each round is a broadcast of the <=2000-row
+    frontier against the edge list and a node-keyed min — the
+    fact-sized edge list never re-shuffles across rounds."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("u", "v", F.round(1.0 / F.col("cnt"), 6).alias("w"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    dist = (
+        edges.sparkSession.range(1)
+        .select(F.lit(0).cast("bigint").alias("node"), F.lit(0.0).alias("dist"))
+    )
+    for _ in range(3):
+        relaxed = (
+            edges.join(F.broadcast(dist), F.col("u") == F.col("node"))
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").alias("partkey"), F.round("dist", 6).alias("dist")
+    ).orderBy("dist", "partkey")
