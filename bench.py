@@ -148,6 +148,8 @@ HEADLINE = [
     "q254_array_hof_battery",
     "q256_woe_iv",
     "q259_bounded_sssp",
+    "q260_kmv_set_ops",
+    "q262_rolling_zscore",
 ]
 
 

@@ -58,6 +58,7 @@ _MODULES = [
     "learning",
     "enginesurface",
     "audit",
+    "forecast",
 ]
 
 

@@ -416,11 +416,14 @@ def q259_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(F.broadcast(dist), F.col("u") == F.col("node"))
             .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
+        # no per-round checkpoint: 3 rounds keep the lineage shallow,
+        # and skipping the materialization measures ~8% faster at
+        # sf0.1 (the edges checkpoint above is the one that pays —
+        # without it each round recomputes the self-join)
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
     return dist.select(
         F.col("node").alias("partkey"), F.round("dist", 6).alias("dist")
