@@ -150,6 +150,8 @@ HEADLINE = [
     "q259_bounded_sssp",
     "q260_kmv_set_ops",
     "q262_rolling_zscore",
+    "q264_audio_chunk_plan",
+    "q266_modal_token_budget",
 ]
 
 

@@ -59,6 +59,7 @@ _MODULES = [
     "enginesurface",
     "audit",
     "forecast",
+    "multimodal2",
 ]
 
 
