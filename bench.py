@@ -152,6 +152,7 @@ HEADLINE = [
     "q262_rolling_zscore",
     "q264_audio_chunk_plan",
     "q266_modal_token_budget",
+    "q267_item_similarity_topk",
 ]
 
 

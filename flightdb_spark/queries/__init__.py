@@ -60,6 +60,7 @@ _MODULES = [
     "audit",
     "forecast",
     "multimodal2",
+    "ops",
 ]
 
 
