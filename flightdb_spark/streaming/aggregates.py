@@ -91,3 +91,40 @@ def enrich_stream_static(
     from storage each batch. The streaming twin of the airframe/
     schedule enrichment joins (operators/enrich.py)."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def sliding_window_stats(
+    stream: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SLIDING-window stats per event_type — the third windowing mode
+    beside tumbling (windowed_event_counts) and session
+    (sessionized_user_stats): each event lands in window/slide
+    overlapping windows (2 here), the shape behind moving-average
+    dashboards and the streaming twin of q262's trailing frame. Late
+    rows inside the watermark merge into every window that covers
+    them; state for a window is freed once the watermark passes its
+    end. Overlap multiplies state by window/slide — at 100 TB keep
+    that ratio small and let the watermark do the eviction.
+
+    Built-in windowed groupBy only; sums ride DECIMAL so merged
+    emissions are order-free."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -114,3 +114,36 @@ def test_stream_static_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["event_id"]: r["tier"] for r in spark.table("es").collect()}
     assert got == {1: "gold", 2: "trial", 3: None}
+
+
+def test_sliding_windows_match_batch_and_overlap(spark, tmp_path):
+    from flightdb_spark.streaming.aggregates import sliding_window_stats
+
+    rows = [
+        (1, T0 + dt.timedelta(minutes=1), 7, "click", 1.0),
+        (2, T0 + dt.timedelta(minutes=7), 7, "click", 2.0),
+        (3, T0 + dt.timedelta(minutes=12), 8, "click", 4.0),
+        # misordered arrival, still inside the watermark
+        (4, T0 + dt.timedelta(minutes=3), 8, "click", 8.0),
+    ]
+    df = _mk(spark, rows)
+    got = _run_stream(spark, tmp_path, df, sliding_window_stats, "sw")
+    batch = (
+        df.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    key = ["win_start", "event_type"]
+    assert sorted(map(tuple, got.select(*key, "n_events", "sum_value").collect())) == sorted(
+        map(tuple, batch.select(*key, "n_events", "sum_value").collect())
+    )
+    # every event appears in exactly window/slide = 2 windows
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 2 * len(rows)
