@@ -61,6 +61,7 @@ _MODULES = [
     "forecast",
     "multimodal2",
     "ops",
+    "integrity2",
 ]
 
 
