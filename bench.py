@@ -153,6 +153,7 @@ HEADLINE = [
     "q264_audio_chunk_plan",
     "q266_modal_token_budget",
     "q267_item_similarity_topk",
+    "q274_peak_concurrency",
 ]
 
 

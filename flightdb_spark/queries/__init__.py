@@ -62,6 +62,7 @@ _MODULES = [
     "multimodal2",
     "ops",
     "integrity2",
+    "intervals",
 ]
 
 
