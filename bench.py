@@ -154,6 +154,7 @@ HEADLINE = [
     "q266_modal_token_budget",
     "q267_item_similarity_topk",
     "q274_peak_concurrency",
+    "q278_growth_accounting",
 ]
 
 

@@ -63,6 +63,7 @@ _MODULES = [
     "ops",
     "integrity2",
     "intervals",
+    "growth",
 ]
 
 

@@ -84,6 +84,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # conformal calibration order statistic: distinct-residual counts
     # through bucketed_cumsum — same bucket-totals-only global window
     "q245_conformal_interval",
+    # adstock lags / growth cumulative: ordered windows over the
+    # AGGREGATED daily calendar table (~30 rows) — calendar-bounded
+    "q277_adstock_transform",
+    "q278_growth_accounting",
     # descending bucketed_cumsum: same bucket-totals-only global window
     "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
