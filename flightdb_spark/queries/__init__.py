@@ -64,6 +64,7 @@ _MODULES = [
     "integrity2",
     "intervals",
     "growth",
+    "mdm",
 ]
 
 
