@@ -65,6 +65,7 @@ _MODULES = [
     "intervals",
     "growth",
     "mdm",
+    "econ",
 ]
 
 
