@@ -155,6 +155,7 @@ HEADLINE = [
     "q267_item_similarity_topk",
     "q274_peak_concurrency",
     "q278_growth_accounting",
+    "q284_ngram_novelty",
 ]
 
 

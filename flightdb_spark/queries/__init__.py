@@ -66,6 +66,7 @@ _MODULES = [
     "growth",
     "mdm",
     "econ",
+    "novelty",
 ]
 
 
