@@ -67,6 +67,7 @@ _MODULES = [
     "mdm",
     "econ",
     "novelty",
+    "graphstats",
 ]
 
 

@@ -1,0 +1,187 @@
+"""Graph-statistics batch 27 (q286-q287): degree-distribution
+power-law fit (the discrete MLE alpha-hat every network analysis
+reports) and degree assortativity (do high-degree nodes attach to
+each other?) — the two summary statistics that characterize a graph
+before any algorithm runs, computed over the co-purchase graph that
+q259/q267 walk.
+
+Determinism: degrees are exact integers; ln terms round at 7 dp into
+DECIMAL sums (DETERMINISM.md §5); the assortativity Pearson assembles
+once from exact integer moments, straight-line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+
+def _edges_sql(alias: str = "edges") -> str:
+    return f"""
+    {alias} AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v
+    )"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 — power-law degree fit
+
+
+@query(
+    "q286_degree_powerlaw",
+    oracle=f"""
+    WITH {_edges_sql()},
+    degrees AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    terms AS (
+      SELECT deg,
+             CAST(ROUND(ln(deg / 0.5), 7) AS DECIMAL(38,7)) AS ln_term
+      FROM degrees WHERE deg >= 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS d_min,
+           CAST(MAX(deg) AS BIGINT) AS d_max,
+           ROUND(1.0 + COUNT(*) / CAST(SUM(ln_term) AS DOUBLE), 6) AS alpha_hat
+    FROM terms
+    """,
+)
+def q286_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law MLE for the degree distribution (Clauset,
+    Shalizi & Newman 2009): alpha-hat = 1 + n / Σ ln(d_i / (d_min -
+    1/2)) with d_min = 1 — the one-number heavy-tail summary every
+    network study reports before trusting averages. The ln terms
+    round at 7 dp into a DECIMAL sum; the output is one assembled
+    double.
+
+    Plan: the edge list builds with one orderkey self-join + one
+    (u, v) distinct; degrees are a union-of-projections aggregate on
+    the node key; the fit is a single-row moment aggregate — nothing
+    after the degree shuffle is bigger than the node set."""
+    edges = _edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    )
+    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    terms = degrees.filter(F.col("deg") >= 1).select(
+        "deg",
+        F.round(F.log(F.col("deg") / 0.5), 7).cast("decimal(38,7)").alias("ln_term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("deg").cast("bigint").alias("d_min"),
+        F.max("deg").cast("bigint").alias("d_max"),
+        F.round(
+            1.0 + F.count(F.lit(1)) / F.sum("ln_term").cast("double"), 6
+        ).alias("alpha_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287 — degree assortativity
+
+
+@query(
+    "q287_degree_assortativity",
+    oracle=f"""
+    WITH {_edges_sql()},
+    degrees AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    endpoint_degs AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM edges e
+      JOIN degrees du ON du.node = e.u
+      JOIN degrees dv ON dv.node = e.v
+    ),
+    sym AS (
+      SELECT x, y FROM endpoint_degs
+      UNION ALL
+      SELECT y AS x, x AS y FROM endpoint_degs
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM sym
+    )
+    SELECT m AS n_directed_edges,
+           ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0),
+                 6) AS assortativity
+    FROM mom
+    """,
+)
+def q287_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edges, symmetrized (each undirected
+    edge contributes both orientations, the standard convention) —
+    positive means hubs attach to hubs (social-network-like),
+    negative means hub-and-spoke (infrastructure-like). All moments
+    are exact integers; the coefficient assembles once.
+
+    Plan: edge list + degree table as in q286; the endpoint-degree
+    join broadcasts the (bounded, node-sized) degree table onto the
+    edge list twice; one single-row moment aggregate finishes."""
+    edges = _edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    )
+    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("x"))
+    dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("y"))
+    ep = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select("x", "y")
+    sym = ep.unionByName(ep.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    mom = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.nullif(
+        F.sqrt(
+            md * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            md * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
