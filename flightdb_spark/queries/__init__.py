@@ -68,6 +68,7 @@ _MODULES = [
     "econ",
     "novelty",
     "graphstats",
+    "evalops2",
 ]
 
 
