@@ -69,6 +69,7 @@ _MODULES = [
     "novelty",
     "graphstats",
     "evalops2",
+    "trajmetrics",
 ]
 
 
