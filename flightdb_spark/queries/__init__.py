@@ -70,6 +70,7 @@ _MODULES = [
     "graphstats",
     "evalops2",
     "trajmetrics",
+    "ltv",
 ]
 
 

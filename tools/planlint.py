@@ -88,6 +88,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # AGGREGATED daily calendar table (~30 rows) — calendar-bounded
     "q277_adstock_transform",
     "q278_growth_accounting",
+    # anomaly ensemble: rank/median selection and CUSUM cumulative over
+    # the AGGREGATED ~30-row daily calendar table — calendar-bounded
+    "q293_anomaly_ensemble",
     # descending bucketed_cumsum: same bucket-totals-only global window
     "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
