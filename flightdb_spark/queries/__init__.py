@@ -71,6 +71,7 @@ _MODULES = [
     "evalops2",
     "trajmetrics",
     "ltv",
+    "assortment",
 ]
 
 
