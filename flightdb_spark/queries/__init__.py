@@ -72,6 +72,7 @@ _MODULES = [
     "trajmetrics",
     "ltv",
     "assortment",
+    "fitstats",
 ]
 
 
