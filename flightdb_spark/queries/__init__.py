@@ -73,6 +73,7 @@ _MODULES = [
     "ltv",
     "assortment",
     "fitstats",
+    "kpi",
 ]
 
 
