@@ -156,6 +156,9 @@ HEADLINE = [
     "q274_peak_concurrency",
     "q278_growth_accounting",
     "q284_ngram_novelty",
+    "q292_cohort_ltv",
+    "q297_poisson_gof",
+    "q299_perfect_order_rate",
 ]
 
 
