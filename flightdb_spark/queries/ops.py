@@ -67,27 +67,53 @@ from . import query
 def q267_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative similarity ("customers also bought"):
     cosine over basket co-occurrence — cuv / sqrt(cu * cv) — with the
-    top 5 neighbors per item. The self-join is bounded by BASKET WIDTH
-    (~7 items per order -> ~21 pairs per basket), never items², which
-    is what keeps implicit-feedback item-kNN tractable at 100 TB; the
-    degenerate hot-basket case is the q31 max_bucket guard's job
-    upstream.
+    top 5 neighbors per item. Pair generation is bounded by BASKET
+    WIDTH (~7 items per order -> ~21 pairs per basket), never items²,
+    which is what keeps implicit-feedback item-kNN tractable at
+    100 TB; the degenerate hot-basket case is the q31 max_bucket
+    guard's job upstream. (The oracle keeps the textbook self-join
+    formulation — two independent shapes forced to agree.)
 
-    Plan: one distinct-collapse shuffle on the basket key; the pair
-    self-join rides the SAME orderkey partitioning (co-partitioned);
-    the vocab-sized item-count table broadcasts twice; per-item top-5
-    is a WindowGroupLimit (rank pushed before the final exchange),
-    ties broken (cosine DESC, neighbor ASC)."""
+    Plan: ONE shuffle on the basket key collects each order's sorted
+    item array (set-union partials map side); pairs EXPLODE map side
+    from the arrays via a nested HOF — no self-join, no second
+    fact-table scan (the join formulation plan-audits to two scans
+    plus an extra exchange per side); one (u, v) shuffle counts
+    pairs; the vocab-sized item-count table broadcasts twice;
+    per-item top-5 is a WindowGroupLimit, ties (cosine DESC,
+    neighbor ASC)."""
     li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    item_counts = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # ONE shuffle on the basket key builds sorted item arrays (the
+    # set-union partial-aggregates map side); pairs then EXPLODE map
+    # side from each array — basket-width-bounded, no self-join, no
+    # second scan of the fact table
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
-    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    item_counts = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    idx = F.sequence(F.lit(0), F.size("items") - 1)
+    pair_arrays = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size("items")),
+                        lambda y: F.struct(
+                            F.element_at(F.col("items"), i + 1).alias("u"),
+                            y.alias("v"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     pair_counts = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
+        pair_arrays.select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cuv"))
     )
