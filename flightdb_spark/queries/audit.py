@@ -391,20 +391,45 @@ def q259_bounded_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds literally, so both engines fold identical 6-dp weight sums
     in the same order and min() compares identical doubles).
 
-    Plan: the edge list builds with one (orderkey) self-join shuffle +
-    one (u, v) aggregate; each round is a broadcast of the <=2000-row
-    frontier against the edge list and a node-keyed min — the
-    fact-sized edge list never re-shuffles across rounds."""
+    Plan: the edge list builds with ONE orderkey shuffle to basket
+    arrays + map-side pair explosion + one (u, v) aggregate (the q267
+    no-self-join shape; co-occurrence is symmetric so the directed
+    list is the mirrored union); each round is a broadcast of the
+    <=2000-row frontier against the edge list and a node-keyed min —
+    the fact-sized edge list never re-shuffles across rounds."""
     li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
+    # basket-array explosion instead of a self-join (the q267 shape):
+    # ONE orderkey shuffle to sorted item sets, map-side u<v pair
+    # explosion, one (u, v) count shuffle — co-occurrence is
+    # symmetric, so the directed edge list is the mirrored union
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    idx = F.sequence(F.lit(0), F.size("items") - 1)
+    upairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size("items")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("items"), i + 1).alias("u"),
+                                y.alias("v"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("u", "v", F.round(1.0 / F.col("cnt"), 6).alias("w"))
+    )
+    edges = upairs.unionByName(
+        upairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     edges = edges.localCheckpoint(eager=True)
     dist = (

@@ -32,12 +32,34 @@ def _edges_sql(alias: str = "edges") -> str:
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct u<v co-purchase pairs via the q267 no-self-join shape:
+    one orderkey shuffle to sorted item sets, map-side pair explosion,
+    one distinct — the join formulation costs two fact scans plus an
+    extra exchange per side."""
     li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    idx = F.sequence(F.lit(0), F.size("items") - 1)
     return (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size("items")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("items"), i + 1).alias("u"),
+                                y.alias("v"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
     )
 
 
@@ -74,8 +96,9 @@ def q286_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     round at 7 dp into a DECIMAL sum; the output is one assembled
     double.
 
-    Plan: the edge list builds with one orderkey self-join + one
-    (u, v) distinct; degrees are a union-of-projections aggregate on
+    Plan: the edge list builds via the q267 no-self-join shape (one
+    orderkey shuffle to basket arrays, map-side pair explosion, one
+    distinct); degrees are a union-of-projections aggregate on
     the node key; the fit is a single-row moment aggregate — nothing
     after the degree shuffle is bigger than the node set."""
     edges = _edges(spark, sf_dir)
