@@ -321,31 +321,47 @@ LIFT_TOP_K = 20
 def q133_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-purchased part pairs by lift (observed co-order rate over
     the independence expectation) with a minimum support. Pair
-    generation is a self equi-join on the order key — work per order is
-    lines^2 with lines bounded by the order size (never corpus n^2);
-    part frequencies broadcast back; final top-k is
-    TakeOrderedAndProject. The classic market-basket mining shape."""
+    generation explodes map side from per-basket sorted item arrays
+    (the q267 no-self-join shape) — work per order is lines^2 with
+    lines bounded by the order size (never corpus n^2), and the fact
+    table is scanned ONCE; part frequencies broadcast back; final
+    top-k is TakeOrderedAndProject. The classic market-basket shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    # four consumers (both self-join sides, part counts, order count):
-    # truncate lineage once instead of re-deduplicating lineitem per use
-    # (the q93 localCheckpoint pattern; reliable checkpoint on a cluster)
-    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
-    a = op.alias("a")
-    b = op.alias("b")
+    # basket-array explosion (the q267 shape): ONE orderkey shuffle to
+    # sorted item sets (checkpointed — three consumers: pairs, part
+    # counts, order count), map-side u<v pair explosion via nested
+    # HOFs — no self-join, one fact scan
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint()
+    )
+    idx = F.sequence(F.lit(0), F.size("items") - 1)
     pairs = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size("items")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("items"), i + 1).alias("pa"),
+                                y.alias("pb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= LIFT_MIN_SUPPORT)
     )
-    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n = op.select("l_orderkey").distinct().count()
+    pc = baskets.select(
+        F.explode("items").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = baskets.count()
     return (
         pairs.join(
             F.broadcast(pc.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))),
