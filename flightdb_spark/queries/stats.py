@@ -1889,31 +1889,45 @@ def q157_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top token collocations by document-level pointwise mutual
     information — the phrase/topic discovery statistic beside q82's
     BPE pair counts (co-occurrence anywhere in a doc, not adjacency).
-    Per-doc DISTINCT tokens self-join on doc_id (vocabulary-bounded
-    fan-out per doc, the q133 market-basket shape); marginals rejoin
-    as broadcasts; ln on integer ratios rounds once at 6 dp (ranking
-    on the rounded score with a full tie-break, DETERMINISM.md
-    section 4)."""
+    Pairs explode map side from per-doc sorted distinct token arrays
+    (the q267 no-self-join shape — doc-bounded fan-out, one corpus
+    scan); marginals rejoin as broadcasts; ln on integer ratios
+    rounds once at 6 dp (ranking on the rounded score with a full
+    tie-break, DETERMINISM.md section 4)."""
     docs = load_table(spark, sf_dir, "documents")
-    # three consumers (marginals + both self-join sides): truncate the
-    # explode+distinct lineage once (the q133/q93 checkpoint pattern)
-    dt = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).localCheckpoint()
-    # doc universe = docs PRESENT IN dt (the oracle's COUNT(DISTINCT
-    # doc_id) FROM dt): a NULL/empty-text doc contributes no tokens
-    # and must not inflate the PMI denominator
-    nd = dt.select("doc_id").distinct().count()
-    tc = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    a = dt.alias("a")
-    b = dt.alias("b")
+    # per-doc sorted distinct token ARRAYS, map side from one scan
+    # (three consumers — pairs, marginals, doc count — share the
+    # checkpoint; the q267 no-self-join shape replaces the doc_id
+    # self-join entirely)
+    dtoks = docs.select(
+        "doc_id", F.sort_array(F.array_distinct(F.split("text", " "))).alias("toks")
+    ).filter(F.size("toks") > 0).localCheckpoint()
+    # doc universe = docs with at least one token (the oracle's
+    # COUNT(DISTINCT doc_id)): empty docs must not inflate the PMI
+    # denominator
+    nd = dtoks.count()
+    tc = dtoks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
     pairs = (
-        a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.tok") > F.col("a.tok")),
+        dtoks.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.slice(F.col("toks"), i + 2, F.size("toks")),
+                            lambda y: F.struct(
+                                F.element_at(F.col("toks"), i + 1).alias("tok_a"),
+                                y.alias("tok_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count(F.lit(1)).alias("cab"))
         .filter(F.col("cab") >= PMI_MIN_PAIR_DOCS)
     )
