@@ -101,25 +101,43 @@ def lsh_bands(sigs: DataFrame, *, seeds: tuple[int, ...]) -> DataFrame:
 
 def lsh_candidate_pairs(bands: DataFrame, *, max_bucket: int | None = None) -> DataFrame:
     """Docs sharing any band bucket -> (doc_a < doc_b, n_shared_bands).
-    ``max_bucket`` drops buckets with more members than the cap before
-    the self-join (the m² guard for boilerplate buckets)."""
+    ``max_bucket`` drops buckets with more members than the cap (the
+    m² guard for boilerplate buckets) — with the bucket-array shape it
+    is a simple size() filter, no window pre-pass.
+
+    Pair generation is the no-self-join shape (q267 family): ONE
+    (band, h) shuffle collects each bucket's sorted member array,
+    in-bucket pairs explode map side via nested higher-order
+    functions, and the band-vote aggregate keys on the pair — the
+    self-join formulation re-exchanged the bands table on both sides
+    and scanned it twice."""
+    buckets = bands.groupBy("band", "h").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("members")
+    )
     if max_bucket is not None:
-        sizes = W.partitionBy("band", "h")
-        bands = (
-            bands.withColumn("_m", F.count(F.lit(1)).over(sizes))
-            .filter(F.col("_m") <= max_bucket)
-            .drop("_m")
-        )
-    a, b = bands.alias("a"), bands.alias("b")
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    idx = F.sequence(F.lit(0), F.size("members") - 1)
+    pairs = buckets.select(
+        "band",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            F.element_at(F.col("members"), i + 1).alias("doc_a"),
+                            y.alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("n_shared_bands"))
+        pairs.select("band", F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n_shared_bands"))
     )
 
 
