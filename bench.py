@@ -168,33 +168,44 @@ def main() -> None:
     registry = load_registry()
     spark = get_spark("flightdb_bench")
 
-    # warm-up: force JVM init + parquet footer reads for every input table
+    # warm-up: force JVM init + parquet footer reads for every input table.
+    # Never fatal: a vintage/schema surprise on one table must not zero out
+    # the whole bench (BENCH_r03 was lost to an events.ts vintage change that
+    # crashed this loop before any query ran).
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
-        load_table(spark, sf_dir, t).count()
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warmup {t} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         qd = registry.get(name)
         if qd is None:
             continue
         t0 = time.time()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()  # full execution; avoids driver-side collect cost
+        try:
+            df = qd.fn(spark, sf_dir)
+            n = df.count()  # full execution; avoids driver-side collect cost
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).split("\n", 1)[0][:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

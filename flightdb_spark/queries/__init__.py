@@ -74,6 +74,7 @@ _MODULES = [
     "assortment",
     "fitstats",
     "kpi",
+    "calibration",
 ]
 
 
