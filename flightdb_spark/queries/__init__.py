@@ -75,6 +75,7 @@ _MODULES = [
     "fitstats",
     "kpi",
     "calibration",
+    "preference",
 ]
 
 
