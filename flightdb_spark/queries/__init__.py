@@ -76,6 +76,7 @@ _MODULES = [
     "kpi",
     "calibration",
     "preference",
+    "causal",
 ]
 
 
