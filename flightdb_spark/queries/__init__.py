@@ -77,6 +77,7 @@ _MODULES = [
     "calibration",
     "preference",
     "causal",
+    "graphstats2",
 ]
 
 
