@@ -78,6 +78,7 @@ _MODULES = [
     "preference",
     "causal",
     "graphstats2",
+    "demand",
 ]
 
 
