@@ -79,6 +79,7 @@ _MODULES = [
     "causal",
     "graphstats2",
     "demand",
+    "weaklabel",
 ]
 
 
