@@ -80,6 +80,7 @@ _MODULES = [
     "graphstats2",
     "demand",
     "weaklabel",
+    "offpolicy",
 ]
 
 
