@@ -81,6 +81,7 @@ _MODULES = [
     "demand",
     "weaklabel",
     "offpolicy",
+    "analyst",
 ]
 
 
