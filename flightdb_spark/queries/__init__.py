@@ -82,6 +82,7 @@ _MODULES = [
     "weaklabel",
     "offpolicy",
     "analyst",
+    "behavior",
 ]
 
 
