@@ -159,6 +159,17 @@ HEADLINE = [
     "q292_cohort_ltv",
     "q297_poisson_gof",
     "q299_perfect_order_rate",
+    # round 12: calibration/preference/causal/graph/demand/weak-label/
+    # off-policy/analyst/behavior additions
+    "q301_isotonic_calibration",
+    "q306_bradley_terry",
+    "q310_clustering_coefficient",
+    "q312_hits_authorities",
+    "q313_croston_forecast",
+    "q316_labeling_function_stats",
+    "q319_offpolicy_eval",
+    "q323_llr_collocations",
+    "q324_mrr",
 ]
 
 

@@ -83,6 +83,7 @@ _MODULES = [
     "offpolicy",
     "analyst",
     "behavior",
+    "opsdesign",
 ]
 
 
