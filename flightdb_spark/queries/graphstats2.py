@@ -289,30 +289,49 @@ def q312_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c", F.lit(1.0).cast(dec).alias("score")
     )
     a = None
+    # The hub/authority vectors are node-count-size (tiny next to the
+    # edge list): broadcast them into each edge join so the edge list
+    # never shuffles for the join (only the per-node aggregate moves
+    # data), and checkpoint per iteration so each broadcast build is a
+    # one-step plan instead of the whole preceding chain.
     for _ in range(3):
         araw = (
-            bip.join(h.select(F.col("c"), F.col("score")), "c")
+            bip.join(F.broadcast(h.select(F.col("c"), F.col("score"))), "c")
             .groupBy("s")
             .agg(F.sum("score").alias("raw"))
         )
         az = araw.agg(F.sum("raw").alias("z"))
-        a = araw.join(F.broadcast(az)).select(
-            "s",
-            F.round(F.col("raw").cast("double") / F.col("z").cast("double"), _HITS_ROUND).cast(dec).alias(
-                "score"
-            ),
+        a = (
+            araw.join(F.broadcast(az))
+            .select(
+                "s",
+                F.round(
+                    F.col("raw").cast("double") / F.col("z").cast("double"),
+                    _HITS_ROUND,
+                )
+                .cast(dec)
+                .alias("score"),
+            )
+            .localCheckpoint()
         )
         hraw = (
-            bip.join(a.select("s", "score"), "s")
+            bip.join(F.broadcast(a.select("s", "score")), "s")
             .groupBy("c")
             .agg(F.sum("score").alias("raw"))
         )
         hz = hraw.agg(F.sum("raw").alias("z"))
-        h = hraw.join(F.broadcast(hz)).select(
-            "c",
-            F.round(F.col("raw").cast("double") / F.col("z").cast("double"), _HITS_ROUND).cast(dec).alias(
-                "score"
-            ),
+        h = (
+            hraw.join(F.broadcast(hz))
+            .select(
+                "c",
+                F.round(
+                    F.col("raw").cast("double") / F.col("z").cast("double"),
+                    _HITS_ROUND,
+                )
+                .cast(dec)
+                .alias("score"),
+            )
+            .localCheckpoint()
         )
     return (
         a.orderBy(F.col("score").desc(), "s")

@@ -284,13 +284,18 @@ def q306_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the <=400-cell matrix; the MM joins run on that tiny table, so
     iteration depth costs nothing at 100 TB."""
     p = _pairs(spark, sf_dir).filter(F.col("a_source") != F.col("b_source"))
-    cells = p.groupBy(
-        F.col("a_source").alias("i"), F.col("b_source").alias("j")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("winner") == "a", 1).otherwise(0))
-        .cast("bigint")
-        .alias("wi"),
+    # The win matrix is tiny (<= ~400 cells) but every MM iteration
+    # references it several times; checkpoint so the corpus-wide pair
+    # stream is scanned exactly once, not once per lineage path.
+    cells = (
+        p.groupBy(F.col("a_source").alias("i"), F.col("b_source").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("winner") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("wi"),
+        )
+        .localCheckpoint()
     )
     sym = cells.select("i", "j", "n").unionByName(
         cells.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
@@ -317,8 +322,15 @@ def q306_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         mu = raw.agg(F.avg("raw").alias("mu"))
-        r = raw.join(F.broadcast(mu)).select(
-            "i", F.round(F.col("raw") / F.col("mu"), _BT_ROUND).alias("r")
+        # checkpoint the ~20-row rating vector: each iteration reads it
+        # twice (ri, rj), so an uncheckpointed chain doubles plan size
+        # per iteration
+        r = (
+            raw.join(F.broadcast(mu))
+            .select(
+                "i", F.round(F.col("raw") / F.col("mu"), _BT_ROUND).alias("r")
+            )
+            .localCheckpoint()
         )
     return (
         winsum.join(r, "i")
