@@ -84,6 +84,7 @@ _MODULES = [
     "analyst",
     "behavior",
     "opsdesign",
+    "experiment",
 ]
 
 
