@@ -85,6 +85,7 @@ _MODULES = [
     "behavior",
     "opsdesign",
     "experiment",
+    "flightops",
 ]
 
 
