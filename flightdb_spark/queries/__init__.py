@@ -86,6 +86,7 @@ _MODULES = [
     "opsdesign",
     "experiment",
     "flightops",
+    "stats2",
 ]
 
 

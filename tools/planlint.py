@@ -48,6 +48,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # q59's concat-then-chunk prefix sum with a media term — same
     # per-shard partitioning swap at scale
     "q123_interleaved_packing",
+    # one-day-lag over the DAILY aggregate — the global window runs on
+    # ~calendar-days rows (already reduced), never the fact table
+    "q339_granger_f",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
