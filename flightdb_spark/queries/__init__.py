@@ -87,6 +87,7 @@ _MODULES = [
     "experiment",
     "flightops",
     "stats2",
+    "finance",
 ]
 
 
