@@ -88,6 +88,7 @@ _MODULES = [
     "flightops",
     "stats2",
     "finance",
+    "safety",
 ]
 
 
