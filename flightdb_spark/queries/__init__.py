@@ -89,6 +89,7 @@ _MODULES = [
     "stats2",
     "finance",
     "safety",
+    "quality2",
 ]
 
 
