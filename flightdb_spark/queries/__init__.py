@@ -90,6 +90,7 @@ _MODULES = [
     "finance",
     "safety",
     "quality2",
+    "sketches",
 ]
 
 
