@@ -91,6 +91,7 @@ _MODULES = [
     "safety",
     "quality2",
     "sketches",
+    "pipeline",
 ]
 
 

@@ -51,6 +51,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # one-day-lag over the DAILY aggregate — the global window runs on
     # ~calendar-days rows (already reduced), never the fact table
     "q339_granger_f",
+    # the funnel lag runs on the 6-row stage table (each stage already
+    # a count aggregate), never document rows
+    "q350_curation_funnel",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
