@@ -92,6 +92,7 @@ _MODULES = [
     "quality2",
     "sketches",
     "pipeline",
+    "reliability",
 ]
 
 

@@ -54,6 +54,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # the funnel lag runs on the 6-row stage table (each stage already
     # a count aggregate), never document rows
     "q350_curation_funnel",
+    # the 6-hour trailing window runs on the HOURLY aggregate —
+    # bounded by calendar hours, never the event stream
+    "q351_slo_burn_rate",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
