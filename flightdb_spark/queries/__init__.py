@@ -93,6 +93,7 @@ _MODULES = [
     "sketches",
     "pipeline",
     "reliability",
+    "audience",
 ]
 
 

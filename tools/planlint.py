@@ -57,6 +57,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # the 6-hour trailing window runs on the HOURLY aggregate —
     # bounded by calendar hours, never the event stream
     "q351_slo_burn_rate",
+    # cumulative reach = running sum over the DAILY new-user counts —
+    # bounded by calendar days, never the event stream
+    "q354_reach_curve",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
