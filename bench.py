@@ -170,6 +170,8 @@ HEADLINE = [
     "q319_offpolicy_eval",
     "q323_llr_collocations",
     "q324_mrr",
+    "q350_curation_funnel",
+    "q353_ivf_nprobe_sweep",
 ]
 
 

@@ -94,6 +94,7 @@ _MODULES = [
     "pipeline",
     "reliability",
     "audience",
+    "ranking",
 ]
 
 

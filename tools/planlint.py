@@ -60,6 +60,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative reach = running sum over the DAILY new-user counts —
     # bounded by calendar days, never the event stream
     "q354_reach_curve",
+    # argmin rank over the 33-row literal slope grid — never fact rows
+    "q356_quantile_regression_grid",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
