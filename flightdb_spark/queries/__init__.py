@@ -95,6 +95,7 @@ _MODULES = [
     "reliability",
     "audience",
     "ranking",
+    "vector2",
 ]
 
 
