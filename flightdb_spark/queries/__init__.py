@@ -96,6 +96,7 @@ _MODULES = [
     "audience",
     "ranking",
     "vector2",
+    "correction",
 ]
 
 

@@ -60,8 +60,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative reach = running sum over the DAILY new-user counts —
     # bounded by calendar days, never the event stream
     "q354_reach_curve",
-    # argmin rank over the 33-row literal slope grid — never fact rows
+    # argmin rank over the literal slope grid — never fact rows
     "q356_quantile_regression_grid",
+    # 1/7-day lags over the DAILY aggregate (q339 bounded-window class)
+    "q364_forecast_metrics",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
