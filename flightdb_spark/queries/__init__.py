@@ -97,6 +97,7 @@ _MODULES = [
     "ranking",
     "vector2",
     "correction",
+    "enginesurface2",
 ]
 
 
