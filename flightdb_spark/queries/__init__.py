@@ -98,6 +98,7 @@ _MODULES = [
     "vector2",
     "correction",
     "enginesurface2",
+    "design",
 ]
 
 
