@@ -99,6 +99,7 @@ _MODULES = [
     "correction",
     "enginesurface2",
     "design",
+    "dataops",
 ]
 
 

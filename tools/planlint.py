@@ -64,6 +64,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q356_quantile_regression_grid",
     # 1/7-day lags over the DAILY aggregate (q339 bounded-window class)
     "q364_forecast_metrics",
+    # backlog running sum over the bounded day table (q351 class)
+    "q371_backlog_curve",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # operators/prefix.py bucketed cumsum: the only global window is
