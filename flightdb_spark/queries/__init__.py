@@ -100,6 +100,7 @@ _MODULES = [
     "enginesurface2",
     "design",
     "dataops",
+    "attribution2",
 ]
 
 
