@@ -50,8 +50,8 @@ MDES = [0.01, 0.02, 0.05, 0.10]
            CAST(CEIL(2 * POWER({_Z_ALPHA!r} + {_Z_BETA!r}, 2)
                 * b.p * (1 - b.p) / (m.mde * m.mde)) AS BIGINT)
              AS required_n_per_arm,
-           CAST(b.n / 2 AS BIGINT) AS available_n_per_arm,
-           CAST(CASE WHEN b.n / 2 >= 2 * POWER({_Z_ALPHA!r} + {_Z_BETA!r}, 2)
+           b.n // 2 AS available_n_per_arm,
+           CAST(CASE WHEN b.n // 2 >= 2 * POWER({_Z_ALPHA!r} + {_Z_BETA!r}, 2)
                 * b.p * (1 - b.p) / (m.mde * m.mde)
                 THEN 1 ELSE 0 END AS INT) AS powered
     FROM mdes m, base b
@@ -86,8 +86,8 @@ def q367_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mde",
             F.round("p", 6).alias("base_rate"),
             F.ceil(req).cast("bigint").alias("required_n_per_arm"),
-            (F.col("n") / 2).cast("bigint").alias("available_n_per_arm"),
-            F.when(F.col("n") / 2 >= req, 1)
+            F.expr("n div 2").cast("bigint").alias("available_n_per_arm"),
+            F.when(F.expr("n div 2") >= req, 1)
             .otherwise(0)
             .cast("int")
             .alias("powered"),
