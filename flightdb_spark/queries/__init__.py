@@ -101,6 +101,7 @@ _MODULES = [
     "design",
     "dataops",
     "attribution2",
+    "optstats",
 ]
 
 
