@@ -102,6 +102,7 @@ _MODULES = [
     "dataops",
     "attribution2",
     "optstats",
+    "serving",
 ]
 
 
