@@ -174,6 +174,26 @@ HEADLINE = [
     "q353_ivf_nprobe_sweep",
 ]
 
+# The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).
+# These are the only per-query entries emitted on the final stdout line.
+BASELINE_SET = frozenset(
+    [
+        "q01_pricing_summary",
+        "q08_enrichment_join",
+        "q10_topk_revenue_join",
+        "q13_derived_columns",
+        "q16_asof_join",
+        "q14_sessionize",
+        "q21_flown_distance",
+        "q23_waypoint_crossing",
+        "q30_minhash_signatures",
+        "q35_quality_score",
+        "q37_media_metadata",
+        "q40_cosine_topk",
+        "q45_market_rollup",
+    ]
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,15 +229,44 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query map goes to a local artifact; the final stdout line must
+    # stay compact because the driver parses only a bounded tail of the output
+    # (BENCH_r05 came back "parsed": null when the line carried 119 entries).
+    local = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "errors": errors,
+        "sf": sf_val,
+        "n_queries": len(timings),
     }
-    if errors:
-        out["errors"] = errors
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(local, fh, indent=1, sort_keys=True)
+        print(f"# per-query timings -> {local_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# could not write {local_path}: {exc}", file=sys.stderr)
+
+    # Compact stdout line: totals + only the 13 queries recorded in the
+    # round-1 BASELINE (BENCH_r01.json), so the driver can still compute the
+    # vs-baseline ratio per query without overflowing its tail capture.
+    baseline_queries = {k: v for k, v in timings.items() if k in BASELINE_SET}
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": baseline_queries,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "baseline_total": round(sum(baseline_queries.values()), 3),
+    }
     print(json.dumps(out))
 
 

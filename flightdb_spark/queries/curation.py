@@ -48,6 +48,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import textdedup
+from ..operators.prefix import ecdf_counts
 from ..tables import ensure_parallelism, load_table
 from . import query
 from .textops import _SHINGLES_DUCK, _simhash_sql
@@ -633,12 +634,15 @@ N_BINS = 10
 )
 def q120_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum deciles: rank the corpus by quality score and
-    cut into 10 equal bins (ntile over a total order) with per-bin
-    stats — the binning behind low-to-high-quality curriculum
-    schedules. The global-order window is the one global sort (same
-    class as q59 packing); at 100 TB compute decile THRESHOLDS via
-    approx_percentile and bin by broadcast compare instead — this is
-    the exact anchor. Per-row score doubles are identical in both
+    cut into 10 exactly-equal bins with per-bin stats — the binning
+    behind low-to-high-quality curriculum schedules. EXACT NTILE
+    semantics with NO global-order window: distinct scores get exact
+    cumulative counts from the two-pass bucketed prefix scan
+    (operators/prefix.py:ecdf_counts), each row's total rank is that
+    exclusive prefix plus a row_number over its own score group
+    (bounded windows, partitioned by score), and the rank maps to its
+    NTILE bucket by closed-form arithmetic (first n%k buckets take
+    ceil(n/k) rows). Per-row score doubles are identical in both
     engines, so the (score, doc_id) order is total and engine-stable."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
@@ -646,8 +650,34 @@ def q120_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))) * 1.0
         / F.size(toks)
     )
-    binned = docs.select("doc_id", score.alias("score")).withColumn(
-        "bin", F.ntile(N_BINS).over(W.orderBy("score", "doc_id"))
+    scored = docs.select("doc_id", score.alias("score"))
+    cum = ecdf_counts(scored, "score", {"cnt": F.lit(True)}).select(
+        F.col("score").alias("_s"),
+        (F.col("cum_cnt") - F.col("cnt")).alias("_before"),
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    rn = F.row_number().over(
+        W.partitionBy("score").orderBy("doc_id")
+    )
+    ranked = (
+        scored.withColumn("_rn", rn)
+        .join(cum, F.col("score") == F.col("_s"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("_r", F.col("_before") + F.col("_rn"))
+    )
+    # NTILE(k) over n rows: first n%k buckets hold n//k+1 rows each.
+    # Integer floor-division via `div` (all operands non-negative longs).
+    idiv = lambda a, b: (a - a % b) / b  # noqa: E731 — exact on longs
+    big = idiv(F.col("_n"), F.lit(N_BINS)) + 1  # rows per early (large) bucket
+    small = idiv(F.col("_n"), F.lit(N_BINS))  # rows per late bucket
+    rem = F.col("_n") % N_BINS  # number of large buckets
+    cutoff = rem * big  # ranks covered by large buckets
+    binned = ranked.withColumn(
+        "bin",
+        F.when(
+            F.col("_r") <= cutoff, idiv(F.col("_r") - 1, big) + 1
+        ).otherwise(rem + idiv(F.col("_r") - cutoff - 1, small) + 1)
+        .cast("int"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

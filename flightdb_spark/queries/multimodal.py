@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import index_sequence
 from ..multimodal import decode_media, media_metadata, sample_frames, synth_media
+from ..operators.prefix import bucketed_cumsum
 from ..tables import ensure_parallelism, load_table
 from . import query
 
@@ -301,22 +302,25 @@ def q123_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     block][text tokens], laid end-to-end and cut into 1024-token
     training sequences; output is each sequence's composition (docs
     touched, media vs text tokens, media blocks starting here) — what a
-    vision-language batch builder must know per sequence. Same global
-    prefix-sum as q59 (per-shard at 100 TB); the bin fan-out explodes
+    vision-language batch builder must know per sequence. The prefix
+    sum runs on operators/prefix.py:bucketed_cumsum (two bounded
+    passes, no global-order window; doc_id is a distinct order key so
+    offsets are engine-stable); the bin fan-out explodes
     ceil(len/budget)+1 rows per doc; every quantity is an integer clamp
     — exact on any engine and any partitioning."""
     docs = _docs(spark, sf_dir)
     b = PACK2_BUDGET
-    from pyspark.sql import Window as W
 
     sized = docs.select(
         "doc_id",
         F.expr(_MEDIA_COST_SQL).cast("long").alias("m"),
         F.size(F.split("text", " ")).cast("long").alias("t"),
+        (F.expr(_MEDIA_COST_SQL) + F.size(F.split("text", " "))).cast(
+            "long"
+        ).alias("tot"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    placed = sized.withColumn(
-        "s", F.coalesce(F.sum(F.col("m") + F.col("t")).over(w), F.lit(0))
+    placed = bucketed_cumsum(sized, "doc_id", ["tot"]).select(
+        "doc_id", "m", "t", (F.col("cum_tot") - F.col("tot")).alias("s")
     )
     spans = placed.select(
         "doc_id",

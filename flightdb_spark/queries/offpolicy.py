@@ -70,10 +70,18 @@ def q319_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizes by the weight mass (biased, stable — for a
     deterministic policy it reduces to the matched mean, the
     documented closed form), and the effective sample size is the
-    match count. The table an experimentation platform reads before
-    promoting a policy without an A/B test. Scale: one action-keyed
-    aggregate over the log (5 keys, map-side combine does all the
-    work); rewards accumulate 6-dp DECIMAL."""
+    match count.
+
+    NOTE: with EMPIRICAL propensities (p-hat = n_a / n, as here) the
+    two estimators COINCIDE algebraically — sr/p-hat/n == sr/n_a —
+    so ips_value and snips_value print the same number by design;
+    both columns are kept because the identity breaks the moment
+    propensities come from a logging policy instead of the log
+    itself (the production case), and downstream consumers read both
+    columns positionally. The table an experimentation platform
+    reads before promoting a policy without an A/B test. Scale: one
+    action-keyed aggregate over the log (5 keys, map-side combine
+    does all the work); rewards accumulate 6-dp DECIMAL."""
     ev = load_table(spark, sf_dir, "events")
     logged = ev.select(
         F.col("event_type").alias("action"),

@@ -56,7 +56,8 @@ from . import query
               JOIN lineitem l ON l.l_partkey = p.p_partkey)
     )
     SELECT join_pair,
-           CAST(n_left * n_right / max_ndv AS BIGINT) AS estimated_rows,
+           CAST(FLOOR(n_left * 1.0 * n_right / max_ndv) AS BIGINT)
+             AS estimated_rows,
            CAST(actual AS BIGINT) AS actual_rows,
            ROUND(GREATEST(
              (n_left * 1.0 * n_right / max_ndv) / actual,
@@ -103,7 +104,11 @@ def q375_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(act))
             .select(
                 F.lit(name).alias("join_pair"),
-                est.cast("bigint").alias("estimated_rows"),
+                # FLOOR before the integer cast on BOTH engines: DuckDB's
+                # CAST(double AS BIGINT) rounds while Spark's truncates, so
+                # a bare cast diverges whenever the estimate is fractional
+                # (non-dense keys). FLOOR makes both sides exact-truncate.
+                F.floor(est).cast("bigint").alias("estimated_rows"),
                 F.col("actual").cast("bigint").alias("actual_rows"),
                 F.round(
                     F.greatest(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..operators import textdedup, textprep
+from ..operators.prefix import bucketed_cumsum
 from ..tables import ensure_parallelism, load_table
 from . import query
 
@@ -741,18 +742,28 @@ def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window sequence packing, concat-then-chunk semantics:
     docs are laid end-to-end in doc_id order and cut into
     {PACK_BUDGET}-token training sequences; each doc learns its global
-    start offset (prefix-sum window), its bin, and its offset within
-    the bin. The single ORDER BY window is the one global-order
-    operation in the whole pipeline — at 100 TB run it per shard
-    (partitionBy(shard) + window) exactly like tokenizer-sharded
-    packing does, which this generalizes."""
+    start offset, its bin, and its offset within the bin. The prefix
+    sum runs on the distributed two-pass scan (operators/prefix.py:
+    bucketed_cumsum) — NO global-order window anywhere: rows bucket by
+    approx-percentile edges of doc_id, cumulative-sum within buckets in
+    parallel, and a <=64-row offsets table broadcasts back. doc_id is a
+    distinct order key, so the primitive's tie contract is trivially
+    satisfied and per-row offsets are engine-stable."""
     docs = _docs(spark, sf_dir)
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    return (
-        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-        .withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .withColumn("bin_id", (F.col("start_offset") / PACK_BUDGET).cast("long"))
-        .withColumn("bin_offset", F.col("start_offset") % PACK_BUDGET)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    cum = bucketed_cumsum(toks, "doc_id", ["n_tokens"])
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("start_offset"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / PACK_BUDGET).cast("long").alias("bin_id"),
+        (F.col("start_offset") % PACK_BUDGET).alias("bin_offset"),
     )
 
 

@@ -33,21 +33,12 @@ GLOBAL_WINDOW_ALLOWED = {
     # containing a query term; WindowGroupLimit pre-truncates per
     # partition before the single-task final ranking)
     "q66_bm25_topk",
-    # contract is one corpus-wide concatenation order; PLANS.md documents
-    # the per-shard partitioning swap at scale
-    "q59_sequence_packing",
     # global deterministic orderBy().limit(k) compiles to TakeOrdered,
     # but the k-row ranked projection that follows is a global window
     "q07_recent_topk",
     # frequency ranking runs over the AGGREGATED vocab — bounded by
     # distinct tokens, not corpus rows
     "q76_vocab_ids",
-    # exact-decile anchor: ntile needs one total order by contract;
-    # PLANS.md documents the approx-percentile threshold swap at scale
-    "q120_curriculum_bins",
-    # q59's concat-then-chunk prefix sum with a media term — same
-    # per-shard partitioning swap at scale
-    "q123_interleaved_packing",
     # one-day-lag over the DAILY aggregate — the global window runs on
     # ~calendar-days rows (already reduced), never the fact table
     "q339_granger_f",
@@ -68,14 +59,6 @@ GLOBAL_WINDOW_ALLOWED = {
     "q371_backlog_curve",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
-    # operators/prefix.py bucketed cumsum: the only global window is
-    # over the <= n_buckets-row bucket-totals table
-    "q135_auc",
-    # same bucketed-cumsum primitive: the global window is over the
-    # bounded bucket-totals table, rank scan itself is per-bucket
-    "q192_mann_whitney",
-    "q193_ks_test",
-    "q220_average_precision",
     # risk-set and log-survival scans run over the distinct-hour key
     # table, bounded by calendar hours in the era, not corpus size
     "q204_kaplan_meier",
@@ -89,19 +72,6 @@ GLOBAL_WINDOW_ALLOWED = {
     "q138_cusum_changepoint",
     # rank/position windows over <= RRF_DEPTH-row truncated run lists
     "q144_ndcg",
-    # bucketed_cummax: the only global window is over bucket totals
-    "q147_pareto_frontier",
-    # bucketed_cumsum rank scan: only the bucket-totals window is global
-    "q148_gini",
-    # Theil-Sen lower median: the distinct-slope ECDF runs through
-    # bucketed_cumsum — only the bucket-totals window is global
-    "q223_theil_sen",
-    # Spearman tied ranks: distinct-value cumulative counts through
-    # bucketed_cumsum — only the bucket-totals window is global
-    "q229_spearman",
-    # conformal calibration order statistic: distinct-residual counts
-    # through bucketed_cumsum — same bucket-totals-only global window
-    "q245_conformal_interval",
     # adstock lags / growth cumulative: ordered windows over the
     # AGGREGATED daily calendar table (~30 rows) — calendar-bounded
     "q277_adstock_transform",
@@ -109,13 +79,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # anomaly ensemble: rank/median selection and CUSUM cumulative over
     # the AGGREGATED ~30-row daily calendar table — calendar-bounded
     "q293_anomaly_ensemble",
-    # descending bucketed_cumsum: same bucket-totals-only global window
-    "q152_abc_classes",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
     "q155_vocab_coverage",
-    # bucketed_cumsum compaction fill: only the bucket-totals window is
-    # global (the file inventory itself never single-tasks)
-    "q171_compaction_plan",
 }
 
 
@@ -158,8 +123,17 @@ def is_global_spec(args: list[str]) -> bool:
     partition-less window: only ORDER-BY entries (`col ASC/DESC ...`)
     before the frame spec, or nothing but the frame spec at all (an
     unordered global window — e.g. count().over(Window.partitionBy())).
-    Partitioned windows list at least one bare partition column."""
+    Partitioned windows list at least one bare partition column.
+
+    Structural exemption: a global window ordered by the bucketed
+    prefix-scan's internal bucket id (operators/prefix.py) runs over the
+    <= n_buckets-row PER-BUCKET TOTALS table — bounded by construction
+    (one row per approx-percentile bucket), never by data volume — so it
+    is not a scale hazard and is auto-allowed without a name allowlist
+    entry."""
     spec = [a for a in args if not a.startswith("specifiedwindowframe")]
+    if any("__cumsum_bucket" in a for a in spec):
+        return False
     return all(" ASC" in a or " DESC" in a for a in spec)
 
 
