@@ -8,12 +8,17 @@ hash, MIME sniff) are pure JVM column expressions; decode / feature
 extraction / resize / frame-sampling are Arrow-batched `mapInPandas`
 stages so the bytes cross to Python once per batch, not per row.
 
-The decode step is STUBBED: the real image/audio codecs (PIL, librosa,
-av) are not in this container. `decode_media` tries to import them and
-falls back to a clearly-marked deterministic fake (bytes → uint8 array)
-so the Spark-side plumbing — schema, batch shape, partition behavior —
-is real and tested end-to-end. Swap `_fake_decode` for a codec call and
-nothing else changes.
+Codec strategy: `decode_media` tries REAL codecs first, per kind —
+PIL for images, stdlib `wave` (always present) then soundfile for
+audio, av for video — and falls back to a clearly-marked deterministic
+fake (bytes → uint8 array) when the codec is absent or the payload
+isn't a valid container. Every output row carries a `decode_path`
+column naming which decoder actually ran ("pil" / "wave" /
+"soundfile" / "av" / "fake"), so a pipeline can audit exactly how much
+of its corpus got a real decode. The WAV path is exercised for real in
+this container (stdlib `wave` + synthetic RIFF payloads in tests); the
+PIL/av paths activate wherever those codecs exist, with zero plumbing
+changes.
 """
 
 from __future__ import annotations
@@ -92,38 +97,116 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 
 def _fake_decode(blob: bytes, kind: str) -> np.ndarray:
-    """DETERMINISTIC FAKE decode (real codecs absent in this container):
-    bytes → uint8 array. Replace with PIL/librosa/av decode; the
-    surrounding plumbing is identical."""
+    """DETERMINISTIC FAKE decode (the fallback when no codec applies):
+    bytes → uint8 array. Real decoders run first in `_decode_any`; the
+    surrounding plumbing is identical either way."""
     return np.frombuffer(blob or b"\x00", dtype=np.uint8)
+
+
+def _codec_modules() -> dict:
+    """Optional codec imports, resolved once per Python worker. stdlib
+    `wave` is always present; PIL / soundfile / av load where installed.
+    Executor-side (called inside mapInPandas), so a heterogeneous
+    cluster degrades per-worker rather than failing the job."""
+    mods: dict = {"wave": __import__("wave")}
+    try:  # pragma: no cover - depends on container contents
+        from PIL import Image  # noqa: PLC0415
+
+        mods["pil"] = Image
+    except ImportError:
+        pass
+    try:  # pragma: no cover
+        import soundfile  # noqa: PLC0415
+
+        mods["soundfile"] = soundfile
+    except ImportError:
+        pass
+    try:  # pragma: no cover
+        import av  # noqa: PLC0415
+
+        mods["av"] = av
+    except ImportError:
+        pass
+    return mods
+
+
+def _decode_any(blob: bytes, kind: str, mods: dict) -> tuple[np.ndarray, str]:
+    """Real-codec-first decode: returns (uint8 samples, decode_path).
+    Invalid payloads or missing codecs fall back to the deterministic
+    fake — per ROW, so one corrupt blob never fails a batch."""
+    import io  # noqa: PLC0415
+
+    if blob:
+        if kind == "image" and "pil" in mods:
+            try:  # pragma: no cover - PIL absent in this container
+                img = mods["pil"].open(io.BytesIO(blob))
+                return np.asarray(img, dtype=np.uint8).ravel(), "pil"
+            except Exception:  # noqa: BLE001 - not a decodable image
+                pass
+        if kind == "audio":
+            try:
+                with mods["wave"].open(io.BytesIO(blob), "rb") as wf:
+                    pcm = wf.readframes(wf.getnframes())
+                return np.frombuffer(pcm, dtype=np.uint8), "wave"
+            except Exception:  # noqa: BLE001 - not a RIFF/WAV payload
+                pass
+            if "soundfile" in mods:
+                try:  # pragma: no cover - soundfile absent here
+                    data, _sr = mods["soundfile"].read(io.BytesIO(blob))
+                    return (
+                        np.clip((data + 1.0) * 127.5, 0, 255).astype(np.uint8).ravel(),
+                        "soundfile",
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+        if kind == "video" and "av" in mods:
+            try:  # pragma: no cover - av absent in this container
+                with mods["av"].open(io.BytesIO(blob)) as container:
+                    frames = [
+                        np.asarray(fr.to_ndarray(format="gray"), dtype=np.uint8)
+                        for fr in container.decode(video=0)
+                    ]
+                if frames:
+                    return np.concatenate([f.ravel() for f in frames]), "av"
+            except Exception:  # noqa: BLE001
+                pass
+    return _fake_decode(blob, kind), "fake"
 
 
 def decode_media(media: DataFrame, out_dim: int = 64) -> DataFrame:
     """Decode + fixed-dim feature extraction as one mapInPandas stage
     (bytes cross to Python once, Arrow-batched). Feature = normalized
-    byte histogram folded to out_dim bins — deterministic, so tests pin
-    exact values; a real embedding model slots into the same stage."""
+    byte histogram folded to out_dim bins over the DECODED samples —
+    deterministic for the fake and the stdlib-wave paths, so tests pin
+    exact values; a real embedding model slots into the same stage.
+    `decode_path` names the decoder that actually ran per row."""
     fields = media.schema.fieldNames()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # _fake_decode is the deterministic stand-in; a real codec
-        # implementation replaces it here (e.g. PIL.Image.open for
-        # images) — the batch plumbing is identical either way
-        decode = _fake_decode
+        mods = _codec_modules()
         for pdf in batches:
-            feats = []
+            feats, paths = [], []
             for blob, kind in zip(pdf["blob"], pdf["kind"]):
-                arr = decode(bytes(blob) if blob is not None else b"", kind)
+                arr, path = _decode_any(
+                    bytes(blob) if blob is not None else b"", kind, mods
+                )
                 hist = np.bincount(arr % out_dim, minlength=out_dim).astype("float64")
                 s = hist.sum()
                 feats.append((hist / s if s else hist).tolist())
+                paths.append(path)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "decode_path": paths,
+                }
             )
 
     assert {"media_id", "kind", "blob"} <= set(fields)
     return media.mapInPandas(
-        _extract, "media_id long, kind string, feature array<double>"
+        _extract,
+        "media_id long, kind string, feature array<double>, decode_path string",
     )
 
 
@@ -231,17 +314,28 @@ def resize_raw(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def resize_image_stub(media: DataFrame, w: int, h: int) -> DataFrame:
-    """Codec-format image resize — STUB. Decoding PNG/JPEG requires a
-    codec (PIL) absent from this container; the operator raises rather
+    """Codec-format image resize: runs PIL when the codec is installed
+    (optional import, resolved per worker); raises otherwise rather
     than silently fake a decode. The real resample arithmetic is
-    implemented and tested in `resize_raw` above — a codec build plugs
-    PIL.Image.open in front of the same sampling."""
+    implemented and tested codec-free in `resize_raw` above — this
+    operator only adds the PNG/JPEG decode in front of it."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode/resize needs PIL, which is not installed; "
-            "plug PIL.Image.open(io.BytesIO(blob)).resize((w, h)) here"
-        )
+        import io  # noqa: PLC0415
+
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode/resize needs PIL, which is not installed; "
+                "the codec-free resample path is multimodal.resize_raw"
+            ) from e
+        for pdf in batches:  # pragma: no cover - PIL absent here
+            out = [
+                Image.open(io.BytesIO(bytes(b))).resize((w, h)).tobytes()
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "blob": out})
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         _resize, "media_id long, blob binary"

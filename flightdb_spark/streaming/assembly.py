@@ -423,6 +423,90 @@ def assemble_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# Structured Streaming wrapper #2: the Spark 4 arbitrary-state API
+# (transformWithStateInPandas). Same decision core, same state encoding,
+# same close semantics — the two wrappers must emit identical flights
+# (tests/test_assembly_tws.py pins parity on the misordered fixture).
+# ---------------------------------------------------------------------------
+
+
+def _make_assembly_processor(airframes: dict | None, fixes: dict | None):
+    """Build the StatefulProcessor class lazily: the TWS state protocol
+    imports google.protobuf (pyspark/sql/streaming/proto), which this
+    container lacks — the legacy applyInPandasWithState wrapper above
+    carries the same semantics where TWS is unavailable."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _AssemblyProcessor(StatefulProcessor):
+        """ValueState = the one open flight per icao (JSON, the exact
+        encoding the GroupState wrapper uses); a processing-time timer
+        re-armed on every input flushes the open flight CLOSE_GAP_MS
+        after its last update — the same 30-min staleness close."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open_flight", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            open_f = None
+            got = self._open.get()
+            if got is not None:
+                open_f = _flight_from_json(got[0])
+            frags = []
+            for pdf in rows:
+                frags.extend(_pdf_to_frags(pdf))
+            seed = [open_f] if open_f else []
+            seq0 = max(open_f.last_updated.values(), default=0) if open_f else 0
+            assembled = process_fragments(
+                frags, seed, seq0, airframes=airframes, fixes=fixes
+            )
+            if not assembled:
+                return
+            for f in assembled[:-1]:  # all but the newest are closed
+                yield _flights_to_pdf([f])
+            self._open.update((_flight_to_json(assembled[-1]),))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + CLOSE_GAP_MS
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            got = self._open.get()
+            if got is not None:
+                yield _flights_to_pdf([_flight_from_json(got[0])])
+                self._open.clear()
+
+        def close(self) -> None:  # required abstract override; no teardown
+            pass
+
+    return _AssemblyProcessor()
+
+
+def assemble_stream_tws(
+    fragment_points: DataFrame,
+    airframes: dict | None = None,
+    fixes: dict | None = None,
+) -> DataFrame:
+    """assemble_stream on transformWithStateInPandas (Spark 4 arbitrary
+    state): identical inputs, outputs, state encoding, and close
+    semantics to the applyInPandasWithState wrapper — only the state
+    API differs. timeMode=processingTime arms the per-key close timer.
+
+    NOTE: the TWS state protocol needs the ``google.protobuf`` wheel;
+    where it is absent use ``assemble_stream`` (same semantics)."""
+    return fragment_points.groupBy("icao_id").transformWithStateInPandas(
+        _make_assembly_processor(airframes, fixes),
+        outputStructType=ASSEMBLED_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
 def dedup_recent(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """FIFOSet streaming dedup (fifoset.go:10-63, used by the fr24
     poller at app/frontend/fr24poller.go:174-229): suppress re-delivery

@@ -340,6 +340,41 @@ def test_multimodal_metadata_and_features(spark):
     assert all(len(bytes(r["frame_bytes"])) > 0 for r in by_media[2])
 
 
+def test_decode_media_real_wav_path(spark):
+    # Real-codec-first decode: a genuine RIFF/WAV payload decodes via
+    # stdlib `wave` (decode_path="wave", feature histogram over the PCM
+    # samples, not the container bytes); a non-WAV audio payload and
+    # image/video payloads (PIL/av absent here) fall back to the
+    # deterministic fake per row.
+    import io
+    import wave as wave_mod
+
+    from flightdb_spark.multimodal import decode_media
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([7] * 32))  # 32 samples, all value 7
+    wav_blob = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(wav_blob)),
+            (1, "audio", bytearray(b"not a wav")),
+            (2, "image", bytearray(b"not a png")),
+        ],
+        "media_id long, kind string, blob binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media(media, out_dim=16).collect()}
+    assert rows[0]["decode_path"] == "wave"
+    # all 32 PCM samples are 7 -> the whole histogram mass in bin 7%16
+    assert rows[0]["feature"][7] == pytest.approx(1.0)
+    assert rows[1]["decode_path"] == "fake"
+    assert rows[2]["decode_path"] == "fake"
+
+
 def test_resize_stub_raises(spark):
     from flightdb_spark.multimodal import resize_image_stub, synth_media
 

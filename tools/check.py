@@ -7,6 +7,12 @@ name). Reports exact-match / value-drift per query so float-precision
 issues surface locally before the driver sees them.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+
+A FULL run (no query filter) also writes CORRECTNESS_LOCAL.json at the
+repo root — one row per registered query with the same fields as the
+driver's CORRECTNESS_r{N}.json (rows/schema/hash match + counts), so
+every round ships a machine-readable full-registry correctness artifact
+(the driver itself samples only the first 50).
 """
 
 from __future__ import annotations
@@ -64,6 +70,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, qd in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -72,16 +79,26 @@ def main() -> int:
             sdf = qd.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         if qd.oracle is None:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": True}
             n_rows_only += 1
             continue
         try:
             odf = con.execute(qd.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
 
@@ -107,6 +124,14 @@ def main() -> int:
                 except Exception as e:  # noqa: BLE001
                     diff_note += f" (diff locate failed: {e})"
                 problems.append(diff_note)
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": scols == ocols,
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
@@ -115,6 +140,27 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if not only:
+        artifact = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        import json
+
+        with open(artifact, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {artifact}")
     return 1 if n_fail else 0
 
 
