@@ -103,6 +103,8 @@ _MODULES = [
     "attribution2",
     "optstats",
     "serving",
+    "annotation",
+    "graphlink",
 ]
 
 
