@@ -172,6 +172,12 @@ HEADLINE = [
     "q324_mrr",
     "q350_curation_funnel",
     "q353_ivf_nprobe_sweep",
+    # round 13: agreement stats, bounded-round label propagation,
+    # smoothed query-likelihood retrieval, pass@k
+    "q379_krippendorff_alpha",
+    "q387_label_propagation",
+    "q391_lm_dirichlet",
+    "q395_pass_at_k",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

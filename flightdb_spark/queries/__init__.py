@@ -105,6 +105,7 @@ _MODULES = [
     "serving",
     "annotation",
     "graphlink",
+    "retrieval",
 ]
 
 

@@ -68,6 +68,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # row_number ranks two bounded top-RRF_DEPTH lists (TakeOrdered
     # pre-truncates before the window)
     "q137_rrf_fusion",
+    # same shape: Borda ranks two bounded top-FUSION_DEPTH lists
+    # (TakeOrdered pre-truncates before the window)
+    "q394_borda_fusion",
     # CUSUM scan runs over the bounded daily aggregate only
     "q138_cusum_changepoint",
     # rank/position windows over <= RRF_DEPTH-row truncated run lists
