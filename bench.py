@@ -178,6 +178,10 @@ HEADLINE = [
     "q387_label_propagation",
     "q391_lm_dirichlet",
     "q395_pass_at_k",
+    # round 13: data valuation + decontamination + hex smoothing
+    "q397_knn_shapley",
+    "q399_hexgrid_hotspots",
+    "q400_contamination_scan",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -106,6 +106,7 @@ _MODULES = [
     "annotation",
     "graphlink",
     "retrieval",
+    "valuation",
 ]
 
 
