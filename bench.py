@@ -182,6 +182,8 @@ HEADLINE = [
     "q397_knn_shapley",
     "q399_hexgrid_hotspots",
     "q400_contamination_scan",
+    "q402_pacf",
+    "q405_int8_quantization",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

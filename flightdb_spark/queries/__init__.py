@@ -107,6 +107,7 @@ _MODULES = [
     "graphlink",
     "retrieval",
     "valuation",
+    "tsdiag",
 ]
 
 
