@@ -285,14 +285,32 @@ def semantic_dedup_drops(
     threshold: float = 0.25,
     id_col: str = "vec_id",
     v: str = "v",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup: within each IVF cell, a vector is dropped when a
     lower-id cell-mate's cosine (6-dp rounded) meets the threshold.
     Returns (id_col, cell, canonical_id, max_sim) — one row per DROPPED
     vector. The within-cell self-join is the point: the n² is confined
-    to cells (k grows ~sqrt(n), cells stay bounded; cap or refine k if
-    one outgrows its budget)."""
+    to cells (k grows ~sqrt(n), cells stay bounded).
+
+    ``max_cell`` is the structural overflow guard (the same role as
+    textdedup.lsh_candidate_pairs' max_bucket): cells whose population
+    exceeds it are SKIPPED from pair generation (their members are
+    never dropped) rather than going m² — the production stance when a
+    fixed k meets a dup-dense shard (the sf1 scale rehearsal shows the
+    unguarded join going 139x on 10x data whose every doc has 9 clones;
+    the real fix is refining k, the cap is the circuit breaker). The
+    default None preserves the exact SemDeDup contract that q197's
+    oracle pins."""
     cells = ivf_assign(e, n_centroids, id_col=id_col, v=v)
+    if max_cell is not None:
+        cells = (
+            cells.withColumn(
+                "_m", F.count(F.lit(1)).over(W.partitionBy("cell"))
+            )
+            .filter(F.col("_m") <= max_cell)
+            .drop("_m")
+        )
     a = cells.select(
         F.col(id_col).alias("a_id"),
         F.col(v).alias("av"),

@@ -63,3 +63,30 @@ def test_margin_batch_is_lowest_margin(spark, sf_dir):
     margins = [r["margin"] for r in rows]
     assert margins == sorted(margins)
     assert all(m >= 0 for m in margins)  # top1 >= top2 by construction
+
+
+def test_semantic_dedup_max_cell_guard(spark, sf_dir):
+    # the circuit breaker: with a tiny cap, overflowing cells emit no
+    # pairs (members kept), and the capped output is a subset of the
+    # exact output
+    from flightdb_spark.operators import vectors
+    from flightdb_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = {
+        r["vec_id"]
+        for r in vectors.semantic_dedup_drops(e, n_centroids=8).collect()
+    }
+    capped = {
+        r["vec_id"]
+        for r in vectors.semantic_dedup_drops(
+            e, n_centroids=8, max_cell=50
+        ).collect()
+    }
+    assert capped <= exact
+    # cells of 500 vectors over 8 centroids: at least one cell > 50,
+    # so the cap must actually bite
+    assert len(capped) < len(exact)
