@@ -184,6 +184,8 @@ HEADLINE = [
     "q400_contamination_scan",
     "q402_pacf",
     "q405_int8_quantization",
+    "q407_logrank_test",
+    "q410_mediation",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -108,6 +108,7 @@ _MODULES = [
     "retrieval",
     "valuation",
     "tsdiag",
+    "causal2",
 ]
 
 

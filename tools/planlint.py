@@ -64,6 +64,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # risk-set and log-survival scans run over the distinct-hour key
     # table, bounded by calendar hours in the era, not corpus size
     "q204_kaplan_meier",
+    # same class: at-risk scan over the distinct-duration table only
+    "q407_logrank_test",
     # pooled-index scan runs over DISTINCT length values, bounded by
     # the max document length (value domain), not corpus size
     "q210_quantile_normalize",
