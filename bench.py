@@ -186,6 +186,8 @@ HEADLINE = [
     "q405_int8_quantization",
     "q407_logrank_test",
     "q410_mediation",
+    "q412_demographic_parity",
+    "q415_threshold_sweep",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -109,6 +109,7 @@ _MODULES = [
     "valuation",
     "tsdiag",
     "causal2",
+    "fairness",
 ]
 
 
