@@ -188,6 +188,8 @@ HEADLINE = [
     "q410_mediation",
     "q412_demographic_parity",
     "q415_threshold_sweep",
+    "q417_temperature_mixing",
+    "q419_target_encoding",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

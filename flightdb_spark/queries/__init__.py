@@ -110,6 +110,7 @@ _MODULES = [
     "tsdiag",
     "causal2",
     "fairness",
+    "mixing",
 ]
 
 

@@ -88,6 +88,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q293_anomaly_ensemble",
     # frequency rank over the AGGREGATED vocabulary — q76's bounded class
     "q155_vocab_coverage",
+    # exposure rank over the AGGREGATED item table — q76's bounded class
+    "q421_rec_popularity_bias",
 }
 
 
