@@ -190,6 +190,8 @@ HEADLINE = [
     "q415_threshold_sweep",
     "q417_temperature_mixing",
     "q419_target_encoding",
+    "q422_histogram_selectivity",
+    "q424_runtime_filter_audit",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -111,6 +111,7 @@ _MODULES = [
     "causal2",
     "fairness",
     "mixing",
+    "optstats2",
 ]
 
 
