@@ -192,6 +192,8 @@ HEADLINE = [
     "q419_target_encoding",
     "q422_histogram_selectivity",
     "q424_runtime_filter_audit",
+    "q429_shard_balance",
+    "q431_dedup_threshold_sweep",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -112,6 +112,7 @@ _MODULES = [
     "fairness",
     "mixing",
     "optstats2",
+    "embedops",
 ]
 
 
