@@ -27,7 +27,13 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 SCHEMA = (
     "flight_id bigint, seq int, ts timestamp, lat double, lon double, alt_ft double"
@@ -92,3 +98,87 @@ class SyntheticTracksDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the data source with a session."""
     spark.dataSource.register(SyntheticTracksDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half: a manifest-committing JSON-lines sink on the Spark 4
+# DataSourceWriter API — the native-API twin of sinks.py's archive
+# exports (SURVEY §2.1's sink tier). Each task writes its partition to
+# a private part file and returns a commit message; the DRIVER commits
+# by writing _MANIFEST.json (per-part row counts) + _SUCCESS only when
+# every task succeeded, and abort() removes the orphaned parts — the
+# all-or-nothing file-commit protocol a real lake sink needs.
+
+
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonlines sink needs .option('path', ...)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartCommit(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "parts": {
+                os.path.basename(m.path): m.rows
+                for m in messages
+                if m is not None
+            },
+        }
+        manifest["total_rows"] = sum(manifest["parts"].values())
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """spark.dataSource.register(JsonLinesSinkDataSource);
+    df.write.format("jsonlines_sink").option("path", d).mode(...).save()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlines_sink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    """Idempotently register the sink data source with a session."""
+    spark.dataSource.register(JsonLinesSinkDataSource)
