@@ -194,6 +194,8 @@ HEADLINE = [
     "q424_runtime_filter_audit",
     "q429_shard_balance",
     "q431_dedup_threshold_sweep",
+    "q432_mmd_drift",
+    "q434_wasserstein_1d",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -113,6 +113,7 @@ _MODULES = [
     "mixing",
     "optstats2",
     "embedops",
+    "disttests",
 ]
 
 

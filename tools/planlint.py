@@ -61,6 +61,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q371_backlog_curve",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
+    # same bounded-bins class: cumulative over <= 101 value bins
+    "q434_wasserstein_1d",
+    "q436_cvm_test",
     # risk-set and log-survival scans run over the distinct-hour key
     # table, bounded by calendar hours in the era, not corpus size
     "q204_kaplan_meier",
