@@ -196,6 +196,8 @@ HEADLINE = [
     "q431_dedup_threshold_sweep",
     "q432_mmd_drift",
     "q434_wasserstein_1d",
+    "q437_dup_substring_bands",
+    "q438_fellegi_sunter",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -114,6 +114,7 @@ _MODULES = [
     "optstats2",
     "embedops",
     "disttests",
+    "linkage",
 ]
 
 
