@@ -198,6 +198,8 @@ HEADLINE = [
     "q434_wasserstein_1d",
     "q437_dup_substring_bands",
     "q438_fellegi_sunter",
+    "q442_obf_boundaries",
+    "q446_variance_reduction",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -115,6 +115,7 @@ _MODULES = [
     "embedops",
     "disttests",
     "linkage",
+    "experiment2",
 ]
 
 

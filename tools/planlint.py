@@ -55,6 +55,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q356_quantile_regression_grid",
     # 1/7-day lags over the DAILY aggregate (q339 bounded-window class)
     "q364_forecast_metrics",
+    # day-rank over the DISTINCT-day table (q339 bounded class)
+    "q442_obf_boundaries",
     # centered 7-day MA over the DAILY aggregate (q339 bounded class)
     "q403_stl_decomposition",
     # backlog running sum over the bounded day table (q351 class)
