@@ -200,6 +200,8 @@ HEADLINE = [
     "q438_fellegi_sunter",
     "q442_obf_boundaries",
     "q446_variance_reduction",
+    "q447_watermark_tuning",
+    "q450_session_gap_sensitivity",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

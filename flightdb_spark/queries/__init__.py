@@ -116,6 +116,7 @@ _MODULES = [
     "disttests",
     "linkage",
     "experiment2",
+    "streamaudit",
 ]
 
 
