@@ -117,6 +117,7 @@ _MODULES = [
     "linkage",
     "experiment2",
     "streamaudit",
+    "estimation",
 ]
 
 

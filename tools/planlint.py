@@ -95,6 +95,12 @@ GLOBAL_WINDOW_ALLOWED = {
     "q155_vocab_coverage",
     # exposure rank over the AGGREGATED item table — q76's bounded class
     "q421_rec_popularity_bias",
+    # median-of-16 rank runs over the 16-row sketch table — bounded by
+    # the sketch count constant, never corpus rows
+    "q451_ams_f2",
+    # top-k + median-of-5 ranks over the AGGREGATED user-count table —
+    # q76's vocab-bounded class (the med window partitions by user)
+    "q454_countsketch_heavy",
 }
 
 
