@@ -118,6 +118,7 @@ _MODULES = [
     "experiment2",
     "streamaudit",
     "estimation",
+    "ranking3",
 ]
 
 

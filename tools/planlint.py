@@ -98,6 +98,14 @@ GLOBAL_WINDOW_ALLOWED = {
     # median-of-16 rank runs over the 16-row sketch table — bounded by
     # the sketch count constant, never corpus rows
     "q451_ams_f2",
+    # ranking-eval batch: every window ranks TakeOrdered-truncated runs
+    # (<= RRF_DEPTH rows) or their intersection — q137/q144's bounded
+    # class
+    "q456_err",
+    "q457_rbo",
+    "q458_alpha_ndcg",
+    "q459_clarity_score",
+    "q460_tau_ap",
     # top-k + median-of-5 ranks over the AGGREGATED user-count table —
     # q76's vocab-bounded class (the med window partitions by user)
     "q454_countsketch_heavy",
