@@ -119,6 +119,7 @@ _MODULES = [
     "streamaudit",
     "estimation",
     "ranking3",
+    "robust",
 ]
 
 

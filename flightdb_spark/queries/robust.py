@@ -1,0 +1,332 @@
+"""Robust-statistics batch 79 (q461-q465) — the outlier-resistant
+location/scale estimators a data-quality layer runs where q84's
+mean/std z-scores (which the outliers themselves inflate) mislead:
+
+- q461 Hampel filter: per-event rolling median +/- 3 robust sigmas
+  over a centered 7-point neighborhood of each user's value series —
+  the standard despiking filter for sensor feeds (the flight-track
+  sanity_filter's statistical cousin);
+- q462 Huber M-estimator: per-priority-class robust mean of order
+  prices by 3 unrolled IRLS iterations from the median start
+  (Huber 1964, k = 1.345 sigma);
+- q463 biweight midvariance: Tukey's robust variance per event type
+  (Lax 1985) beside the classical variance it corrects;
+- q464 Qn-style scale: order statistic of pairwise absolute
+  differences (Rousseeuw & Croux 1992) on a deterministic 100-row
+  hash subsample per group — the pairwise estimator made scale-safe
+  by bounding n before the n^2;
+- q465 median polish: one row/column sweep of Tukey's resistant
+  two-way decomposition over the (priority x status) cell-mean
+  matrix — robust main effects + residuals.
+
+All five run ONE SQL text on both engines (the streamaudit idiom) —
+no dialect split: MEDIAN/ROW_NUMBER/FLOOR/md5/STRING are shared, and
+every division or numeric literal is CAST AS DOUBLE (the round-6
+shared-SQL lesson). Prices quantize to exact integer cents via
+FLOOR(x*100 + 0.5) (rule 16); IRLS weight sums round per-row into
+DECIMAL accumulators (rule 1); medians are order statistics (at most
+one exact midpoint interpolation); robustness constants (1.4826,
+1.345, 2.2219) are Python-inlined literals (rule 11).
+
+100 TB shapes: q461's neighborhood is an equi-join on user_id with a
+bounded +/-3 index range (per-user fanout 7, no global window); q462
+iterates over per-GROUP scalars joined back (bounded iteration state,
+the q306 lesson); q463 is one scan + per-group moments; q464 caps the
+pairwise explosion at 100 rows/group BEFORE the pair join; q465's
+matrix is 15 cells after one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+MAD_K = repr(1.4826)  # consistency constant for Gaussian MAD
+HAMPEL_T = repr(3 * 1.4826)  # 3 robust sigmas
+HUBER_K = repr(1.345 * 1.4826)  # Huber k = 1.345 * (1.4826 * MAD)
+QN_C = repr(2.2219)  # Qn consistency constant
+IRLS_ITERS = 3
+QN_CAP = 100
+CENTS = "CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        ensure_parallelism(load_table(spark, sf_dir, n)).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# q461 — Hampel filter
+
+
+_HAMPEL_SQL = f"""
+    WITH idx AS (
+      SELECT user_id AS u, value AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS ri
+      FROM events
+    ),
+    med AS (
+      SELECT a.u, a.ri, a.x, CAST(MEDIAN(b.x) AS DOUBLE) AS med
+      FROM idx a JOIN idx b
+        ON b.u = a.u AND b.ri BETWEEN a.ri - 3 AND a.ri + 3
+      GROUP BY a.u, a.ri, a.x
+    ),
+    mad AS (
+      SELECT m.u, m.ri, m.x, m.med,
+             CAST(MEDIAN(ABS(b.x - m.med)) AS DOUBLE) AS mad
+      FROM med m JOIN idx b
+        ON b.u = m.u AND b.ri BETWEEN m.ri - 3 AND m.ri + 3
+      GROUP BY m.u, m.ri, m.x, m.med
+    )
+    SELECT u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN ABS(x - med) > CAST({HAMPEL_T} AS DOUBLE) * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(CASE WHEN mad > CAST(0.0 AS DOUBLE)
+                          THEN ABS(x - med) / (CAST({MAD_K} AS DOUBLE) * mad)
+                          ELSE CAST(0.0 AS DOUBLE) END), 4) AS max_robust_z
+    FROM mad
+    GROUP BY u
+"""
+
+
+@query("q461_hampel_filter", oracle=_HAMPEL_SQL)
+def q461_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking filter: each event's value against the median
+    and MAD of its centered 7-point neighborhood in the user's series;
+    outlier = deviation > 3 robust sigmas (1.4826 * MAD). Per-user
+    summary: points, outliers, max robust z. The neighborhood is an
+    equi-join on user_id with a +/-3 row-index band — per-user fanout
+    of 7, no global window, the scale-safe rolling-median shape (a
+    windowed MEDIAN cannot express the per-center MAD anyway). One
+    shared SQL text runs on both engines; medians are order statistics
+    over identical doubles."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_HAMPEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q462 — Huber M-estimator via unrolled IRLS
+
+
+def _huber_sql() -> str:
+    its = []
+    prev = "it0"
+    for i in range(1, IRLS_ITERS + 1):
+        its.append(f"""
+    w{i} AS (
+      SELECT v.p, v.x,
+             CASE WHEN ABS(v.x - t.mu) <= kk.k THEN CAST(1.0 AS DOUBLE)
+                  ELSE kk.k / ABS(v.x - t.mu) END AS w
+      FROM vals v JOIN {prev} t ON t.p = v.p JOIN kk ON kk.p = v.p
+    ),
+    it{i} AS (
+      SELECT p,
+             CAST(SUM(CAST(ROUND(w * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS mu
+      FROM w{i} GROUP BY p
+    )""")
+        prev = f"it{i}"
+    its_sql = ",".join(its)
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS p, {CENTS} AS x FROM orders
+    ),
+    it0 AS (SELECT p, CAST(MEDIAN(x) AS DOUBLE) AS mu FROM vals GROUP BY p),
+    madt AS (
+      SELECT v.p, CAST(MEDIAN(ABS(v.x - m.mu)) AS DOUBLE) AS mad
+      FROM vals v JOIN it0 m ON m.p = v.p GROUP BY v.p
+    ),
+    kk AS (
+      SELECT p, GREATEST(CAST({HUBER_K} AS DOUBLE) * mad,
+                         CAST(0.000000001 AS DOUBLE)) AS k
+      FROM madt
+    ),{its_sql},
+    stats AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean_c
+      FROM vals GROUP BY p
+    )
+    SELECT s.p AS o_orderpriority, s.n,
+           ROUND(m.mu / CAST(100 AS DOUBLE), 4) AS median_price,
+           ROUND(t.mu / CAST(100 AS DOUBLE), 4) AS huber_mean,
+           ROUND(s.mean_c / CAST(100 AS DOUBLE), 4) AS plain_mean
+    FROM stats s
+    JOIN it0 m ON m.p = s.p
+    JOIN it{IRLS_ITERS} t ON t.p = s.p
+    """
+
+
+_HUBER_SQL = _huber_sql()
+
+
+@query("q462_huber_mean", oracle=_HUBER_SQL)
+def q462_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of per-priority-class mean order price: 3
+    IRLS iterations unrolled as CTEs from the median start, weights
+    w = min(1, k/|x - mu|) with k = 1.345 robust sigmas. Prices are
+    exact integer cents; each iteration's weighted sums round per-row
+    into DECIMAL accumulators (order-free, rule 1) with ONE double
+    division per group per iteration. Iteration state is a 5-row
+    scalar table joined back — bounded, the q306 iterative-fit shape.
+    GREATEST(k, 1e-9) pins the degenerate MAD=0 class to its median
+    instead of 0/0."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_HUBER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q463 — biweight midvariance
+
+
+_BIWEIGHT_SQL = f"""
+    WITH vals AS (
+      SELECT event_type AS g, value AS x FROM events
+    ),
+    med AS (SELECT g, CAST(MEDIAN(x) AS DOUBLE) AS med FROM vals GROUP BY g),
+    mad AS (
+      SELECT v.g, m.med, CAST(MEDIAN(ABS(v.x - m.med)) AS DOUBLE) AS mad
+      FROM vals v JOIN med m ON m.g = v.g GROUP BY v.g, m.med
+    ),
+    uu AS (
+      SELECT v.g, v.x, d.med, d.mad,
+             (v.x - d.med) / (CAST(9.0 AS DOUBLE) * d.mad) AS u
+      FROM vals v JOIN mad d ON d.g = v.g
+      WHERE d.mad > CAST(0.0 AS DOUBLE)
+    ),
+    terms AS (
+      SELECT g,
+             CASE WHEN ABS(u) < CAST(1.0 AS DOUBLE)
+                  THEN CAST(ROUND((x - med) * (x - med)
+                       * ((CAST(1.0 AS DOUBLE) - u * u) * (CAST(1.0 AS DOUBLE) - u * u))
+                       * ((CAST(1.0 AS DOUBLE) - u * u) * (CAST(1.0 AS DOUBLE) - u * u)),
+                       9) AS DECIMAL(38,9))
+                  ELSE CAST(0 AS DECIMAL(38,9)) END AS num_t,
+             CASE WHEN ABS(u) < CAST(1.0 AS DOUBLE)
+                  THEN CAST(ROUND((CAST(1.0 AS DOUBLE) - u * u)
+                       * (CAST(1.0 AS DOUBLE) - CAST(5.0 AS DOUBLE) * u * u),
+                       9) AS DECIMAL(38,9))
+                  ELSE CAST(0 AS DECIMAL(38,9)) END AS den_t,
+             CAST(ROUND(x, 2) AS DECIMAL(18,2)) AS xd,
+             CAST(ROUND(x * x, 4) AS DECIMAL(22,4)) AS xsq
+      FROM uu
+    )
+    SELECT g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(num_t) AS DOUBLE)
+                 / (CAST(SUM(den_t) AS DOUBLE) * CAST(SUM(den_t) AS DOUBLE)), 4)
+             AS biweight_midvariance,
+           ROUND((CAST(SUM(xsq) AS DOUBLE)
+                  - CAST(SUM(xd) AS DOUBLE) * CAST(SUM(xd) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 4) AS classical_variance
+    FROM terms
+    GROUP BY g
+"""
+
+
+@query("q463_biweight_midvariance", oracle=_BIWEIGHT_SQL)
+def q463_biweight_midvariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's biweight midvariance per event type — the robust
+    variance whose weights (1-u^2)^2 decay to zero at 9 MADs, so a
+    contaminated tail cannot inflate the scale estimate the way it
+    inflates the classical variance printed beside it. Powers are
+    written as explicit products (never pow, rule 5); numerator /
+    denominator terms round at 9 dp into DECIMAL sums; the classical
+    variance comes from exact 2-dp/4-dp DECIMAL moments. One scan +
+    two bounded per-group median passes."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_BIWEIGHT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q464 — Qn-style pairwise scale on a capped subsample
+
+
+_QN_SQL = f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS p, o_orderkey, {CENTS} AS x FROM orders
+    ),
+    samp AS (
+      SELECT p, x,
+             ROW_NUMBER() OVER (PARTITION BY p
+                                ORDER BY md5(CAST(o_orderkey AS STRING)),
+                                         o_orderkey) AS rn
+      FROM vals
+    ),
+    capped AS (SELECT p, x, rn FROM samp WHERE rn <= {QN_CAP}),
+    pairs AS (
+      SELECT a.p, ABS(a.x - b.x) AS d
+      FROM capped a JOIN capped b ON b.p = a.p AND b.rn > a.rn
+    ),
+    np AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY p),
+    ranked AS (
+      SELECT p, d, ROW_NUMBER() OVER (PARTITION BY p ORDER BY d) AS rk
+      FROM pairs
+    )
+    SELECT r.p AS o_orderpriority,
+           n.n_pairs,
+           CAST(r.d AS BIGINT) AS qn_raw_cents,
+           ROUND(CAST({QN_C} AS DOUBLE) * r.d / CAST(100 AS DOUBLE), 4)
+             AS qn_scale
+    FROM ranked r JOIN np n ON n.p = r.p
+    WHERE r.rk = CAST(FLOOR(CAST(n.n_pairs AS DOUBLE) / 4) AS BIGINT) + 1
+"""
+
+
+@query("q464_qn_scale", oracle=_QN_SQL)
+def q464_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qn-style robust scale (Rousseeuw-Croux): the first-quartile
+    order statistic of pairwise absolute price differences, per
+    priority class, on a DETERMINISTIC md5-ranked subsample capped at
+    {QN_CAP} rows/group — the pairwise estimator made scale-safe by
+    bounding n BEFORE the O(n^2) pair join (<= 4,950 pairs/group at
+    any corpus size). The quartile is an exact k-th-smallest integer
+    (k = floor(pairs/4)+1) — tie order cannot change the selected
+    VALUE; no interpolation, no percentile_cont cross-engine
+    divergence."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_QN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q465 — median polish (one sweep)
+
+
+_POLISH_SQL = f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(SUM(CAST({CENTS} AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(*) / CAST(100 AS DOUBLE) AS v
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    rowmed AS (SELECT p, CAST(MEDIAN(v) AS DOUBLE) AS re FROM cells GROUP BY p),
+    r1 AS (
+      SELECT c.p, c.s, c.v, r.re, c.v - r.re AS v1
+      FROM cells c JOIN rowmed r ON r.p = c.p
+    ),
+    colmed AS (SELECT s, CAST(MEDIAN(v1) AS DOUBLE) AS ce FROM r1 GROUP BY s)
+    SELECT r.p AS o_orderpriority, r.s AS o_orderstatus,
+           ROUND(r.v, 4) AS cell_mean,
+           ROUND(r.re, 4) AS row_effect,
+           ROUND(c.ce, 4) AS col_effect,
+           ROUND(r.v1 - c.ce, 4) AS residual
+    FROM r1 r JOIN colmed c ON c.s = r.s
+"""
+
+
+@query("q465_median_polish", oracle=_POLISH_SQL)
+def q465_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sweep of Tukey's median polish over the (priority x status)
+    mean-price matrix: subtract row medians, then column medians of
+    the residuals — resistant main effects plus a residual per cell
+    (an outlying cell cannot drag its whole row/column the way
+    mean-based two-way ANOVA lets it). The matrix is 15 cells after
+    ONE exact-DECIMAL aggregate of integer cents; everything after is
+    bounded-table arithmetic. Classic EDA (Tukey 1977) as a
+    distributed two-phase aggregate."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_POLISH_SQL)
