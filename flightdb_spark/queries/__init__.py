@@ -120,6 +120,7 @@ _MODULES = [
     "estimation",
     "ranking3",
     "robust",
+    "causal3",
 ]
 
 
