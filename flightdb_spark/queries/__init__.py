@@ -121,6 +121,7 @@ _MODULES = [
     "ranking3",
     "robust",
     "causal3",
+    "texteval",
 ]
 
 
