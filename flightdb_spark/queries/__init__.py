@@ -122,6 +122,7 @@ _MODULES = [
     "robust",
     "causal3",
     "texteval",
+    "tsspectral",
 ]
 
 

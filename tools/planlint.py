@@ -109,6 +109,13 @@ GLOBAL_WINDOW_ALLOWED = {
     # top-k + median-of-5 ranks over the AGGREGATED user-count table —
     # q76's vocab-bounded class (the med window partitions by user)
     "q454_countsketch_heavy",
+    # spectral/structural TS batch: every window (prefix sums, argmax
+    # ranks, lag/lead) runs over the 28-row daily calendar aggregate —
+    # q339's calendar-bounded class
+    "q477_binary_segmentation",
+    "q478_hurst_exponent",
+    "q479_spectral_entropy",
+    "q480_turning_points",
 }
 
 
