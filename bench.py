@@ -202,6 +202,14 @@ HEADLINE = [
     "q446_variance_reduction",
     "q447_watermark_tuning",
     "q450_session_gap_sensitivity",
+    "q451_ams_f2",
+    "q455_sampled_join_size",
+    "q459_clarity_score",
+    "q461_hampel_filter",
+    "q470_permutation_test",
+    "q471_bleu_components",
+    "q473_chrf",
+    "q476_periodogram",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

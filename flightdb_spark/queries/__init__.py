@@ -123,6 +123,7 @@ _MODULES = [
     "causal3",
     "texteval",
     "tsspectral",
+    "labelmodel",
 ]
 
 
