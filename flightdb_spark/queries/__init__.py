@@ -124,6 +124,7 @@ _MODULES = [
     "texteval",
     "tsspectral",
     "labelmodel",
+    "layout2",
 ]
 
 

@@ -148,12 +148,17 @@ def run(queries: list[str] | None) -> None:
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
 
-    out = {
-        "copies": COPIES,
-        "flagged_over_10x": flagged,
-        "queries": results,
-    }
+    # MERGE into the existing artifact: a --queries subset run must not
+    # clobber earlier rehearsal rows, flags, or plan notes.
     path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+    out = {"copies": COPIES, "flagged_over_10x": [], "queries": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            out.update(json.load(fh))
+    out["queries"].update(results)
+    out["flagged_over_10x"] = sorted(
+        set(out["flagged_over_10x"]) - set(results) | set(flagged)
+    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path}; {len(flagged)} queries over 10x: {flagged}")
