@@ -125,6 +125,7 @@ _MODULES = [
     "tsspectral",
     "labelmodel",
     "layout2",
+    "survival2",
 ]
 
 

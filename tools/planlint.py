@@ -116,6 +116,13 @@ GLOBAL_WINDOW_ALLOWED = {
     "q478_hurst_exponent",
     "q479_spectral_entropy",
     "q480_turning_points",
+    # survival batch 2: every window is a prefix scan over the
+    # DISTINCT-duration (hour-bounded) table — q204's class
+    "q491_nelson_aalen",
+    "q492_weibull_mrr",
+    "q493_competing_risks",
+    "q494_rmst",
+    "q495_conditional_survival",
 }
 
 
