@@ -126,6 +126,7 @@ _MODULES = [
     "labelmodel",
     "layout2",
     "survival2",
+    "queueing",
 ]
 
 

@@ -123,6 +123,11 @@ GLOBAL_WINDOW_ALLOWED = {
     "q493_competing_risks",
     "q494_rmst",
     "q495_conditional_survival",
+    # queueing batch: rank/island/trailing windows over the 720-row
+    # hourly calendar aggregate — q339's calendar-bounded class
+    "q498_capacity_headroom",
+    "q499_burst_episodes",
+    "q500_autoscaling_sim",
 }
 
 
