@@ -127,6 +127,7 @@ _MODULES = [
     "layout2",
     "survival2",
     "queueing",
+    "rankcentral",
 ]
 
 

@@ -128,6 +128,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q498_capacity_headroom",
     "q499_burst_episodes",
     "q500_autoscaling_sim",
+    # theta forecast: OLS/SES over the 28-row daily calendar aggregate
+    "q505_theta_forecast",
 }
 
 
