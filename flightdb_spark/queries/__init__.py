@@ -128,6 +128,7 @@ _MODULES = [
     "survival2",
     "queueing",
     "rankcentral",
+    "revenueops",
 ]
 
 

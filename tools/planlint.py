@@ -130,6 +130,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q500_autoscaling_sim",
     # theta forecast: OLS/SES over the 28-row daily calendar aggregate
     "q505_theta_forecast",
+    # newsvendor: rank selection over the ~1,100-row daily-demand
+    # calendar aggregate
+    "q509_newsvendor",
 }
 
 
