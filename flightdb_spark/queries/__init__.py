@@ -129,6 +129,7 @@ _MODULES = [
     "queueing",
     "rankcentral",
     "revenueops",
+    "encoding",
 ]
 
 
