@@ -210,6 +210,15 @@ HEADLINE = [
     "q471_bleu_components",
     "q473_chrf",
     "q476_periodogram",
+    "q481_dawid_skene_quality",
+    "q486_hilbert_locality",
+    "q493_competing_risks",
+    "q496_littles_law",
+    "q501_textrank_keywords",
+    "q503_rake_phrases",
+    "q504_ecod_outliers",
+    "q507_revenue_bridge",
+    "q511_rle_runs",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

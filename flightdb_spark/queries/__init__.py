@@ -130,6 +130,7 @@ _MODULES = [
     "rankcentral",
     "revenueops",
     "encoding",
+    "recursive",
 ]
 
 

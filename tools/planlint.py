@@ -133,6 +133,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # newsvendor: rank selection over the ~1,100-row daily-demand
     # calendar aggregate
     "q509_newsvendor",
+    # gaps-and-islands over the 80-row recursive month spine
+    "q519_calendar_spine",
 }
 
 
