@@ -131,6 +131,7 @@ _MODULES = [
     "revenueops",
     "encoding",
     "recursive",
+    "embedgeom",
 ]
 
 
