@@ -132,6 +132,7 @@ _MODULES = [
     "encoding",
     "recursive",
     "embedgeom",
+    "pretrainrules",
 ]
 
 
