@@ -135,6 +135,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q509_newsvendor",
     # gaps-and-islands over the 80-row recursive month spine
     "q519_calendar_spine",
+    # tercile cutpoints: cumulative over the 2-dp ROUNDED-score bin
+    # table (bounded by the score range) — q131's bin class
+    "q527_ccnet_buckets",
 }
 
 
