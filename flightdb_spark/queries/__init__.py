@@ -133,6 +133,7 @@ _MODULES = [
     "recursive",
     "embedgeom",
     "pretrainrules",
+    "metricslayer",
 ]
 
 

@@ -138,6 +138,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # tercile cutpoints: cumulative over the 2-dp ROUNDED-score bin
     # table (bounded by the score range) — q131's bin class
     "q527_ccnet_buckets",
+    # MoM/YoY lags over the 80-row month spine — calendar-bounded
+    "q531_mom_yoy",
 }
 
 
