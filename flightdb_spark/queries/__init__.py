@@ -134,6 +134,7 @@ _MODULES = [
     "embedgeom",
     "pretrainrules",
     "metricslayer",
+    "designsweeps",
 ]
 
 

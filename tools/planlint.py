@@ -140,6 +140,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q527_ccnet_buckets",
     # MoM/YoY lags over the 80-row month spine — calendar-bounded
     "q531_mom_yoy",
+    # rank/cumulative over the AGGREGATED vocabulary — q76's class
+    "q536_vocab_size_sweep",
 }
 
 
