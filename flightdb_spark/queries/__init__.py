@@ -135,6 +135,7 @@ _MODULES = [
     "pretrainrules",
     "metricslayer",
     "designsweeps",
+    "nullsemantics",
 ]
 
 

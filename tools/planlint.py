@@ -142,6 +142,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q531_mom_yoy",
     # rank/cumulative over the AGGREGATED vocabulary — q76's class
     "q536_vocab_size_sweep",
+    # the null-ordering battery's global windows ARE its subject
+    # (explicit NULLS FIRST/LAST rank positions); single-scan input
+    "q544_null_ordering",
 }
 
 
