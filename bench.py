@@ -219,6 +219,12 @@ HEADLINE = [
     "q504_ecod_outliers",
     "q507_revenue_bridge",
     "q511_rle_runs",
+    "q516_hierarchy_depths",
+    "q521_isotropy_sample",
+    "q526_gopher_rules",
+    "q533_contribution_analysis",
+    "q536_vocab_size_sweep",
+    "q541_three_valued_logic",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).
