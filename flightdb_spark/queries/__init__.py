@@ -136,6 +136,7 @@ _MODULES = [
     "metricslayer",
     "designsweeps",
     "nullsemantics",
+    "flightops2",
 ]
 
 
