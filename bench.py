@@ -225,6 +225,9 @@ HEADLINE = [
     "q533_contribution_analysis",
     "q536_vocab_size_sweep",
     "q541_three_valued_logic",
+    # round 6: spatial autocorrelation + multiple testing
+    "q551_moran_i",
+    "q556_bonferroni_holm",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

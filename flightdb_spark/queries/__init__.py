@@ -137,6 +137,8 @@ _MODULES = [
     "designsweeps",
     "nullsemantics",
     "flightops2",
+    "spatialstats",
+    "multitest",
 ]
 
 

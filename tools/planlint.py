@@ -145,6 +145,13 @@ GLOBAL_WINDOW_ALLOWED = {
     # the null-ordering battery's global windows ARE its subject
     # (explicit NULLS FIRST/LAST rank positions); single-scan input
     "q544_null_ordering",
+    # multiple-testing batch: Holm/BH rank windows run over the
+    # AGGREGATED hypothesis table (event_type x 64 buckets — a few
+    # hundred rows bounded by construction) — q76's class
+    "q556_bonferroni_holm",
+    "q557_benjamini_hochberg",
+    "q559_fdr_threshold_sweep",
+    "q560_family_structured_testing",
 }
 
 
