@@ -228,6 +228,8 @@ HEADLINE = [
     # round 6: spatial autocorrelation + multiple testing
     "q551_moran_i",
     "q556_bonferroni_holm",
+    # round 6: sequence mining
+    "q563_transition_entropy",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

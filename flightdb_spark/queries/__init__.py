@@ -139,6 +139,7 @@ _MODULES = [
     "flightops2",
     "spatialstats",
     "multitest",
+    "seqmining",
 ]
 
 
