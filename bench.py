@@ -230,6 +230,10 @@ HEADLINE = [
     "q556_bonferroni_holm",
     # round 6: sequence mining
     "q563_transition_entropy",
+    # round 6: data-split design
+    "q567_purged_kfold_embargo",
+    # round 6: bitemporal versioning
+    "q571_bitemporal_snapshot",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

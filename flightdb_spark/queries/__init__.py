@@ -140,6 +140,8 @@ _MODULES = [
     "spatialstats",
     "multitest",
     "seqmining",
+    "splits",
+    "bitemporal",
 ]
 
 

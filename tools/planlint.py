@@ -82,6 +82,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q394_borda_fusion",
     # CUSUM scan runs over the bounded daily aggregate only
     "q138_cusum_changepoint",
+    # cumulative share over the <=7-row weekly lag-bucket aggregate
+    "q573_knowledge_lag",
     # rank/position windows over <= RRF_DEPTH-row truncated run lists
     "q144_ndcg",
     # adstock lags / growth cumulative: ordered windows over the
