@@ -234,6 +234,8 @@ HEADLINE = [
     "q567_purged_kfold_embargo",
     # round 6: bitemporal versioning
     "q571_bitemporal_snapshot",
+    # round 6: integer-semiring HMM decode
+    "q576_viterbi_decode",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

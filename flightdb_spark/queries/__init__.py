@@ -142,6 +142,7 @@ _MODULES = [
     "seqmining",
     "splits",
     "bitemporal",
+    "hmm",
 ]
 
 
