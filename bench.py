@@ -236,6 +236,8 @@ HEADLINE = [
     "q571_bitemporal_snapshot",
     # round 6: integer-semiring HMM decode
     "q576_viterbi_decode",
+    # round 6: association rules
+    "q582_maximal_frequent_pairs",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -143,6 +143,7 @@ _MODULES = [
     "splits",
     "bitemporal",
     "hmm",
+    "assocrules",
 ]
 
 
