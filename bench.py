@@ -238,6 +238,8 @@ HEADLINE = [
     "q576_viterbi_decode",
     # round 6: association rules
     "q582_maximal_frequent_pairs",
+    # round 6: time-series motifs
+    "q587_discords",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

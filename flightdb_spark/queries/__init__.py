@@ -144,6 +144,7 @@ _MODULES = [
     "bitemporal",
     "hmm",
     "assocrules",
+    "motifs",
 ]
 
 
