@@ -240,6 +240,8 @@ HEADLINE = [
     "q582_maximal_frequent_pairs",
     # round 6: time-series motifs
     "q587_discords",
+    # round 6: nonparametric trend
+    "q591_sen_slope",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -145,6 +145,7 @@ _MODULES = [
     "hmm",
     "assocrules",
     "motifs",
+    "trendnp",
 ]
 
 

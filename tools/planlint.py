@@ -84,6 +84,13 @@ GLOBAL_WINDOW_ALLOWED = {
     "q138_cusum_changepoint",
     # cumulative share over the <=7-row weekly lag-bucket aggregate
     "q573_knowledge_lag",
+    # nonparametric trend tests: rank/LAG/LEAD windows over the bounded
+    # DAILY aggregate or the <= days^2/2 pairwise-slope table (q339/q356
+    # class — calendar-bounded, never corpus rows)
+    "q591_sen_slope",
+    "q592_runs_test",
+    "q593_turning_points",
+    "q595_rank_von_neumann",
     # rank/position windows over <= RRF_DEPTH-row truncated run lists
     "q144_ndcg",
     # adstock lags / growth cumulative: ordered windows over the
