@@ -242,6 +242,8 @@ HEADLINE = [
     "q587_discords",
     # round 6: nonparametric trend
     "q591_sen_slope",
+    # round 6: Haar multiresolution
+    "q596_haar_energy_spectrum",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

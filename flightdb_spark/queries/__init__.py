@@ -146,6 +146,7 @@ _MODULES = [
     "assocrules",
     "motifs",
     "trendnp",
+    "wavelets",
 ]
 
 
