@@ -243,7 +243,8 @@ def _sweep_sql(dialect: str) -> str:
     ),
     per_alpha AS (
       SELECT a.an, a.ad, r.k, r.is_sig, r.m, r.i,
-             MAX(CASE WHEN r.k * r.m * a.ad <= r.i * a.an * {DENOM}
+             MAX(CASE WHEN CAST(r.k AS BIGINT) * r.m * a.ad
+                            <= CAST(r.i AS BIGINT) * a.an * {DENOM}
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY a.an, a.ad
                      ORDER BY r.i ROWS BETWEEN CURRENT ROW

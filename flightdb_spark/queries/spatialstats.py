@@ -302,10 +302,12 @@ def _joincount_sql(dialect: str) -> str:
            cnt.bb2 / 2 AS bb_joins,
            cnt.ww2 / 2 AS ww_joins,
            cnt.bw2 / 2 AS bw_joins,
-           ROUND(CAST(cnt.s02 AS DOUBLE) / 2
+           -- leading 0.0 + kills IEEE -0.0 (k=0 makes k*(k-1) negative-zero
+           -- after the double product; DuckDB's ROUND keeps the sign)
+           ROUND(0.0 + CAST(cnt.s02 AS DOUBLE) / 2
                  * nb.k * (nb.k - 1)
                  / (CAST(t.n AS DOUBLE) * (t.n - 1)), 4) AS expected_bb,
-           ROUND(CAST(cnt.s02 AS DOUBLE) / 2
+           ROUND(0.0 + CAST(cnt.s02 AS DOUBLE) / 2
                  * 2.0 * nb.k * (t.n - nb.k)
                  / (CAST(t.n AS DOUBLE) * (t.n - 1)), 4) AS expected_bw
     FROM tot t CROSS JOIN cnt CROSS JOIN nb
