@@ -244,6 +244,8 @@ HEADLINE = [
     "q591_sen_slope",
     # round 6: Haar multiresolution
     "q596_haar_energy_spectrum",
+    # round 6: inequality / prefix-scan showcase
+    "q601_lorenz_gini",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

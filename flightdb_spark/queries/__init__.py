@@ -147,6 +147,7 @@ _MODULES = [
     "motifs",
     "trendnp",
     "wavelets",
+    "inequality",
 ]
 
 
