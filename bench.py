@@ -246,6 +246,8 @@ HEADLINE = [
     "q596_haar_energy_spectrum",
     # round 6: inequality / prefix-scan showcase
     "q601_lorenz_gini",
+    # round 6: AR models from exact autocovariances
+    "q606_autocovariance_table",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

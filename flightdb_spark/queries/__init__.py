@@ -148,6 +148,7 @@ _MODULES = [
     "trendnp",
     "wavelets",
     "inequality",
+    "armodels",
 ]
 
 
