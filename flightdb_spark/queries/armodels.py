@@ -85,15 +85,14 @@ def _cov_cte(dialect: str) -> str:
       GROUP BY l.k
     ),
     r AS (
-      SELECT c0.n_terms AS n_days,
+      SELECT MAX(CASE WHEN c.k = 0 THEN c.n_terms END) AS n_days,
              MAX(CASE WHEN c.k = 1 THEN CAST(c.c AS DOUBLE) END)
                / MAX(CASE WHEN c.k = 0 THEN CAST(c.c AS DOUBLE) END) AS r1,
              MAX(CASE WHEN c.k = 2 THEN CAST(c.c AS DOUBLE) END)
                / MAX(CASE WHEN c.k = 0 THEN CAST(c.c AS DOUBLE) END) AS r2,
              MAX(CASE WHEN c.k = 3 THEN CAST(c.c AS DOUBLE) END)
                / MAX(CASE WHEN c.k = 0 THEN CAST(c.c AS DOUBLE) END) AS r3
-      FROM cov c CROSS JOIN (SELECT n_terms FROM cov WHERE k = 0) c0
-      GROUP BY c0.n_terms
+      FROM cov c
     )"""
 
 
@@ -227,7 +226,9 @@ def _backtest_sql(dialect: str) -> str:
       FROM dev x JOIN dev y ON y.i = x.i - 1
     ),
     sse AS (
-      SELECT
+      -- BROADCAST hint reaches Spark only (a comment to DuckDB): the
+      -- 1-row r side must not plan as CartesianProduct
+      SELECT /*+ BROADCAST(r) */
         SUM(CAST(l.d_now AS DECIMAL(19,0)) * CAST(l.d_now AS DECIMAL(19,0)))
           AS sse_mean,
         SUM(CAST(l.d_now - l.d_prev AS DECIMAL(19,0))
