@@ -1,0 +1,172 @@
+"""Semantic invariants for the round-6 batches (q561-q610) beyond the
+oracle hash gate: properties the DuckDB comparison cannot see (both
+engines could be wrong the same way), checked on sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flightdb_spark.queries import load_registry
+
+REG = load_registry()
+
+
+def run(name, spark, sf_dir):
+    return REG[name].fn(spark, sf_dir).toPandas()
+
+
+# --- sequence mining -------------------------------------------------------
+
+
+def test_funnel_monotone(spark, sf_dir):
+    df = run("q565_funnel_paths", spark, sf_dir).sort_values("stage")
+    counts = df["n_users"].tolist()
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert df["conversion_from_start"].iloc[0] == 1.0
+
+
+def test_transition_entropy_bounds(spark, sf_dir):
+    import math
+
+    df = run("q563_transition_entropy", spark, sf_dir)
+    # 5 next-states max -> entropy within [0, log2(5)]
+    assert ((df["entropy_bits"] >= 0) & (df["entropy_bits"] <= math.log2(5) + 1e-9)).all()
+
+
+# --- data splits -----------------------------------------------------------
+
+
+def test_purged_folds_partition_days(spark, sf_dir):
+    df = run("q567_purged_kfold_embargo", spark, sf_dir)
+    # every fold: test + embargo + train == all days (30 in testdata)
+    tot = df[["test_days", "embargo_days", "train_days"]].sum(axis=1)
+    assert (tot == tot.iloc[0]).all()
+    # embargo never empty for interior folds, train never overlaps test
+    assert (df["train_days"] + df["test_days"] < tot.iloc[0] + 1).all()
+
+
+def test_group_split_no_leakage(spark, sf_dir):
+    df = run("q569_group_split_leakage", spark, sf_dir).set_index("scheme")
+    assert df.loc["group_hash", "users_spanning_splits"] == 0
+    assert df.loc["group_hash", "contaminated_eval_rows"] == 0
+    # the naive scheme must be visibly worse (that's the point)
+    assert df.loc["row_hash", "contaminated_eval_rows"] > 0
+
+
+# --- bitemporal ------------------------------------------------------------
+
+
+def test_bitemporal_snapshot_monotone_in_t(spark, sf_dir):
+    df = run("q571_bitemporal_snapshot", spark, sf_dir)
+    # fixing valid_asof, more knowledge (later T) can only add parts
+    for v, g in df.groupby("valid_asof"):
+        g = g.sort_values("known_asof")
+        n = g["n_parts"].tolist()
+        assert all(a <= b for a, b in zip(n, n[1:])), (v, n)
+
+
+def test_restatement_share_in_unit_interval(spark, sf_dir):
+    df = run("q572_restatement_audit", spark, sf_dir)
+    assert ((df["restatement_share"] >= 0) & (df["restatement_share"] <= 1)).all()
+    assert (df["final_known"] >= df["first_reported"]).all()
+
+
+# --- HMM -------------------------------------------------------------------
+
+
+def test_viterbi_beats_single_state(spark, sf_dir):
+    df = run("q580_switching_gain", spark, sf_dir)
+    # max-plus optimum can never lose to a constrained (single-state) path
+    assert (df["switching_gain"] >= 0).all()
+
+
+def test_decode_margin_nonnegative(spark, sf_dir):
+    df = run("q578_decode_margin", spark, sf_dir)
+    assert (df["margin"] >= 0).all()
+
+
+def test_forward_mass_positive(spark, sf_dir):
+    df = run("q577_forward_path_mass", spark, sf_dir)
+    assert (df["min_mass"] > 0).all()
+
+
+# --- association rules -----------------------------------------------------
+
+
+def test_rule_metrics_consistent(spark, sf_dir):
+    df = run("q581_association_rules", spark, sf_dir)
+    assert ((df["confidence"] > 0) & (df["confidence"] <= 1)).all()
+    assert (df["lift"] > 0).all()
+    # conviction is NULL only when confidence == 1
+    conf1 = df["confidence"] == 1.0
+    assert df.loc[~conf1, "conviction"].notna().all()
+
+
+def test_negative_associations_lift_below_one(spark, sf_dir):
+    df = run("q585_negative_associations", spark, sf_dir)
+    assert (df["lift"] <= 1.0).all()
+    assert (df["supp_ab"] >= 0).all()
+
+
+# --- motifs / wavelets -----------------------------------------------------
+
+
+def test_motif_distance_le_discord(spark, sf_dir):
+    motifs = run("q586_motif_pairs", spark, sf_dir)
+    assert (motifs["dist"] >= 0).all()
+    assert (motifs["j"] - motifs["i"] >= 4).all()  # non-overlap constraint
+
+
+def test_haar_energy_shares_sum_to_one(spark, sf_dir):
+    df = run("q596_haar_energy_spectrum", spark, sf_dir)
+    assert abs(df["energy_share"].sum() - 1.0) < 1e-4
+    assert (df["energy"] >= 0).all()
+
+
+def test_wavelet_spikiness_share_bounds(spark, sf_dir):
+    df = run("q600_wavelet_spikiness", spark, sf_dir)
+    assert ((df["fine_share"] >= 0) & (df["fine_share"] <= 1)).all()
+    assert (df["fine_e"] <= df["total_e"]).all()
+
+
+# --- trend + AR ------------------------------------------------------------
+
+
+def test_sen_slope_within_extreme_pair_slopes(spark, sf_dir):
+    df = run("q591_sen_slope", spark, sf_dir)
+    row = df.iloc[0]
+    assert row["slope_p05"] <= row["sen_slope_lo"] <= row["sen_slope_hi"] <= row["slope_p95"]
+
+
+def test_acf_lag0_is_one_and_bounded(spark, sf_dir):
+    df = run("q606_autocovariance_table", spark, sf_dir).set_index("lag")
+    assert df.loc[0, "r_k"] == 1.0
+    assert (df["r_k"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_ar2_beats_or_matches_ar1_variance(spark, sf_dir):
+    ar1 = run("q607_ar1_fit", spark, sf_dir).iloc[0]
+    ar2 = run("q608_ar2_yule_walker", spark, sf_dir).iloc[0]
+    # Yule-Walker AR(2) innovation variance <= AR(1)'s (extra parameter
+    # can only help in-sample)
+    assert ar2["innovation_var_ratio"] <= ar1["innovation_var_ratio"] + 1e-9
+
+
+# --- inequality ------------------------------------------------------------
+
+
+def test_lorenz_convex_and_gini_bounds(spark, sf_dir):
+    row = run("q601_lorenz_gini", spark, sf_dir).iloc[0]
+    assert 0 <= row["lorenz_q1"] <= row["lorenz_q2"] <= row["lorenz_q3"] <= 1
+    assert row["lorenz_q1"] <= 0.25 and row["lorenz_q2"] <= 0.5
+    assert 0 <= row["gini"] <= 1
+
+
+def test_abc_revenue_ordering(spark, sf_dir):
+    df = run("q605_abc_xyz", spark, sf_dir)
+    by_abc = df.groupby("abc")["revenue_cents"].sum()
+    by_cnt = df.groupby("abc")["n_parts"].sum()
+    if {"A", "C"} <= set(by_abc.index):
+        # A-class: more revenue from fewer parts than C
+        assert by_abc["A"] / by_cnt["A"] > by_abc["C"] / by_cnt["C"]
