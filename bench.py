@@ -248,6 +248,8 @@ HEADLINE = [
     "q601_lorenz_gini",
     # round 6: AR models from exact autocovariances
     "q606_autocovariance_table",
+    # round 6: synthetic control
+    "q613_placebo_tests",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

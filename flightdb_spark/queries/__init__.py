@@ -149,6 +149,7 @@ _MODULES = [
     "wavelets",
     "inequality",
     "armodels",
+    "synthcontrol",
 ]
 
 
