@@ -250,6 +250,8 @@ HEADLINE = [
     "q606_autocovariance_table",
     # round 6: synthetic control
     "q613_placebo_tests",
+    # round 6: scorecard evaluation
+    "q617_auc_somers",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -150,6 +150,7 @@ _MODULES = [
     "inequality",
     "armodels",
     "synthcontrol",
+    "scorecard",
 ]
 
 
