@@ -252,6 +252,8 @@ HEADLINE = [
     "q613_placebo_tests",
     # round 6: scorecard evaluation
     "q617_auc_somers",
+    # round 6: distributed-systems primitives
+    "q623_merkle_reconciliation",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -151,6 +151,7 @@ _MODULES = [
     "armodels",
     "synthcontrol",
     "scorecard",
+    "distsys",
 ]
 
 
