@@ -254,6 +254,8 @@ HEADLINE = [
     "q617_auc_somers",
     # round 6: distributed-systems primitives
     "q623_merkle_reconciliation",
+    # round 6: histogram tree splits
+    "q629_depth2_tree",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -152,6 +152,7 @@ _MODULES = [
     "synthcontrol",
     "scorecard",
     "distsys",
+    "treesplits",
 ]
 
 
