@@ -256,6 +256,8 @@ HEADLINE = [
     "q623_merkle_reconciliation",
     # round 6: histogram tree splits
     "q629_depth2_tree",
+    # round 6: behavioral combinators
+    "q631_window_funnel",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

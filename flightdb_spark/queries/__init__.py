@@ -153,6 +153,7 @@ _MODULES = [
     "scorecard",
     "distsys",
     "treesplits",
+    "behavior2",
 ]
 
 
