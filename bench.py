@@ -258,6 +258,8 @@ HEADLINE = [
     "q629_depth2_tree",
     # round 6: behavioral combinators
     "q631_window_funnel",
+    # round 6: sampling designs
+    "q637_systematic_sample",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

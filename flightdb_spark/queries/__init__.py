@@ -154,6 +154,7 @@ _MODULES = [
     "distsys",
     "treesplits",
     "behavior2",
+    "sampling2",
 ]
 
 
