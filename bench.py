@@ -260,6 +260,8 @@ HEADLINE = [
     "q631_window_funnel",
     # round 6: sampling designs
     "q637_systematic_sample",
+    # round 6: robust estimators
+    "q641_hodges_lehmann",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

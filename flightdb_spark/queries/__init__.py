@@ -155,6 +155,7 @@ _MODULES = [
     "treesplits",
     "behavior2",
     "sampling2",
+    "robust2",
 ]
 
 
