@@ -262,6 +262,8 @@ HEADLINE = [
     "q637_systematic_sample",
     # round 6: robust estimators
     "q641_hodges_lehmann",
+    # round 6: business calendar
+    "q646_business_minute_clock",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

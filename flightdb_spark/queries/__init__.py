@@ -156,6 +156,7 @@ _MODULES = [
     "behavior2",
     "sampling2",
     "robust2",
+    "slacalendar",
 ]
 
 
