@@ -264,6 +264,8 @@ HEADLINE = [
     "q641_hodges_lehmann",
     # round 6: business calendar
     "q646_business_minute_clock",
+    # round 6: inverted-index internals
+    "q653_wand_pruning",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -157,6 +157,7 @@ _MODULES = [
     "sampling2",
     "robust2",
     "slacalendar",
+    "invindex",
 ]
 
 
