@@ -170,3 +170,115 @@ def test_abc_revenue_ordering(spark, sf_dir):
     if {"A", "C"} <= set(by_abc.index):
         # A-class: more revenue from fewer parts than C
         assert by_abc["A"] / by_cnt["A"] > by_abc["C"] / by_cnt["C"]
+
+
+# --- inequality / AR / synthetic control -----------------------------------
+
+
+def test_palma_consistent_with_lorenz(spark, sf_dir):
+    row = run("q604_palma_top_shares", spark, sf_dir).iloc[0]
+    assert 0 <= row["bottom40_share"] <= 0.4 + 1e-9
+    assert row["top1_share"] <= row["top5_share"] <= row["top10_share"]
+
+
+def test_synth_control_weights_sum(spark, sf_dir):
+    row = run("q611_synthetic_control_fit", spark, sf_dir).iloc[0]
+    assert row["w1"] + row["w2"] + row["w3"] + row["w4"] == 10
+    assert row["pre_sse_scaled"] >= 0
+
+
+def test_placebo_exactly_one_true_unit(spark, sf_dir):
+    df = run("q613_placebo_tests", spark, sf_dir)
+    assert len(df) == 5
+    assert df["is_true_treated"].sum() == 1
+
+
+def test_donor_importance_inflation_ge_one(spark, sf_dir):
+    df = run("q615_donor_importance", spark, sf_dir)
+    assert (df["sse_inflation"] >= 1.0 - 1e-9).all()
+
+
+# --- scorecard / distsys / trees --------------------------------------------
+
+
+def test_auc_informative_score(spark, sf_dir):
+    row = run("q617_auc_somers", spark, sf_dir).iloc[0]
+    # P(y=1|k) = k/2^20 by construction -> AUC well above chance
+    assert 0.6 < row["auc"] <= 1.0
+    # both sides are independently ROUND(...,6)-ed, so the identity
+    # holds only to ~2 ulps of the 6th decimal
+    assert abs(row["somers_d"] - (2 * row["auc"] - 1)) < 3e-6
+
+
+def test_hrw_minimal_disruption(spark, sf_dir):
+    df = run("q622_rendezvous_hashing", spark, sf_dir)
+    assert (df["illegally_moved"] == 0).all()
+    gained = df.set_index("node")["gained_keys"]
+    assert gained.drop(5).sum() == 0 and gained[5] > 0
+
+
+def test_merkle_localizes(spark, sf_dir):
+    df = run("q623_merkle_reconciliation", spark, sf_dir).set_index("level")
+    # finer levels can only have >= as many differing buckets
+    assert df.loc[0, "differing_buckets"] >= df.loc[1, "differing_buckets"]
+    assert df.loc[1, "differing_buckets"] >= df.loc[2, "differing_buckets"]
+
+
+def test_gini_split_bounds(spark, sf_dir):
+    df = run("q626_best_split_gini", spark, sf_dir)
+    assert ((df["weighted_gini"] >= 0) & (df["weighted_gini"] <= 0.5)).all()
+
+
+def test_oblivious_cost_nonnegative(spark, sf_dir):
+    row = run("q630_oblivious_vs_greedy", spark, sf_dir).iloc[0]
+    assert row["oblivious_cost"] >= -1e-9
+
+
+def test_info_gain_f1_wins(spark, sf_dir):
+    df = run("q627_information_gain", spark, sf_dir)
+    # f1 drives the label by construction; dow is pure noise
+    assert df.iloc[0]["feature"] == "f1_band"
+
+
+# --- sampling / robust / calendar / index -----------------------------------
+
+
+def test_hamilton_sums_to_budget(spark, sf_dir):
+    df = run("q638_hamilton_allocation", spark, sf_dir)
+    assert df["allocated"].sum() == 1000
+
+
+def test_pps_sum_pi_is_target(spark, sf_dir):
+    row = run("q639_pps_inclusion", spark, sf_dir).iloc[0]
+    assert abs(row["sum_pi"] - 50.0) < 1e-4
+
+
+def test_robust_scales_positive(spark, sf_dir):
+    qn = run("q643_qn_scale", spark, sf_dir).iloc[0]
+    sn = run("q644_sn_scale", spark, sf_dir).iloc[0]
+    bw = run("q645_biweight_midvariance", spark, sf_dir).iloc[0]
+    assert qn["qn_cents_unnormalized"] > 0
+    assert sn["sn_cents_unnormalized"] > 0
+    assert bw["biweight_midvariance_dollars2"] > 0
+    assert bw["n_included"] <= bw["n_days"] * 1  # gate can only exclude
+
+
+def test_promises_never_weekend(spark, sf_dir):
+    df = run("q648_promise_dates", spark, sf_dir)
+    assert (df["promised_weekday"] <= 4).all()
+    assert (df["min_calendar_gap"] >= 3).all()
+    assert (df["max_calendar_gap"] <= 5).all()
+    row = run("q649_holiday_adjustment", spark, sf_dir).iloc[0]
+    assert row["weekend_landings"] == 0
+
+
+def test_intersection_bounds(spark, sf_dir):
+    df = run("q652_intersection_cost", spark, sf_dir)
+    assert (df["selectivity"] <= 1.0 + 1e-9).all()
+    assert (df["galloping_cost"] > 0).all()
+
+
+def test_wand_threshold_sane(spark, sf_dir):
+    row = run("q653_wand_pruning", spark, sf_dir).iloc[0]
+    assert row["surviving_docs"] >= 10
+    assert row["candidate_docs"] >= row["surviving_docs"]
