@@ -266,6 +266,8 @@ HEADLINE = [
     "q646_business_minute_clock",
     # round 6: inverted-index internals
     "q653_wand_pruning",
+    # round 6: index numbers
+    "q658_chained_laspeyres",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -158,6 +158,7 @@ _MODULES = [
     "robust2",
     "slacalendar",
     "invindex",
+    "indexnumbers",
 ]
 
 
