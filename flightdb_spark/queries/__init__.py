@@ -159,6 +159,8 @@ _MODULES = [
     "slacalendar",
     "invindex",
     "indexnumbers",
+    "reserving",
+    "auctions",
 ]
 
 

@@ -282,3 +282,81 @@ def test_wand_threshold_sane(spark, sf_dir):
     row = run("q653_wand_pruning", spark, sf_dir).iloc[0]
     assert row["surviving_docs"] >= 10
     assert row["candidate_docs"] >= row["surviving_docs"]
+
+
+# --- reserving (chain-ladder) ------------------------------------------------
+
+
+def test_triangle_cumulative_consistency(spark, sf_dir):
+    df = run("q661_runoff_triangle", spark, sf_dir)
+    # cumulative = prefix sum of incrementals within each origin
+    for origin, g in df.groupby("origin"):
+        g = g.sort_values("dev")
+        assert (g["paid_cents"].cumsum() == g["cum_cents"]).all()
+    # a complete triangle: origin o observed exactly to dev 2000 - o
+    devs = df.groupby("origin")["dev"].max()
+    assert (devs == 2000 - devs.index).all()
+
+
+def test_chain_ladder_ultimate_geq_paid(spark, sf_dir):
+    df = run("q663_chain_ladder_ultimates", spark, sf_dir)
+    # factors >= 1 (cumulative paid grows), so IBNR >= 0 and the
+    # mature 1995 cohort pins CDF = 1 exactly
+    assert (df["ibnr_dollars"] >= -1e-6).all()
+    assert df.set_index("origin").loc[1995, "cdf_to_ultimate"] == 1.0
+    # CDF monotone: younger cohorts have more development ahead
+    cdfs = df.sort_values("origin")["cdf_to_ultimate"].tolist()
+    assert all(a <= b + 1e-9 for a, b in zip(cdfs, cdfs[1:]))
+
+
+def test_bf_between_paid_and_prior_scale(spark, sf_dir):
+    df = run("q664_bornhuetter_ferguson", spark, sf_dir)
+    # BF ultimate >= paid (the reserve is nonnegative), and the BF
+    # reserve shrinks to 0 for the mature cohort
+    assert (df["bf_ultimate"] >= df["paid_dollars"] - 1e-6).all()
+    assert abs(df.set_index("origin").loc[1995, "bf_reserve"]) < 1e-6
+
+
+def test_calendar_diagonals_cover_triangle(spark, sf_dir):
+    tri = run("q661_runoff_triangle", spark, sf_dir)
+    diag = run("q665_calendar_diagonals", spark, sf_dir)
+    obs = diag[diag["is_forecast"] == 0]
+    assert obs["cents"].sum() == tri["paid_cents"].sum()
+    fc = diag[diag["is_forecast"] == 1]
+    assert len(fc) == 1 and fc.iloc[0]["cal_year"] == 2001
+    assert fc.iloc[0]["cents"] > 0
+
+
+# --- auctions ----------------------------------------------------------------
+
+
+def test_vickrey_clearing_geq_first_price(spark, sf_dir):
+    df = run("q666_vickrey_census", spark, sf_dir)
+    # second-lowest >= lowest, per brand and on average
+    assert (df["clearing_cost"] >= df["first_price_cost"] - 1e-9).all()
+    assert (df["avg_money_on_table"] >= -1e-9).all()
+
+
+def test_reserve_grid_monotonicity(spark, sf_dir):
+    df = run("q667_reserve_price_grid", spark, sf_dir).sort_values("mult_pct")
+    # raising the reserve can only shrink the cleared set
+    cleared = df["cleared"].tolist()
+    assert all(a >= b for a, b in zip(cleared, cleared[1:]))
+    # at reserve=0-ish (60% of mean) nearly everything with best>=r clears
+    assert cleared[0] > 0
+
+
+def test_second_price_revenue_dominates_shaded(spark, sf_dir):
+    df = run("q669_revenue_equivalence_audit", spark, sf_dir)
+    # shaded first-price bid (n-1)/n * top < top, and the second bid
+    # sits below the top too; both revenues positive
+    assert (df["second_price_revenue"] > 0).all()
+    assert (df["shaded_first_price_revenue"] > 0).all()
+
+
+def test_money_on_table_sorted_and_consistent(spark, sf_dir):
+    df = run("q670_money_on_table_topk", spark, sf_dir)
+    gaps = df["money_on_table"].tolist()
+    assert all(a >= b - 1e-12 for a, b in zip(gaps, gaps[1:]))
+    assert ((df["second_bid"] - df["best_bid"] - df["money_on_table"]).abs()
+            < 1e-9).all()
