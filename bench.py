@@ -266,6 +266,12 @@ HEADLINE = [
     "q646_business_minute_clock",
     # round 6: inverted-index internals
     "q653_wand_pruning",
+    "q663_chain_ladder_ultimates",
+    "q667_reserve_price_grid",
+    "q671_hill_tail_index",
+    "q678_shrinkage_backtest",
+    "q681_benford_second_digit",
+    "q688_shift_share",
     # round 6: index numbers
     "q658_chained_laspeyres",
 ]

@@ -161,6 +161,10 @@ _MODULES = [
     "indexnumbers",
     "reserving",
     "auctions",
+    "extremes",
+    "credibility",
+    "forensic",
+    "tradeecon",
 ]
 
 

@@ -360,3 +360,175 @@ def test_money_on_table_sorted_and_consistent(spark, sf_dir):
     assert all(a >= b - 1e-12 for a, b in zip(gaps, gaps[1:]))
     assert ((df["second_bid"] - df["best_bid"] - df["money_on_table"]).abs()
             < 1e-9).all()
+
+
+# --- extreme-value theory ------------------------------------------------------
+
+
+def test_hill_positive_and_consistent(spark, sf_dir):
+    row = run("q671_hill_tail_index", spark, sf_dir).iloc[0]
+    assert row["hill_estimate"] > 0
+    assert abs(row["tail_index_alpha"] * row["hill_estimate"] - 1.0) < 1e-3
+    assert row["k_tail"] == 200
+
+
+def test_mean_excess_thresholds_increase(spark, sf_dir):
+    df = run("q672_mean_excess", spark, sf_dir).sort_values("mult_pct")
+    # exceedance counts shrink as the threshold rises
+    n = df["n_exceed"].tolist()
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    assert (df["threshold_dollars"].diff().dropna() > 0).all()
+
+
+def test_gpd_light_tail_on_bounded_prices(spark, sf_dir):
+    row = run("q673_gpd_moments", spark, sf_dir).iloc[0]
+    # order totals are bounded above -> xi should come out negative-ish
+    # (bounded tail); beta positive; moments finite
+    assert row["n_exc"] > 0
+    assert row["beta_mom_dollars"] > 0
+    assert row["xi_mom"] < 0.5
+
+
+def test_gumbel_return_level_above_mean_max(spark, sf_dir):
+    row = run("q674_gumbel_block_maxima", spark, sf_dir).iloc[0]
+    assert row["gumbel_beta_dollars"] > 0
+    assert row["return_level_10y_dollars"] > row["mean_block_max_dollars"]
+
+
+def test_hill_return_levels_monotone(spark, sf_dir):
+    df = run("q675_hill_return_levels", spark, sf_dir).sort_values(
+        "per_million", ascending=False
+    )
+    rl = df["return_level_dollars"].tolist()
+    # rarer events -> higher return levels
+    assert all(a <= b for a, b in zip(rl, rl[1:]))
+    hill = run("q671_hill_tail_index", spark, sf_dir).iloc[0]
+    # RL at the k/n tail anchor stays above the Hill threshold
+    assert (df["return_level_dollars"] > hill["threshold_dollars"] * 0.99).all()
+
+
+# --- credibility ---------------------------------------------------------------
+
+
+def test_buhlmann_z_in_unit_interval(spark, sf_dir):
+    row = run("q676_buhlmann_components", spark, sf_dir).iloc[0]
+    assert 0.0 <= row["credibility_z"] <= 1.0
+    assert row["epv_dollars2"] > 0
+    # k = EPV/VHM consistent with Z = n/(n+k)
+    if row["vhm_dollars2"] > 0:
+        z = 6.0 / (6.0 + row["k_constant"])
+        assert abs(z - row["credibility_z"]) < 1e-6
+
+
+def test_premiums_shrink_toward_grand_mean(spark, sf_dir):
+    comp = run("q676_buhlmann_components", spark, sf_dir).iloc[0]
+    df = run("q677_credibility_premiums", spark, sf_dir)
+    gm = comp["grand_mean_dollars"]
+    # top-10 heaviest histories: premium strictly between grand mean and raw
+    assert (df["credibility_premium_dollars"] <= df["raw_mean_dollars"] + 1e-6).all()
+    assert (df["credibility_premium_dollars"] >= gm - 1e-6).all()
+
+
+def test_credibility_beats_raw_oos(spark, sf_dir):
+    row = run("q678_shrinkage_backtest", spark, sf_dir).iloc[0]
+    # the Buhlmann point: shrinkage should not lose to the raw mean
+    assert row["mse_credibility_dollars2"] <= row["mse_raw_dollars2"] + 1e-6
+
+
+def test_segment_z_exceeds_customer_z(spark, sf_dir):
+    seg = run("q679_segment_credibility", spark, sf_dir)
+    cust = run("q676_buhlmann_components", spark, sf_dir).iloc[0]
+    assert len(seg) == 5
+    assert (seg["credibility_z"] == seg["credibility_z"].iloc[0]).all()
+
+
+def test_balance_and_compression(spark, sf_dir):
+    row = run("q680_credibility_balance", spark, sf_dir).iloc[0]
+    rel = abs(row["total_premium_dollars"] - row["total_raw_dollars"]) / max(
+        row["total_raw_dollars"], 1.0
+    )
+    assert rel < 1e-6
+    raw_range = row["max_raw_dollars"] - row["min_raw_dollars"]
+    prem_range = row["max_premium_dollars"] - row["min_premium_dollars"]
+    assert prem_range <= raw_range + 1e-9
+
+
+# --- forensic accounting --------------------------------------------------------
+
+
+def test_benford2_probs_sum_to_one(spark, sf_dir):
+    df = run("q681_benford_second_digit", spark, sf_dir)
+    assert len(df) == 10
+    assert abs(df["expected_p"].sum() - 1.0) < 1e-12
+    assert abs(df["observed_p"].sum() - 1.0) < 1e-9
+    assert (df["chi2_contribution"] >= 0).all()
+
+
+def test_cents_endings_counts(spark, sf_dir):
+    df = run("q682_cents_endings", spark, sf_dir)
+    assert (df["ending"] >= 0).all() and (df["ending"] <= 99).all()
+    # sorted by count desc
+    n = df["n_obs"].tolist()
+    assert all(a >= b for a, b in zip(n, n[1:]))
+
+
+def test_round_number_patterns_complete(spark, sf_dir):
+    df = run("q683_round_number_bias", spark, sf_dir)
+    assert set(df["pattern"]) == {
+        "ends_00", "ends_50", "ends_95", "ends_99", "whole_hundred_dollars"
+    }
+    assert (df["observed_p"] <= 1.0).all()
+
+
+def test_threshold_straddle_shape(spark, sf_dir):
+    df = run("q685_threshold_straddle", spark, sf_dir)
+    assert df["threshold_dollars"].tolist() == [100000, 200000, 300000]
+    assert (df["n_just_below"] >= 0).all()
+
+
+# --- trade economics ------------------------------------------------------------
+
+
+def test_corridor_shares(spark, sf_dir):
+    df = run("q686_trade_corridors", spark, sf_dir)
+    assert len(df) == 15
+    assert (df["world_share"] > 0).all()
+    assert df["world_share"].sum() < 1.0 + 1e-9
+    f = df["flow_dollars"].tolist()
+    assert all(a >= b for a, b in zip(f, f[1:]))
+
+
+def test_gravity_residuals_ranked(spark, sf_dir):
+    df = run("q687_gravity_residuals", spark, sf_dir)
+    r = df["log_residual"].tolist()
+    assert all(a >= b for a, b in zip(r, r[1:]))
+    assert (df["gravity_flow_dollars"] > 0).all()
+
+
+def test_shift_share_identity(spark, sf_dir):
+    df = run("q688_shift_share", spark, sf_dir)
+    # NS + IM + RS == actual change, up to per-cell quantization
+    resid = (
+        df["actual_change_dollars"]
+        - df["national_effect_dollars"]
+        - df["industry_mix_dollars"]
+        - df["competitive_shift_dollars"]
+    ).abs()
+    assert (resid < 0.02).all(), resid.max()
+
+
+def test_rca_floor_and_rank(spark, sf_dir):
+    df = run("q689_revealed_advantage", spark, sf_dir)
+    assert (df["rca"] > 0).all()
+    r = df["rca"].tolist()
+    assert all(a >= b for a, b in zip(r, r[1:]))
+    assert (df["flow_dollars"] >= 1000).all()
+
+
+def test_grubel_lloyd_bounds(spark, sf_dir):
+    df = run("q690_grubel_lloyd", spark, sf_dir)
+    assert ((df["grubel_lloyd"] >= 0) & (df["grubel_lloyd"] <= 1)).all()
+    assert (
+        (df["a_to_b_dollars"] + df["b_to_a_dollars"] - df["total_trade_dollars"])
+        .abs() < 1e-6
+    ).all()
