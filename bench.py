@@ -272,6 +272,8 @@ HEADLINE = [
     "q678_shrinkage_backtest",
     "q681_benford_second_digit",
     "q688_shift_share",
+    "q693_ttl_hit_ratios",
+    "q696_sequential_looks",
     # round 6: index numbers
     "q658_chained_laspeyres",
 ]

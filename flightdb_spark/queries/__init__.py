@@ -165,6 +165,8 @@ _MODULES = [
     "credibility",
     "forensic",
     "tradeecon",
+    "cacheops",
+    "seqtesting",
 ]
 
 

@@ -532,3 +532,81 @@ def test_grubel_lloyd_bounds(spark, sf_dir):
         (df["a_to_b_dollars"] + df["b_to_a_dollars"] - df["total_trade_dollars"])
         .abs() < 1e-6
     ).all()
+
+
+# --- cache / working set --------------------------------------------------------
+
+
+def test_reuse_histogram_shares(spark, sf_dir):
+    df = run("q691_reuse_time_histogram", spark, sf_dir)
+    assert (df["week_bucket"] >= 0).all()
+    assert df["share"].sum() <= 1.0 + 1e-9
+
+
+def test_working_set_grows_with_window(spark, sf_dir):
+    df = run("q692_working_set_curve", spark, sf_dir).sort_values("window_days")
+    ws = df["avg_working_set"].tolist()
+    assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
+    assert (df["max_working_set"] >= df["avg_working_set"] - 1e-9).all()
+
+
+def test_ttl_hit_ratio_monotone(spark, sf_dir):
+    df = run("q693_ttl_hit_ratios", spark, sf_dir).sort_values("ttl_days")
+    hr = df["hit_ratio"].tolist()
+    assert all(a <= b + 1e-12 for a, b in zip(hr, hr[1:]))
+    assert (df["hit_ratio"] <= 1.0).all()
+    # all TTL rows share the same access denominator
+    assert (df["n_acc"] == df["n_acc"].iloc[0]).all()
+
+
+def test_hot_set_coverage_monotone(spark, sf_dir):
+    df = run("q695_hot_set_concentration", spark, sf_dir).sort_values("top_k")
+    cov = df["coverage"].tolist()
+    assert all(a <= b + 1e-12 for a, b in zip(cov, cov[1:]))
+    assert cov[-1] <= 1.0 + 1e-12
+
+
+# --- group-sequential testing ---------------------------------------------------
+
+
+def test_sequential_counts_monotone(spark, sf_dir):
+    df = run("q696_sequential_looks", spark, sf_dir).sort_values("look")
+    for col in ("na", "nb", "xa", "xb"):
+        v = df[col].tolist()
+        assert all(a <= b for a, b in zip(v, v[1:])), col
+    # OBF boundary decreases toward Pocock-ish levels; final = C_B
+    ob = df["obf_bound"].tolist()
+    assert all(a >= b for a, b in zip(ob, ob[1:]))
+    assert abs(ob[-1] - 2.04) < 1e-9
+
+
+def test_stopped_bias_consistency(spark, sf_dir):
+    row = run("q697_stopped_estimate_bias", spark, sf_dir).iloc[0]
+    if row["stopped_early"] == 0:
+        assert abs(row["overstatement"]) < 1e-9
+        assert row["effective_look"] == 5
+
+
+def test_information_fractions_reach_one(spark, sf_dir):
+    df = run("q698_information_fractions", spark, sf_dir).sort_values("look")
+    fr = df["information_fraction"].tolist()
+    assert all(a <= b + 1e-12 for a, b in zip(fr, fr[1:]))
+    assert abs(fr[-1] - 1.0) < 1e-12
+
+
+def test_repeated_cis_contain_diff(spark, sf_dir):
+    df = run("q699_repeated_cis", spark, sf_dir)
+    assert (df["rci_lo"] <= df["diff"] + 1e-9).all()
+    assert (df["rci_hi"] >= df["diff"] - 1e-9).all()
+    # widths shrink with accumulating information
+    w = (df.sort_values("look")["rci_hi"] - df.sort_values("look")["rci_lo"]).tolist()
+    assert all(a >= b - 1e-12 for a, b in zip(w, w[1:]))
+
+
+def test_aa_null_obf_no_looser_than_naive(spark, sf_dir):
+    df = run("q700_aa_null_calibration", spark, sf_dir)
+    # the boundary controls the rate, it does not forbid rejections —
+    # but OBF can never reject where fixed-1.96 peeking would not
+    # (every OBF bound >= 2.04 > 1.96)
+    assert (df["obf_reject"] <= df["naive_reject"]).all()
+    assert df["obf_reject"].sum() <= df["naive_reject"].sum()
