@@ -274,6 +274,9 @@ HEADLINE = [
     "q688_shift_share",
     "q693_ttl_hit_ratios",
     "q696_sequential_looks",
+    "q701_mobility_matrix",
+    "q706_panel_estimators",
+    "q711_taylor_law",
     # round 6: index numbers
     "q658_chained_laspeyres",
 ]

@@ -167,6 +167,9 @@ _MODULES = [
     "tradeecon",
     "cacheops",
     "seqtesting",
+    "mobility",
+    "panel",
+    "fluctuation",
 ]
 
 

@@ -610,3 +610,84 @@ def test_aa_null_obf_no_looser_than_naive(spark, sf_dir):
     # (every OBF bound >= 2.04 > 1.96)
     assert (df["obf_reject"] <= df["naive_reject"]).all()
     assert df["obf_reject"].sum() <= df["naive_reject"].sum()
+
+
+# --- mobility -------------------------------------------------------------------
+
+
+def test_mobility_matrix_row_stochastic(spark, sf_dir):
+    df = run("q701_mobility_matrix", spark, sf_dir)
+    shares = df.groupby("band_from")["row_share"].sum()
+    assert ((shares - 1.0).abs() < 1e-9).all()
+    # all customers accounted for
+    from flightdb_spark.tables import load_table
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert df["n"].sum() == n_cust
+
+
+def test_shorrocks_in_range(spark, sf_dir):
+    row = run("q702_shorrocks_index", spark, sf_dir).iloc[0]
+    # M in [0, m/(m-1)]
+    assert 0.0 <= row["shorrocks_m"] <= 6.0 / 5.0 + 1e-9
+    assert abs(row["trace_p"] + 5.0 * row["shorrocks_m"] - 6.0) < 1e-6
+
+
+def test_persistence_shares_partition(spark, sf_dir):
+    df = run("q704_segment_persistence", spark, sf_dir)
+    tot = df["stay_share"] + df["up_share"] + df["down_share"]
+    assert ((tot - 1.0).abs() < 1e-9).all()
+
+
+def test_destiny_bands_in_range(spark, sf_dir):
+    df = run("q705_origin_destiny", spark, sf_dir)
+    assert ((df["expected_band_to"] >= 0) & (df["expected_band_to"] <= 5)).all()
+
+
+# --- panel econometrics ---------------------------------------------------------
+
+
+def test_panel_identity_holds(spark, sf_dir):
+    row = run("q708_hausman_contrast", spark, sf_dir).iloc[0]
+    assert row["identity_residual"] == 0.0
+    assert bool(row["identity_holds"])
+
+
+def test_panel_slopes_positive(spark, sf_dir):
+    row = run("q706_panel_estimators", spark, sf_dir).iloc[0]
+    # more orders -> more revenue, in every estimator, on this data
+    assert row["pooled_dollars_per_order"] > 0
+    assert row["within_dollars_per_order"] > 0
+    assert row["between_dollars_per_order"] > 0
+
+
+def test_variance_shares_unit_interval(spark, sf_dir):
+    row = run("q709_variance_decomposition", spark, sf_dir).iloc[0]
+    assert 0.0 <= row["x_within_share"] <= 1.0
+    assert 0.0 <= row["y_within_share"] <= 1.0
+
+
+# --- fluctuation scaling --------------------------------------------------------
+
+
+def test_taylor_exponent_sane(spark, sf_dir):
+    row = run("q711_taylor_law", spark, sf_dir).iloc[0]
+    assert row["n_parts"] > 0
+    assert 0.0 < row["taylor_exponent"] < 3.0
+
+
+def test_dispersion_census_classes(spark, sf_dir):
+    df = run("q712_dispersion_census", spark, sf_dir)
+    assert set(df["klass"]) <= {"overdispersed", "underdispersed", "poisson_like"}
+    assert (df["avg_dispersion"] > 0).all()
+
+
+def test_aggregation_ratio_positive(spark, sf_dir):
+    row = run("q713_aggregation_scaling", spark, sf_dir).iloc[0]
+    assert row["avg_scaling_ratio"] > 0
+    assert row["n_positively_corr"] + row["n_negatively_corr"] <= row["n_parts"]
+
+
+def test_taylor_outliers_sorted(spark, sf_dir):
+    df = run("q714_taylor_outliers", spark, sf_dir)
+    r = df["residual"].abs().tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(r, r[1:]))
