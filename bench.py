@@ -277,6 +277,9 @@ HEADLINE = [
     "q701_mobility_matrix",
     "q706_panel_estimators",
     "q711_taylor_law",
+    "q719_random_effects_pooled",
+    "q722_irr_bracket",
+    "q728_irv_rounds",
     # round 6: index numbers
     "q658_chained_laspeyres",
 ]

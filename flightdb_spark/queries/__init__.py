@@ -170,6 +170,9 @@ _MODULES = [
     "mobility",
     "panel",
     "fluctuation",
+    "metaanalysis",
+    "capital",
+    "socialchoice",
 ]
 
 

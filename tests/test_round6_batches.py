@@ -691,3 +691,114 @@ def test_taylor_outliers_sorted(spark, sf_dir):
     df = run("q714_taylor_outliers", spark, sf_dir)
     r = df["residual"].abs().tolist()
     assert all(a >= b - 1e-9 for a, b in zip(r, r[1:]))
+
+
+# --- meta-analysis ---------------------------------------------------------------
+
+
+def test_forest_weights_and_cis(spark, sf_dir):
+    df = run("q716_forest_table", spark, sf_dir)
+    assert (df["iv_weight"] > 0).all()
+    assert (df["ci_lo"] <= df["odds_ratio"] + 1e-9).all()
+    assert (df["ci_hi"] >= df["odds_ratio"] - 1e-9).all()
+
+
+def test_pooled_within_study_range(spark, sf_dir):
+    forest = run("q716_forest_table", spark, sf_dir)
+    pooled = run("q717_fixed_effect_pooled", spark, sf_dir).iloc[0]
+    assert forest["log_or"].min() - 1e-9 <= pooled["pooled_log_or"]
+    assert pooled["pooled_log_or"] <= forest["log_or"].max() + 1e-9
+
+
+def test_heterogeneity_nonnegative(spark, sf_dir):
+    row = run("q718_heterogeneity", spark, sf_dir).iloc[0]
+    assert row["cochran_q"] >= -1e-9
+    assert 0.0 <= row["i_squared"] <= 1.0
+    assert row["dl_tau_squared"] >= 0.0
+
+
+def test_random_effects_se_wider(spark, sf_dir):
+    fe = run("q717_fixed_effect_pooled", spark, sf_dir).iloc[0]
+    re = run("q719_random_effects_pooled", spark, sf_dir).iloc[0]
+    assert re["re_pooled_se"] >= fe["pooled_se"] - 1e-9
+
+
+def test_loo_influences_sum_direction(spark, sf_dir):
+    df = run("q720_leave_one_out", spark, sf_dir)
+    assert len(df) == 7
+    assert (df["pooled_full"] == df["pooled_full"].iloc[0]).all()
+
+
+# --- capital budgeting -----------------------------------------------------------
+
+
+def test_npv_monotone_in_rate(spark, sf_dir):
+    df = run("q721_npv_census", spark, sf_dir).sort_values("rate_pct")
+    npv = df["total_npv_dollars"].tolist()
+    assert all(a >= b for a, b in zip(npv, npv[1:]))
+    pos = df["n_positive"].tolist()
+    assert all(a >= b for a, b in zip(pos, pos[1:]))
+
+
+def test_irr_bracket_consistent(spark, sf_dir):
+    df = run("q722_irr_bracket", spark, sf_dir)
+    assert (df["npv_at_0"] >= df["npv_at_60"] - 1e-6).all()
+    assert (df["irr_pct_floor"] >= -1).all()
+    assert (df["irr_pct_floor"] <= 60).all()
+
+
+def test_payback_discounted_no_earlier(spark, sf_dir):
+    df = run("q723_payback_periods", spark, sf_dir)
+    both = df.dropna()
+    assert (both["discounted_payback_year"] >= both["payback_year"]).all()
+
+
+def test_profitability_index_sorted(spark, sf_dir):
+    df = run("q724_profitability_index", spark, sf_dir)
+    pi = df["profitability_index"].tolist()
+    assert all(a >= b - 1e-12 for a, b in zip(pi, pi[1:]))
+
+
+def test_kendall_tau_bounds(spark, sf_dir):
+    row = run("q725_ranking_stability", spark, sf_dir).iloc[0]
+    assert -1.0 <= row["kendall_tau_a"] <= 1.0
+    assert row["n_pairs"] == 300
+
+
+# --- social choice ---------------------------------------------------------------
+
+
+def test_condorcet_matrix_complete(spark, sf_dir):
+    df = run("q726_condorcet_matrix", spark, sf_dir)
+    assert len(df) == 10
+    n_voters = (df["prefers_a"] + df["prefers_b"]).unique()
+    assert len(n_voters) == 1  # every pair decided by every ballot
+
+
+def test_copeland_scores_sum(spark, sf_dir):
+    df = run("q727_copeland_borda", spark, sf_dir)
+    assert len(df) == 5
+    # 10 duels, each won by at most one side
+    assert df["copeland_score"].sum() <= 10
+    assert (df["is_condorcet_winner"].sum()) <= 1
+
+
+def test_irv_round_structure(spark, sf_dir):
+    df = run("q728_irv_rounds", spark, sf_dir)
+    by_round = df.groupby("round").agg(n=("brand", "count"), v=("votes", "sum"))
+    # candidate count drops by one per round; total votes conserved
+    assert by_round["n"].tolist() == [5, 4, 3, 2]
+    assert (by_round["v"] == by_round["v"].iloc[0]).all()
+
+
+def test_rule_disagreement_bounds(spark, sf_dir):
+    row = run("q729_rule_disagreement", spark, sf_dir).iloc[0]
+    assert row["n_pairs"] == 10
+    assert 0.0 <= row["normalized_kendall_distance"] <= 1.0
+
+
+def test_approval_bounded_by_voters(spark, sf_dir):
+    df = run("q730_approval_vs_plurality", spark, sf_dir)
+    assert len(df) == 5
+    assert (df["approval_share"] <= 1.0 + 1e-12).all()
+    assert df["firsts"].sum() == 25  # every nation has a first choice
