@@ -173,6 +173,9 @@ _MODULES = [
     "metaanalysis",
     "capital",
     "socialchoice",
+    "portfolio",
+    "coding",
+    "fifocost",
 ]
 
 

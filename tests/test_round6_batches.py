@@ -802,3 +802,113 @@ def test_approval_bounded_by_voters(spark, sf_dir):
     assert len(df) == 5
     assert (df["approval_share"] <= 1.0 + 1e-12).all()
     assert df["firsts"].sum() == 25  # every nation has a first choice
+
+
+# --- portfolio (q731-q735) --------------------------------------------------
+
+
+def test_return_moments_consistent(spark, sf_dir):
+    df = run("q731_brand_return_moments", spark, sf_dir)
+    assert (df["var_return"] >= -1e-15).all()
+    assert ((df["volatility"] ** 2 - df["var_return"]).abs() < 1e-9).all()
+    assert (df["n_returns"] >= 2).all()
+
+
+def test_correlation_bounded(spark, sf_dir):
+    df = run("q732_return_covariance", spark, sf_dir)
+    assert len(df) == 10  # C(5,2) pairs
+    assert (df["correlation"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_min_variance_dominates(spark, sf_dir):
+    import pandas as pd
+
+    w = run("q733_min_variance_weights", spark, sf_dir)
+    assert ((w["w_a"] + w["w_b"] - 1).abs() < 1e-12).all()
+    # the min-variance portfolio never beats ZERO but always weakly
+    # beats the less-volatile single asset
+    assert (w["variance_reduction"] >= -1e-15).all()
+    assert (w["min_portfolio_var"] >= -1e-15).all()
+
+
+def test_sharpe_is_mean_over_vol(spark, sf_dir):
+    df = run("q734_sharpe_ranking", spark, sf_dir)
+    assert ((df["sharpe"] - df["mean_return"] / df["volatility"]).abs() < 1e-12).all()
+
+
+def test_drawdown_bounds(spark, sf_dir):
+    df = run("q735_max_drawdown", spark, sf_dir)
+    assert (df["max_drawdown"] >= 0).all()
+    assert (df["max_drawdown"] < 1.0).all()
+    assert (df["trough_gap_cents"] >= 0).all()
+
+
+# --- source coding (q736-q740) ----------------------------------------------
+
+
+def test_shannon_len_vs_surprisal(spark, sf_dir):
+    df = run("q736_symbol_census", spark, sf_dir)
+    # ceil(surprisal) == shannon length (integer search == float log)
+    assert (df["shannon_len_bits"] >= df["surprisal_bits"] - 1e-9).all()
+    assert (df["shannon_len_bits"] < df["surprisal_bits"] + 1.0).all()
+
+
+def test_huffman_merge_weights_nondecreasing(spark, sf_dir):
+    df = run("q737_huffman_merge_trace", spark, sf_dir).sort_values("round")
+    w = df["merged_weight"].tolist()
+    assert all(a <= b for a, b in zip(w, w[1:])), w
+
+
+def test_huffman_kraft_exact(spark, sf_dir):
+    df = run("q738_huffman_codebook", spark, sf_dir)
+    assert df["kraft_term_x16"].sum() == 16  # full binary tree
+    assert (df["code_len_bits"] >= 1).all()
+    assert (df["code_len_bits"] <= 4).all()
+
+
+def test_huffman_within_one_bit_of_entropy(spark, sf_dir):
+    row = run("q739_compression_summary", spark, sf_dir).iloc[0]
+    assert row["entropy_bits_per_symbol"] - 1e-6 <= row["avg_code_len_bits"]
+    assert row["avg_code_len_bits"] < row["entropy_bits_per_symbol"] + 1.0
+    assert row["huffman_total_bits"] <= row["fixed_width_total_bits"]
+    assert row["kraft_x16"] == 16
+
+
+def test_brand_kraft_feasible(spark, sf_dir):
+    df = run("q740_brand_shannon_census", spark, sf_dir)
+    assert df["kraft_term_x1048576"].sum() <= 1 << 20  # prefix-code feasible
+
+
+# --- FIFO costing (q741-q745) -----------------------------------------------
+
+
+def test_fifo_match_bounds(spark, sf_dir):
+    df = run("q742_fifo_match_census", spark, sf_dir)
+    assert (df["matched_qty"] <= df[["in_qty", "out_qty"]].min(axis=1)).all()
+    assert (df["unmet_demand"] >= 0).all()
+    assert (df["leftover_supply"] >= 0).all()
+    # FIFO exhausts supply or demand, never both left over
+    both = (df["unmet_demand"] > 0) & (df["leftover_supply"] > 0)
+    assert not both.any()
+
+
+def test_fifo_inventory_equals_leftover(spark, sf_dir):
+    census = run("q742_fifo_match_census", spark, sf_dir)
+    inv = run("q744_ending_inventory", spark, sf_dir)
+    # parts with no issues at all don't appear in the census (demand-
+    # driven), so leftover is a lower bound on inventory
+    assert inv["inventory_qty"].sum() >= census["leftover_supply"].sum()
+    assert (inv["inventory_value_mc"] >= 0).all()
+
+
+def test_fifo_cogs_matches_census(spark, sf_dir):
+    census = run("q742_fifo_match_census", spark, sf_dir)
+    cogs = run("q743_fifo_cogs", spark, sf_dir)
+    assert cogs["sold_qty"].sum() == census["matched_qty"].sum()
+    assert (cogs["cogs_mc"] > 0).all()
+
+
+def test_holding_period_weighted_mean(spark, sf_dir):
+    df = run("q745_holding_period", spark, sf_dir)
+    got = df["qty_days"] / df["matched_qty"]
+    assert ((got - df["avg_holding_days"]).abs() < 1e-9).all()
