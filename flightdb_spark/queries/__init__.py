@@ -176,6 +176,8 @@ _MODULES = [
     "portfolio",
     "coding",
     "fifocost",
+    "itemcf",
+    "supplychain",
 ]
 
 

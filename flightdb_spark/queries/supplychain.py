@@ -1,0 +1,294 @@
+"""Supply-chain dynamics batch 137 (q751-q755) — the bullwhip /
+inventory-policy toolkit an S&OP team runs over the order and
+shipment clocks. The same lineitem rows carry two timestamps — when
+the order was placed (o_orderdate, the ordering signal upstream
+suppliers see) and when it shipped (l_shipdate, the consumption
+signal) — which gives a real two-echelon view of the same flow:
+
+- q751 bullwhip index per brand: CV^2 of monthly ordered quantity
+  over CV^2 of monthly shipped quantity (>1 = amplification);
+- q752 order-batching census: inter-order-day gap statistics per
+  brand (mean gap, gap variance, burstiness);
+- q753 safety-stock table: z * sigma_d * sqrt(L) with L = 7 days and
+  z = 1.645, plus the reorder point, from daily shipped-demand
+  moments;
+- q754 service-level census: order-to-ship lead-time distribution
+  per brand (within 30/60/90-day fill shares, mean lead time);
+- q755 lead-time-demand moments: E[D_LT] and Var[D_LT] by the
+  textbook two-moment approximation combining daily-demand and
+  lead-time moments.
+
+100 TB shape: every query is one fact pass to a bounded spine —
+(brand, month), (brand, day), or (brand, order-day) — with map-side
+combine; gap statistics LAG over the brand-partitioned distinct-day
+spine (bounded by calendar days, never fact rows). No pair joins at
+all in this batch.
+
+Determinism: quantities are exact BIGINT; all first/second moments
+accumulate integers (n*Sx2 - Sx^2 identities); terminal
+CV/std/index values are straight-line doubles emitted unrounded;
+the z constant is inlined as an e0 literal (q681 lesson); gap days
+come from the dialect-split datediff (armodels idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+Z_SERVICE = "1.645e0"  # ~95% cycle service level
+LEAD_DAYS = 7
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("lineitem", "orders", "part"):
+        ensure_parallelism(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)
+
+
+def _days(dialect: str, start: str, end: str) -> str:
+    if dialect == "spark":
+        return f"datediff({end}, {start})"
+    return f"datediff('day', {start}, {end})"
+
+
+def _fact_cte() -> str:
+    return """fact AS (
+      SELECT p.p_brand AS brand,
+             o.o_orderdate AS od,
+             l.l_shipdate AS sd,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# q751 — bullwhip index
+
+_Q751_SQL = f"""
+    WITH {_fact_cte()},
+    om AS (
+      SELECT brand, (year(od) * 12 + month(od)) AS m,
+             CAST(SUM(qty) AS BIGINT) AS q
+      FROM fact GROUP BY brand, (year(od) * 12 + month(od))
+    ),
+    sm AS (
+      SELECT brand, (year(sd) * 12 + month(sd)) AS m,
+             CAST(SUM(qty) AS BIGINT) AS q
+      FROM fact GROUP BY brand, (year(sd) * 12 + month(sd))
+    ),
+    omom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM om GROUP BY brand
+    ),
+    smom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM sm GROUP BY brand
+    )
+    SELECT o.brand,
+           o.n AS order_months, s.n AS ship_months,
+           (CAST(o.n AS DOUBLE) * o.s2 - CAST(o.s1 AS DOUBLE) * o.s1)
+             / (CAST(o.s1 AS DOUBLE) * o.s1)
+             AS order_cv2_scaled,
+           (CAST(s.n AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE) * s.s1)
+             / (CAST(s.s1 AS DOUBLE) * s.s1)
+             AS ship_cv2_scaled,
+           ((CAST(o.n AS DOUBLE) * o.s2 - CAST(o.s1 AS DOUBLE) * o.s1)
+             / (CAST(o.s1 AS DOUBLE) * o.s1))
+             / ((CAST(s.n AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE) * s.s1)
+             / (CAST(s.s1 AS DOUBLE) * s.s1))
+             AS bullwhip_index
+    FROM omom o JOIN smom s ON s.brand = o.brand
+    WHERE s.n >= 2 AND o.n >= 2 AND s.s2 * s.n > s.s1 * s.s1
+    ORDER BY o.brand
+    """
+
+
+@query("q751_bullwhip_index", oracle=_Q751_SQL)
+def q751_bullwhip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance amplification from the shipment clock to the order
+    clock per brand: n-scaled CV^2 (n*S2 - S1^2)/S1^2 on both monthly
+    series (exact integer moments, one terminal division each) and
+    their ratio. An index > 1 is the bullwhip."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q751_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q752 — order-batching census
+
+def _q752_sql(dialect: str) -> str:
+    return f"""
+    WITH {_fact_cte()},
+    odays AS (
+      SELECT DISTINCT brand, od FROM fact
+    ),
+    gaps AS (
+      SELECT brand,
+             CAST({_days(dialect,
+                 'LAG(od) OVER (PARTITION BY brand ORDER BY od)', 'od')}
+               AS BIGINT) AS gap
+      FROM odays
+    ),
+    g AS (SELECT brand, gap FROM gaps WHERE gap IS NOT NULL)
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS span_days,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_days,
+           (CAST(COUNT(*) AS DOUBLE) * SUM(gap * gap)
+              - CAST(SUM(gap) AS DOUBLE) * SUM(gap))
+             / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) AS gap_var_biased,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g
+    GROUP BY brand
+    ORDER BY brand
+    """
+
+
+@query("q752_order_batching", oracle=_q752_sql("duckdb"))
+def q752_order_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order-day gaps per brand over the distinct order-day
+    spine (brand-partitioned LAG, bounded by calendar days): count,
+    span, mean gap, biased gap variance (integer moment identity),
+    and the longest dry spell."""
+    _views(spark, sf_dir)
+    return spark.sql(_q752_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# q753 — safety stock
+
+def _daily_mom() -> str:
+    return f"""{_fact_cte()},
+    daily AS (
+      SELECT brand, sd, CAST(SUM(qty) AS BIGINT) AS q
+      FROM fact GROUP BY brand, sd
+    ),
+    mom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM daily GROUP BY brand
+    )"""
+
+
+_Q753_SQL = f"""
+    WITH {_daily_mom()}
+    SELECT brand,
+           n AS demand_days,
+           CAST(s1 AS DOUBLE) / n AS mean_daily_qty,
+           SQRT((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n AS DOUBLE) * (n - 1))) AS std_daily_qty,
+           CAST({Z_SERVICE} AS DOUBLE)
+             * SQRT((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+             * SQRT(CAST({LEAD_DAYS} AS DOUBLE)) AS safety_stock,
+           CAST(s1 AS DOUBLE) / n * {LEAD_DAYS}
+             + CAST({Z_SERVICE} AS DOUBLE)
+             * SQRT((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+             * SQRT(CAST({LEAD_DAYS} AS DOUBLE)) AS reorder_point
+    FROM mom
+    WHERE n >= 2
+    ORDER BY brand
+    """
+
+
+@query("q753_safety_stock", oracle=_Q753_SQL)
+def q753_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base-stock sizing table: per-brand daily shipped-demand
+    mean/std (exact integer moments over OBSERVED demand days),
+    safety stock z*sigma*sqrt(L) at z=1.645, L=7, and the reorder
+    point mu*L + SS. Straight-line terminal doubles."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q753_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q754 — service-level census
+
+def _q754_sql(dialect: str) -> str:
+    lead = _days(dialect, "od", "sd")
+    return f"""
+    WITH {_fact_cte()},
+    lt AS (
+      SELECT brand, CAST({lead} AS BIGINT) AS lead_days, qty
+      FROM fact
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(lead_days) AS DOUBLE) / COUNT(*) AS mean_lead_days,
+           CAST(SUM(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS fill_30d,
+           CAST(SUM(CASE WHEN lead_days <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS fill_60d,
+           CAST(SUM(CASE WHEN lead_days <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS fill_90d
+    FROM lt
+    GROUP BY brand
+    ORDER BY brand
+    """
+
+
+@query("q754_service_level", oracle=_q754_sql("duckdb"))
+def q754_service_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per brand: mean lead time
+    and 30/60/90-day fill shares as exact integer-count ratios. One
+    map-side pass, one brand aggregate."""
+    _views(spark, sf_dir)
+    return spark.sql(_q754_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# q755 — lead-time-demand moments
+
+def _q755_sql(dialect: str) -> str:
+    lead = _days(dialect, "od", "sd")
+    return f"""
+    WITH {_daily_mom()},
+    ltmom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST({lead} AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST({lead} AS BIGINT) * CAST({lead} AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM fact GROUP BY brand
+    )
+    SELECT d.brand,
+           CAST(d.s1 AS DOUBLE) / d.n AS mean_daily_demand,
+           (CAST(d.n AS DOUBLE) * d.s2 - CAST(d.s1 AS DOUBLE) * d.s1)
+             / (CAST(d.n AS DOUBLE) * d.n) AS var_daily_demand,
+           CAST(l.s1 AS DOUBLE) / l.n AS mean_lead_days,
+           (CAST(l.n AS DOUBLE) * l.s2 - CAST(l.s1 AS DOUBLE) * l.s1)
+             / (CAST(l.n AS DOUBLE) * l.n) AS var_lead_days,
+           (CAST(l.s1 AS DOUBLE) / l.n) * (CAST(d.s1 AS DOUBLE) / d.n)
+             AS mean_leadtime_demand,
+           (CAST(l.s1 AS DOUBLE) / l.n)
+             * ((CAST(d.n AS DOUBLE) * d.s2 - CAST(d.s1 AS DOUBLE) * d.s1)
+                / (CAST(d.n AS DOUBLE) * d.n))
+             + (CAST(d.s1 AS DOUBLE) / d.n) * (CAST(d.s1 AS DOUBLE) / d.n)
+             * ((CAST(l.n AS DOUBLE) * l.s2 - CAST(l.s1 AS DOUBLE) * l.s1)
+                / (CAST(l.n AS DOUBLE) * l.n))
+             AS var_leadtime_demand
+    FROM mom d JOIN ltmom l ON l.brand = d.brand
+    ORDER BY d.brand
+    """
+
+
+@query("q755_leadtime_demand", oracle=_q755_sql("duckdb"))
+def q755_leadtime_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-moment lead-time-demand approximation per brand:
+    E[D_LT] = E[L] * E[D] and Var[D_LT] = E[L] Var[D] + E[D]^2 Var[L]
+    (biased population moments, exact integer sums, terminal
+    straight-line doubles) — the distribution behind q753's reorder
+    point, with the lead-time variance term q753 ignores made
+    explicit."""
+    _views(spark, sf_dir)
+    return spark.sql(_q755_sql("spark"))

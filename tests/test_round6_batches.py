@@ -912,3 +912,104 @@ def test_holding_period_weighted_mean(spark, sf_dir):
     df = run("q745_holding_period", spark, sf_dir)
     got = df["qty_days"] / df["matched_qty"]
     assert ((got - df["avg_holding_days"]).abs() < 1e-9).all()
+
+
+# --- item-item CF (q746-q750) ------------------------------------------------
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    df = run("q746_brand_cooccurrence", spark, sf_dir)
+    assert (df["jaccard"] >= 0).all() and (df["jaccard"] <= 1.0 + 1e-12).all()
+    assert (df["users_both"] <= df[["users_a", "users_b"]].min(axis=1)).all()
+
+
+def test_cosine_bounds_and_symmetry_free(spark, sf_dir):
+    df = run("q747_item_cosine", spark, sf_dir)
+    assert (df["cosine"] > 0).all()  # counts are nonnegative
+    assert (df["cosine"] <= 1.0 + 1e-12).all()
+    # upper triangle only
+    assert (df["brand_a"] < df["brand_b"]).all()
+
+
+def test_topk_neighbors_shape(spark, sf_dir):
+    df = run("q748_topk_neighbors", spark, sf_dir)
+    per = df.groupby("brand")["rank"].agg(["count", "max"])
+    assert (per["count"] <= 3).all()
+    # within each brand, cosine nonincreasing in rank
+    for _, g in df.groupby("brand"):
+        s = g.sort_values("rank")["cosine"].tolist()
+        assert all(a >= b - 1e-12 for a, b in zip(s, s[1:]))
+
+
+def test_recommendation_never_owned(spark, sf_dir):
+    recs = run("q749_user_recommendation", spark, sf_dir)
+    import duckdb
+
+    owned = duckdb.sql(
+        f"""SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey"""
+    ).df()
+    owned_set = set(zip(owned["u"], owned["b"]))
+    hits = [
+        (u, b)
+        for u, b in zip(recs["custkey"], recs["recommended_brand"])
+        if (u, b) in owned_set
+    ]
+    assert not hits, hits[:5]
+    assert (recs["score"] > 0).all()
+
+
+def test_recommendation_audit_shares(spark, sf_dir):
+    df = run("q750_recommendation_audit", spark, sf_dir)
+    assert abs(df["share"].sum() - 1.0) < 1e-9
+    assert (df["catalog_coverage"] <= 1.0).all()
+
+
+# --- supply chain (q751-q755) -------------------------------------------------
+
+
+def test_bullwhip_consistent(spark, sf_dir):
+    df = run("q751_bullwhip_index", spark, sf_dir)
+    assert (df["order_cv2_scaled"] >= 0).all()
+    assert (df["ship_cv2_scaled"] > 0).all()
+    got = df["order_cv2_scaled"] / df["ship_cv2_scaled"]
+    assert ((got - df["bullwhip_index"]).abs() < 1e-9).all()
+
+
+def test_order_gaps_nonnegative(spark, sf_dir):
+    df = run("q752_order_batching", spark, sf_dir)
+    assert (df["mean_gap_days"] > 0).all()
+    assert (df["gap_var_biased"] >= -1e-9).all()
+    assert (df["max_gap_days"] * df["n_gaps"] >= df["span_days"]).all()
+
+
+def test_safety_stock_formula(spark, sf_dir):
+    import math
+
+    df = run("q753_safety_stock", spark, sf_dir)
+    want = 1.645 * df["std_daily_qty"] * math.sqrt(7)
+    assert ((want - df["safety_stock"]).abs() < 1e-9).all()
+    assert (
+        (df["reorder_point"] - 7 * df["mean_daily_qty"] - df["safety_stock"]).abs()
+        < 1e-9
+    ).all()
+
+
+def test_fill_rates_monotone(spark, sf_dir):
+    df = run("q754_service_level", spark, sf_dir)
+    assert (df["fill_30d"] <= df["fill_60d"] + 1e-12).all()
+    assert (df["fill_60d"] <= df["fill_90d"] + 1e-12).all()
+    assert (df["fill_90d"] <= 1.0 + 1e-12).all()
+
+
+def test_leadtime_demand_two_moment(spark, sf_dir):
+    df = run("q755_leadtime_demand", spark, sf_dir)
+    want_mean = df["mean_lead_days"] * df["mean_daily_demand"]
+    assert ((want_mean - df["mean_leadtime_demand"]).abs() < 1e-9).all()
+    want_var = (
+        df["mean_lead_days"] * df["var_daily_demand"]
+        + df["mean_daily_demand"] ** 2 * df["var_lead_days"]
+    )
+    assert ((want_var - df["var_leadtime_demand"]).abs() < 1e-6).all()
