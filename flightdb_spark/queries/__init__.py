@@ -178,6 +178,12 @@ _MODULES = [
     "fifocost",
     "itemcf",
     "supplychain",
+    "queuereplay",
+    "hedonic",
+    "copula",
+    "lexgrowth",
+    "diffusion",
+    "paradoxes",
 ]
 
 

@@ -1,0 +1,335 @@
+"""Hedonic-pricing batch 139 (q761-q765) — quality-adjusted price
+measurement over parts, the method statistical agencies use for CPI
+components whose goods change composition (Griliches' hedonic
+regression): log unit price regressed on observable attributes, the
+attribute effect stripped out, and the residual tracked over time.
+
+- q761 the size premium: pooled within-(brand, month) OLS slope of
+  log unit price on p_size (Frisch-Waugh within-cell demeaning, so
+  brand and month composition can't bias the slope), plus per-brand
+  slopes;
+- q762 quality-adjusted monthly price index: monthly mean of
+  size-adjusted then brand-adjusted log price, exponentiated against
+  the base month (a SEQUENTIAL adjustment — size slope, then brand
+  shift — documented as such, not joint two-way FE);
+- q763 attribute premium table: size-adjusted mean log unit price by
+  p_type;
+- q764 variance decomposition: how much of log-price variance the
+  (brand, month) cells absorb and how much the size slope explains
+  within cells;
+- q765 slope stability: the monthly hedonic slope series against the
+  pooled slope, with its extreme deviation.
+
+100 TB shape: one fact pass to row-level (brand, month, size, y);
+cell statistics are a single (brand, month) aggregate (bounded:
+25 brands x ~80 months); everything downstream joins facts back to
+that broadcast-sized cell table. No windows over facts, no pair
+joins anywhere.
+
+Determinism: unit price in exact integer micro-cents
+(FLOOR(cents*1e4/qty + 0.5), the q666 money contract); y is LN of
+that integer quantized to BIGINT NANO-units via FLOOR(ln*1e9 + 0.5)
+— NOT ROUND(double, 9), whose shortest-decimal-repr semantics differ
+between Spark and DuckDB and flipped a handful of the ~6000
+accumulated terms at 1e-9 (this batch's own lesson; FLOOR of an
+identically-computed double is binary-exact on both engines). Every
+accumulated term (demeaned products, adjusted prices) is
+nano-quantized the same way and summed as exact integers; slopes,
+indices, and R^2 are terminal straight-line doubles emitted
+unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+BASE_MONTH = 1995 * 12
+NANO = "1000000000"  # 1e9 exact integer literal
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("lineitem", "part"):
+        ensure_parallelism(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)
+
+
+def _nq(expr: str) -> str:
+    """Quantize a double expression to BIGINT nano-units (FLOOR, not
+    ROUND — identical on both engines given identical input doubles)."""
+    return f"CAST(FLOOR(({expr}) * {NANO} + 0.5) AS BIGINT)"
+
+
+def _rows_cte() -> str:
+    return f"""rows0 AS (
+      SELECT brand, ptype, m, x, yn,
+             CAST(yn AS DOUBLE) / {NANO} AS y
+      FROM (
+        SELECT p.p_brand AS brand,
+               p.p_type AS ptype,
+               (year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1
+                 - {BASE_MONTH}) AS m,
+               CAST(p.p_size AS BIGINT) AS x,
+               {_nq('LN(CAST(FLOOR(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) '
+                    'AS BIGINT) * CAST(10000 AS DOUBLE) '
+                    '/ CAST(l.l_quantity AS BIGINT) + 0.5) AS BIGINT))')} AS yn
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0
+      ) z
+    )"""
+
+
+def _demeaned_cte() -> str:
+    """Within-(brand, month) demeaned x and y; products in nano-units."""
+    return f"""{_rows_cte()},
+    cells AS (
+      SELECT brand, m,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yn) AS BIGINT) AS syn,
+             CAST(SUM(x) AS BIGINT) AS sx
+      FROM rows0 GROUP BY brand, m
+    ),
+    dm AS (
+      SELECT r.brand, r.m,
+             {_nq('(r.y - CAST(c.syn AS DOUBLE) / NANOLIT / c.n)'
+                  ' * (r.x - CAST(c.sx AS DOUBLE) / c.n)')} AS xy,
+             {_nq('(r.x - CAST(c.sx AS DOUBLE) / c.n)'
+                  ' * (r.x - CAST(c.sx AS DOUBLE) / c.n)')} AS xx,
+             {_nq('(r.y - CAST(c.syn AS DOUBLE) / NANOLIT / c.n)'
+                  ' * (r.y - CAST(c.syn AS DOUBLE) / NANOLIT / c.n)')} AS yy
+      FROM rows0 r JOIN cells c ON c.brand = r.brand AND c.m = r.m
+    )""".replace("NANOLIT", NANO)
+
+
+def _pooled_cte() -> str:
+    return f"""{_demeaned_cte()},
+    pooled AS (
+      SELECT CAST(SUM(xy) AS DOUBLE) / CAST(SUM(xx) AS DOUBLE) AS b
+      FROM dm
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# q761 — the size premium
+
+_Q761_SQL = f"""
+    WITH {_demeaned_cte()},
+    per_brand AS (
+      SELECT brand,
+             CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dm GROUP BY brand
+    ),
+    tot AS (
+      SELECT CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx
+      FROM dm
+    )
+    SELECT p.brand,
+           p.n AS n_lines,
+           CAST(p.sxy AS DOUBLE) / p.sxx AS brand_slope,
+           CAST(t.sxy AS DOUBLE) / t.sxx AS pooled_slope
+    FROM per_brand p CROSS JOIN tot t
+    WHERE p.sxx > 0
+    ORDER BY p.brand
+    """
+
+
+@query("q761_size_premium", oracle=_Q761_SQL)
+def q761_size_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hedonic size slope of log unit price, within-(brand, month)
+    demeaned (Frisch-Waugh): per-brand slopes beside the pooled slope.
+    Cell means are exact integer ratios; demeaned products are
+    FLOOR-nano-quantized and summed as exact BIGINTs."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q761_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q762 — quality-adjusted price index
+
+_Q762_SQL = f"""
+    WITH {_pooled_cte()},
+    adj AS (
+      SELECT r.brand, r.m,
+             {_nq('r.y - p.b * r.x')} AS yan
+      FROM rows0 r CROSS JOIN pooled p
+    ),
+    brand_eff AS (
+      SELECT brand,
+             CAST(SUM(yan) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj GROUP BY brand
+    ),
+    grand AS (
+      SELECT CAST(SUM(yan) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj
+    ),
+    adj2 AS (
+      SELECT a.m,
+             a.yan - {_nq('CAST(b.s AS DOUBLE) / NANOLIT / b.n'
+                          ' - CAST(g.s AS DOUBLE) / NANOLIT / g.n')} AS yqn
+      FROM adj a
+      JOIN brand_eff b ON b.brand = a.brand
+      CROSS JOIN grand g
+    ),
+    monthly AS (
+      SELECT m,
+             CAST(SUM(yqn) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj2 GROUP BY m
+    ),
+    base AS (
+      SELECT CAST(s AS DOUBLE) / {NANO} / n AS mu0
+      FROM monthly ORDER BY m ASC LIMIT 1
+    )
+    SELECT mo.m AS month_idx, mo.n AS n_lines,
+           CAST(mo.s AS DOUBLE) / {NANO} / mo.n AS mean_adj_log_price,
+           0.0 + ROUND(EXP(CAST(mo.s AS DOUBLE) / {NANO} / mo.n - b.mu0), 9)
+             AS hedonic_index
+    FROM monthly mo CROSS JOIN base b
+    ORDER BY mo.m
+    """.replace("NANOLIT", NANO)
+
+
+@query("q762_hedonic_index", oracle=_Q762_SQL)
+def q762_hedonic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-adjusted monthly price index: log unit price minus the
+    pooled size effect, minus the brand shift (sequential adjustment,
+    all in exact nano-units), averaged per month and exponentiated
+    against the first month. Composition changes in size and brand no
+    longer move the index."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q762_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q763 — attribute premium by type
+
+_Q763_SQL = f"""
+    WITH {_pooled_cte()},
+    adj AS (
+      SELECT r.ptype,
+             {_nq('r.y - p.b * r.x')} AS yan
+      FROM rows0 r CROSS JOIN pooled p
+    ),
+    per_type AS (
+      SELECT ptype,
+             CAST(SUM(yan) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj GROUP BY ptype
+    ),
+    grand AS (
+      SELECT CAST(SUM(yan) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj
+    )
+    SELECT t.ptype,
+           t.n AS n_lines,
+           CAST(t.s AS DOUBLE) / {NANO} / t.n AS mean_adj_log_price,
+           CAST(t.s AS DOUBLE) / {NANO} / t.n
+             - CAST(g.s AS DOUBLE) / {NANO} / g.n AS premium_log,
+           0.0 + ROUND(EXP(CAST(t.s AS DOUBLE) / {NANO} / t.n
+               - CAST(g.s AS DOUBLE) / {NANO} / g.n) - 1, 9) AS premium_pct
+    FROM per_type t CROSS JOIN grand g
+    ORDER BY t.ptype
+    """
+
+
+@query("q763_type_premium", oracle=_Q763_SQL)
+def q763_type_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-adjusted price premium by part type: mean adjusted log
+    price per type against the grand mean, in log points and percent.
+    One aggregate over the nano-quantized adjusted rows."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q763_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q764 — variance decomposition
+
+_Q764_SQL = f"""
+    WITH {_demeaned_cte()},
+    within AS (
+      SELECT CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx,
+             CAST(SUM(yy) AS BIGINT) AS syy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dm
+    ),
+    total AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yn) AS BIGINT) AS s1n,
+             CAST(SUM({_nq('y * y')}) AS BIGINT) AS s2n
+      FROM rows0
+    )
+    SELECT t.n AS n_lines,
+           CAST(t.s2n AS DOUBLE) / {NANO}
+             - (CAST(t.s1n AS DOUBLE) / {NANO})
+               * (CAST(t.s1n AS DOUBLE) / {NANO}) / t.n AS ss_total,
+           CAST(w.syy AS DOUBLE) / {NANO} AS ss_within_cells,
+           (CAST(t.s2n AS DOUBLE) / {NANO}
+             - (CAST(t.s1n AS DOUBLE) / {NANO})
+               * (CAST(t.s1n AS DOUBLE) / {NANO}) / t.n)
+             - CAST(w.syy AS DOUBLE) / {NANO} AS ss_between_cells,
+           1 - (CAST(w.syy AS DOUBLE) / {NANO})
+             / (CAST(t.s2n AS DOUBLE) / {NANO}
+                - (CAST(t.s1n AS DOUBLE) / {NANO})
+                  * (CAST(t.s1n AS DOUBLE) / {NANO}) / t.n) AS cell_r2,
+           (CAST(w.sxy AS DOUBLE) * w.sxy / w.sxx) / w.syy AS within_size_r2
+    FROM within w CROSS JOIN total t
+    """
+
+
+@query("q764_variance_decomposition", oracle=_Q764_SQL)
+def q764_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where log unit-price variance lives: between (brand, month)
+    cells vs within, and how much of the within part the size slope
+    explains (b^2 Sxx / Syy). Sum-of-squares identities over the same
+    nano-quantized terms the slope uses, so the shares are internally
+    consistent."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q764_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q765 — monthly slope stability
+
+_Q765_SQL = f"""
+    WITH {_demeaned_cte()},
+    per_month AS (
+      SELECT m,
+             CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dm GROUP BY m
+    ),
+    tot AS (
+      SELECT CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx
+      FROM dm
+    )
+    SELECT pm.m AS month_idx,
+           pm.n AS n_lines,
+           CAST(pm.sxy AS DOUBLE) / pm.sxx AS month_slope,
+           CAST(t.sxy AS DOUBLE) / t.sxx AS pooled_slope,
+           ABS(CAST(pm.sxy AS DOUBLE) / pm.sxx
+               - CAST(t.sxy AS DOUBLE) / t.sxx) AS abs_deviation
+    FROM per_month pm CROSS JOIN tot t
+    WHERE pm.sxx > 0
+    ORDER BY pm.m
+    """
+
+
+@query("q765_slope_stability", oracle=_Q765_SQL)
+def q765_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hedonic slope re-estimated per month against the pooled
+    slope — the drift diagnostic that says whether one quality
+    adjustment can serve the whole window. Bounded by months; exact
+    integer sums throughout."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q765_SQL)

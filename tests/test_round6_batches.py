@@ -1013,3 +1013,242 @@ def test_leadtime_demand_two_moment(spark, sf_dir):
         + df["mean_daily_demand"] ** 2 * df["var_lead_days"]
     )
     assert ((want_var - df["var_leadtime_demand"]).abs() < 1e-6).all()
+
+
+# --- queue replay (q756-q760) -------------------------------------------------
+
+
+def test_lindley_waits_sane(spark, sf_dir):
+    df = run("q756_lindley_waits", spark, sf_dir)
+    assert (df["mean_wait_us"] >= 0).all()
+    assert (df["max_wait_us"] >= df["mean_wait_us"] - 1e-9).all()
+    assert (df["share_waited"] <= 1.0).all()
+
+
+def test_busy_periods_conserve_arrivals(spark, sf_dir):
+    waits = run("q756_lindley_waits", spark, sf_dir).set_index("queue")
+    per = run("q757_busy_periods", spark, sf_dir).set_index("queue")
+    assert (per["n_arrivals"] == waits["n_arrivals"]).all()
+    assert (per["max_period_len"] >= per["mean_period_len"] - 1e-9).all()
+
+
+def test_kingman_same_ballpark(spark, sf_dir):
+    df = run("q758_kingman_check", spark, sf_dir)
+    assert (df["rho"] > 0).all()
+    # heavy-traffic approximation: same order of magnitude when rho<1
+    stable = df[df["rho"] < 1]
+    if len(stable):
+        ratio = stable["kingman_wait_us"] / stable["mean_wait_us"].clip(lower=1)
+        assert (ratio > 0).all()
+
+
+def test_wait_by_hour_bounded(spark, sf_dir):
+    df = run("q759_wait_by_hour", spark, sf_dir)
+    assert df["hr"].between(0, 23).all()
+    assert (df["mean_wait_us"] >= 0).all()
+
+
+def test_little_law_agreement(spark, sf_dir):
+    df = run("q760_little_check", spark, sf_dir)
+    # L measured at arrivals vs lambda*(W+S): same scale (PASTA-ish)
+    ratio = (df["mean_in_system_at_arrival"] + 0.01) / (df["littles_l"] + 0.01)
+    assert ((ratio > 0.2) & (ratio < 5.0)).all(), ratio.tolist()
+
+
+# --- hedonic pricing (q761-q765) -----------------------------------------------
+
+
+def test_hedonic_slopes_finite(spark, sf_dir):
+    import numpy as np
+
+    df = run("q761_size_premium", spark, sf_dir)
+    assert np.isfinite(df["brand_slope"]).all()
+    assert df["pooled_slope"].nunique() == 1
+
+
+def test_hedonic_index_base_one(spark, sf_dir):
+    df = run("q762_hedonic_index", spark, sf_dir).sort_values("month_idx")
+    assert abs(df["hedonic_index"].iloc[0] - 1.0) < 1e-9
+    assert (df["hedonic_index"] > 0).all()
+
+
+def test_type_premium_weighted_zero(spark, sf_dir):
+    df = run("q763_type_premium", spark, sf_dir)
+    # frequency-weighted premiums sum to ~0 (deviations from grand mean)
+    w = (df["premium_log"] * df["n_lines"]).sum() / df["n_lines"].sum()
+    assert abs(w) < 1e-6
+
+
+def test_variance_decomposition_shares(spark, sf_dir):
+    row = run("q764_variance_decomposition", spark, sf_dir).iloc[0]
+    assert row["ss_total"] > 0
+    assert 0 <= row["cell_r2"] <= 1
+    assert 0 <= row["within_size_r2"] <= 1
+    assert abs(row["ss_within_cells"] + row["ss_between_cells"] - row["ss_total"]) < 1e-6 * row["ss_total"]
+
+
+def test_slope_stability_columns(spark, sf_dir):
+    df = run("q765_slope_stability", spark, sf_dir)
+    got = (df["month_slope"] - df["pooled_slope"]).abs()
+    assert ((got - df["abs_deviation"]).abs() < 1e-12).all()
+
+
+# --- empirical copula (q766-q770) -----------------------------------------------
+
+
+def test_margins_cdf_monotone(spark, sf_dir):
+    df = run("q766_copula_margins", spark, sf_dir)
+    for _, g in df.groupby("variable"):
+        e = g.sort_values("value")["ecdf"].tolist()
+        assert all(a < b + 1e-12 for a, b in zip(e, e[1:]))
+        assert abs(e[-1] - 1.0) < 1e-12
+
+
+def test_copula_frechet_bounds(spark, sf_dir):
+    df = run("q767_copula_lattice", spark, sf_dir)
+    import numpy as np
+
+    lower = np.maximum(df["u"] + df["v"] - 1, 0)
+    upper = np.minimum(df["u"], df["v"])
+    assert (df["copula_c"] >= lower - 1e-12).all()
+    assert (df["copula_c"] <= upper + 1e-12).all()
+
+
+def test_blomqvist_bounded(spark, sf_dir):
+    row = run("q768_blomqvist_beta", spark, sf_dir).iloc[0]
+    assert -1 <= row["blomqvist_beta"] <= 1
+
+
+def test_sw_sigma_near_zero_for_independents(spark, sf_dir):
+    row = run("q769_schweizer_wolff", spark, sf_dir).iloc[0]
+    assert row["sw_sigma_lattice"] >= 0
+    # quantity and discount are generated independently -> small sigma
+    assert row["sw_sigma_lattice"] < 0.2
+
+
+def test_tail_concentration_bounds(spark, sf_dir):
+    df = run("q770_tail_concentration", spark, sf_dir)
+    assert (df["lower_tail_l"] >= -1e-12).all()
+    assert (df["upper_tail_r"] >= -1e-12).all()
+    assert (df["c_qq"] <= 1.0).all()
+
+
+# --- lexical growth (q771-q775) --------------------------------------------------
+
+
+def test_heaps_curve_monotone(spark, sf_dir):
+    df = run("q771_heaps_curve", spark, sf_dir).sort_values("step")
+    for col in ("n_docs", "n_tokens", "vocab"):
+        v = df[col].tolist()
+        assert all(a <= b for a, b in zip(v, v[1:])), (col, v)
+    # vocabulary grows sublinearly: TTR nonincreasing after the start
+    ttr = df["type_token_ratio"].tolist()
+    assert ttr[-1] <= ttr[0] + 1e-12
+
+
+def test_heaps_beta_sublinear(spark, sf_dir):
+    row = run("q772_heaps_fit", spark, sf_dir).iloc[0]
+    assert 0 < row["heaps_beta"] < 1.2
+    assert row["heaps_k"] > 0
+
+
+def test_spectrum_and_gt(spark, sf_dir):
+    df = run("q773_freq_spectrum", spark, sf_dir)
+    assert (df["n_types_at_freq"] > 0).all()
+    assert (df["gt_adjusted_count"] >= 0).all()
+
+
+def test_zipf_spectrum_slope_finite(spark, sf_dir):
+    import numpy as np
+
+    row = run("q774_zipf_spectrum_fit", spark, sf_dir).iloc[0]
+    # the synthetic corpus is NOT Zipfian (concentrated bigram counts,
+    # few hapaxes), so only the estimator mechanics are asserted here
+    assert np.isfinite(row["spectrum_slope"])
+    assert row["n_spectrum_points"] > 2
+    assert 0 <= row["gt_unseen_mass"] <= 1
+    assert 0 <= row["hapax_type_share"] <= 1
+
+
+def test_language_profiles(spark, sf_dir):
+    df = run("q775_language_lexical_profile", spark, sf_dir)
+    assert (df["n_types"] <= df["n_tokens"]).all()
+    assert (df["herdan_c"] <= 1.0 + 1e-9).all()
+    assert (df["hapax_share"] <= 1.0).all()
+
+
+# --- Bass diffusion (q776-q780) ----------------------------------------------------
+
+
+def test_adoption_curve_saturates(spark, sf_dir):
+    df = run("q776_adoption_curve", spark, sf_dir).sort_values("month_idx")
+    base = df["installed_base"].tolist()
+    assert all(a < b or a == b for a, b in zip(base, base[1:]))
+    assert abs(df["penetration"].iloc[-1] - 1.0) < 1e-12  # everyone adopts
+    assert df["new_adopters"].sum() == df["installed_base"].iloc[-1]
+
+
+def test_bass_grid_sorted_and_positive(spark, sf_dir):
+    df = run("q777_bass_grid_fit", spark, sf_dir)
+    sse = df["sse"].tolist()
+    assert all(a <= b + 1e-12 for a, b in zip(sse, sse[1:]))
+    assert (df["p"] > 0).all() and (df["q"] > 0).all()
+
+
+def test_bass_residuals_identity(spark, sf_dir):
+    df = run("q778_bass_residuals", spark, sf_dir)
+    assert ((df["observed"] - df["predicted"] - df["residual"]).abs() < 1e-9).all()
+
+
+def test_bass_peak_positive(spark, sf_dir):
+    row = run("q779_bass_peak", spark, sf_dir).iloc[0]
+    assert row["bass_peak_time_months"] > 0
+    assert row["bass_peak_adopters"] > 0
+    assert row["observed_peak_adopters"] > 0
+
+
+def test_innovation_share_decays(spark, sf_dir):
+    df = run("q780_innovation_split", spark, sf_dir).sort_values("month_idx")
+    s = df["innovation_share"].tolist()
+    assert all(a >= b - 1e-12 for a, b in zip(s, s[1:])), s[:5]
+    assert (df["innovators_pred"] >= 0).all()
+    assert (df["imitators_pred"] >= 0).all()
+
+
+# --- aggregation paradoxes (q781-q785) -----------------------------------------------
+
+
+def test_simpson_screen_shape(spark, sf_dir):
+    row = run("q781_simpson_screen", spark, sf_dir).iloc[0]
+    assert row["n_brands"] == 25
+    assert 0 <= row["brands_sign_opposed"] <= 25
+    assert row["simpson_reversal"] in (0, 1)
+
+
+def test_weighting_reversal_bounds(spark, sf_dir):
+    row = run("q782_weighting_reversal", spark, sf_dir).iloc[0]
+    assert row["n_pairs"] == 300
+    assert 0 <= row["normalized_kendall_distance"] <= 1
+
+
+def test_ecological_amplification(spark, sf_dir):
+    row = run("q783_ecological_corr", spark, sf_dir).iloc[0]
+    assert abs(row["row_level_corr"]) <= 1 + 1e-12
+    assert abs(row["brand_level_corr"]) <= 1 + 1e-12
+    # size and price are independent in the synthetic data, so both
+    # correlations sit near zero — the audit only asserts bounds here
+
+
+def test_berkson_negative_dependence(spark, sf_dir):
+    df = run("q784_berkson_selection", spark, sf_dir).set_index("selected_stratum")
+    # overall covariance near zero (independent generators)
+    assert abs(df.loc[1, "cov_overall"]) < 5.0
+    # inside the selected stratum the covariance is pushed negative
+    assert df.loc[1, "cov_qty_disc"] < df.loc[1, "cov_overall"]
+
+
+def test_mix_shift_identity(spark, sf_dir):
+    row = run("q785_mix_shift", spark, sf_dir).iloc[0]
+    assert abs(row["decomposition_residual"]) < 0.1  # milli-unit quantization
+    got = row["within_brand_change_mc"] + row["mix_shift_change_mc"]
+    assert abs(got - row["total_change_mc"]) < 0.1
