@@ -282,6 +282,20 @@ HEADLINE = [
     "q728_irv_rounds",
     # round 6: index numbers
     "q658_chained_laspeyres",
+    # round 6: portfolio / coding / FIFO / CF / supply chain
+    "q732_return_covariance",
+    "q739_compression_summary",
+    "q742_fifo_match_census",
+    "q749_user_recommendation",
+    "q751_bullwhip_index",
+    # round 6: queue replay / hedonic / copula
+    "q756_lindley_waits",
+    "q762_hedonic_index",
+    "q769_schweizer_wolff",
+    # round 6: lexical growth / diffusion / paradoxes
+    "q771_heaps_curve",
+    "q777_bass_grid_fit",
+    "q785_mix_shift",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

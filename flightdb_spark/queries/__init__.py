@@ -184,6 +184,9 @@ _MODULES = [
     "lexgrowth",
     "diffusion",
     "paradoxes",
+    "records",
+    "realoptions",
+    "matching",
 ]
 
 

@@ -1252,3 +1252,130 @@ def test_mix_shift_identity(spark, sf_dir):
     assert abs(row["decomposition_residual"]) < 0.1  # milli-unit quantization
     got = row["within_brand_change_mc"] + row["mix_shift_change_mc"]
     assert abs(got - row["total_change_mc"]) < 0.1
+
+
+# --- record statistics (q786-q790) ----------------------------------------------
+
+
+def test_record_census_basics(spark, sf_dir):
+    df = run("q786_record_census", spark, sf_dir)
+    assert (df["n_records"] >= 1).all()  # first event is a record
+    assert (df["n_records"] <= df["seq_len"]).all()
+    assert (df["harmonic_expectation"] >= 1 - 1e-9).all()
+
+
+def test_record_population_consistency(spark, sf_dir):
+    row = run("q787_record_population", spark, sf_dir).iloc[0]
+    assert row["mean_records"] >= 1
+    assert row["iid_variance"] >= 0
+    assert 0 <= row["share_above_expectation"] <= 1
+
+
+def test_record_spacing_grows(spark, sf_dir):
+    df = run("q788_record_spacing", spark, sf_dir).sort_values("record_number")
+    # users reaching record k+1 never exceed users reaching record k
+    n = df["n_users_reaching"].tolist()
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    assert (df["mean_gap"] >= 1).all()
+
+
+def test_record_symmetry_totals(spark, sf_dir):
+    row = run("q789_record_symmetry", spark, sf_dir).iloc[0]
+    assert row["total_forward_records"] >= row["n_users"]
+    assert row["total_backward_records"] >= row["n_users"]
+    assert abs(row["sign_balance"]) <= row["n_users"]
+
+
+def test_record_magnitudes_positive(spark, sf_dir):
+    df = run("q790_record_magnitudes", spark, sf_dir)
+    assert (df["total_jump_cents"] > 0).all()
+    assert (df["mean_jump_ratio"] > 1).all()  # records strictly improve
+
+
+# --- CRR real options (q791-q795) -------------------------------------------------
+
+
+def test_crr_price_monotone_in_vol(spark, sf_dir):
+    df = run("q791_crr_price_table", spark, sf_dir)
+    for _, g in df.groupby("brand"):
+        s = g.sort_values("vol_pct_per_step")["call_cents"].tolist()
+        assert all(a <= b for a, b in zip(s, s[1:])), s
+    assert (df["call_cents"] >= 0).all()
+    assert (df["put_cents"] >= 0).all()
+
+
+def test_put_call_parity_within_quantization(spark, sf_dir):
+    df = run("q792_put_call_parity", spark, sf_dir)
+    assert (df["parity_residual"].abs() <= 13).all()  # 13 cent-rounded nodes
+
+
+def test_crr_delta_bounds(spark, sf_dir):
+    df = run("q793_crr_delta", spark, sf_dir)
+    assert (df["call_delta"] >= -1e-9).all()
+    assert (df["call_delta"] <= 1 + 1e-9).all()
+
+
+def test_implied_scenario_recovers_reference(spark, sf_dir):
+    df = run("q794_implied_scenario", spark, sf_dir)
+    assert (df["implied_vol_pct"] == 15).all()
+    assert (df["abs_repricing_error_cents"] == 0).all()
+
+
+def test_time_value_nonnegative_and_monotone(spark, sf_dir):
+    df = run("q795_option_value_split", spark, sf_dir)
+    assert (df["time_value_cents"] >= 0).all()
+    assert (df["intrinsic_cents"] == 0).all()  # 5% OTM strikes
+    for _, g in df.groupby("brand"):
+        s = g.sort_values("vol_pct_per_step")["time_value_cents"].tolist()
+        assert all(a <= b for a, b in zip(s, s[1:]))
+
+
+# --- stable matching (q796-q800) ----------------------------------------------------
+
+
+def test_preference_ranks_complete(spark, sf_dir):
+    df = run("q796_matching_preferences", spark, sf_dir)
+    assert len(df) == 25
+    for _, g in df.groupby("brand"):
+        assert sorted(g["brand_rank_of_region"]) == [1, 2, 3, 4, 5]
+    for _, g in df.groupby("region"):
+        assert sorted(g["region_rank_of_brand"]) == [1, 2, 3, 4, 5]
+
+
+def test_stable_matching_no_blocking_pairs(spark, sf_dir):
+    prefs = run("q796_matching_preferences", spark, sf_dir)
+    match = run("q797_stable_matching", spark, sf_dir)
+    assert len(match) == 5
+    assert match["region"].nunique() == 5  # perfect matching
+    # independent blocking-pair re-verification in pandas
+    brk = {(r.brand, r.region): r.brand_rank_of_region for r in prefs.itertuples()}
+    rrk = {(r.brand, r.region): r.region_rank_of_brand for r in prefs.itertuples()}
+    mb = dict(zip(match["brand"], match["region"]))
+    mr = dict(zip(match["region"], match["brand"]))
+    blocking = [
+        (b, r)
+        for (b, r) in brk
+        if brk[(b, r)] < brk[(b, mb[b])] and rrk[(b, r)] < rrk[(mr[r], r)]
+    ]
+    assert not blocking, blocking
+
+
+def test_stable_set_census_sane(spark, sf_dir):
+    row = run("q798_stable_set_census", spark, sf_dir).iloc[0]
+    assert row["n_stable"] >= 1  # Gale-Shapley existence
+    assert row["brand_optimal_rank_sum"] <= row["region_optimal_rank_sum"] + 25
+    if row["n_stable"] == 1:
+        assert row["is_unique"] == 1
+
+
+def test_greedy_weakly_worse(spark, sf_dir):
+    row = run("q799_greedy_instability", spark, sf_dir).iloc[0]
+    assert row["greedy_blocking_pairs"] >= 0
+    assert row["stable_blocking_pairs"] == 0
+    assert row["greedy_brand_rank_sum"] >= 5  # rank sums are >= n
+
+
+def test_price_of_stability_bounds(spark, sf_dir):
+    row = run("q800_price_of_stability", spark, sf_dir).iloc[0]
+    assert row["stability_cost_cents"] >= 0
+    assert 0 < row["stable_efficiency"] <= 1.0
