@@ -187,6 +187,9 @@ _MODULES = [
     "records",
     "realoptions",
     "matching",
+    "reliagrowth",
+    "qsketch",
+    "markovattr",
 ]
 
 

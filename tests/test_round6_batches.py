@@ -1379,3 +1379,128 @@ def test_price_of_stability_bounds(spark, sf_dir):
     row = run("q800_price_of_stability", spark, sf_dir).iloc[0]
     assert row["stability_cost_cents"] >= 0
     assert 0 < row["stable_efficiency"] <= 1.0
+
+
+# --- reliability growth (q801-q805) -----------------------------------------------
+
+
+def test_duane_points_monotone(spark, sf_dir):
+    df = run("q801_duane_points", spark, sf_dir).sort_values("cutoff_idx")
+    n = df["cum_failures"].tolist()
+    assert all(a <= b for a, b in zip(n, n[1:]))
+    assert (df["t_hours"] > 0).all()
+
+
+def test_crow_amsaa_beta_band(spark, sf_dir):
+    row = run("q802_crow_amsaa_fit", spark, sf_dir).iloc[0]
+    # synthetic arrivals are roughly homogeneous Poisson -> beta near 1
+    assert 0.5 < row["beta"] < 1.5
+    assert row["verdict"] in ("improving", "deteriorating", "stable")
+
+
+def test_mtbf_projection_consistent(spark, sf_dir):
+    row = run("q803_mtbf_projection", spark, sf_dir).iloc[0]
+    assert row["cum_mtbf_hours"] > 0
+    got = row["cum_mtbf_hours"] / row["beta"]
+    assert abs(got - row["inst_mtbf_hours"]) < 1e-9
+
+
+def test_per_type_growth_covers_all_types(spark, sf_dir):
+    df = run("q804_per_type_growth", spark, sf_dir)
+    assert len(df) == 5
+
+
+def test_duane_residuals_sum_zero(spark, sf_dir):
+    df = run("q805_duane_residuals", spark, sf_dir)
+    # OLS residuals sum to ~0 (quantization leaves micro-scale slack)
+    assert abs(df["log_residual"].sum()) < 1e-3
+
+
+# --- quantile sketch (q806-q810) ------------------------------------------------------
+
+
+def test_histogram_cumulative_consistent(spark, sf_dir):
+    df = run("q806_value_histogram", spark, sf_dir).sort_values("bucket")
+    assert (df["cnt"].cumsum() == df["cum_cnt"]).all()
+    assert abs(df["cum_share"].iloc[-1] - 1.0) < 1e-12
+
+
+def test_exact_quantiles_monotone(spark, sf_dir):
+    df = run("q807_exact_quantiles", spark, sf_dir).sort_values("pct")
+    q = df["exact_quantile_cents"].tolist()
+    assert all(a <= b for a, b in zip(q, q[1:]))
+
+
+def test_exact_quantiles_match_numpy(spark, sf_dir):
+    import duckdb
+
+    df = run("q807_exact_quantiles", spark, sf_dir)
+    vals = duckdb.sql(
+        f"SELECT CAST(FLOOR(value*100+0.5) AS BIGINT) c FROM '{sf_dir}/events.parquet' ORDER BY 1"
+    ).df()["c"].tolist()
+    n = len(vals)
+    for r in df.itertuples():
+        rank = -(-r.pct * n // 100)  # ceil
+        assert vals[int(rank) - 1] == r.exact_quantile_cents, (r.pct, rank)
+
+
+def test_sketch_error_within_bound(spark, sf_dir):
+    hist = run("q806_value_histogram", spark, sf_dir)
+    err = run("q808_sketch_error", spark, sf_dir)
+    bound = hist["mass_share"].max()
+    assert (err["rank_error"].abs() <= bound + 1e-12).all()
+    assert (err["value_error_cents"] >= 0).all()
+    assert (err["value_error_cents"] < 256).all()
+
+
+def test_budget_sweep_monotone(spark, sf_dir):
+    df = run("q809_sketch_budget_sweep", spark, sf_dir).sort_values(
+        "bucket_width_cents", ascending=False
+    )
+    b = df["worst_rank_error_bound"].tolist()
+    assert all(a >= x for a, x in zip(b, b[1:]))  # finer buckets tighter
+    n = df["n_buckets"].tolist()
+    assert all(a <= x for a, x in zip(n, n[1:]))
+
+
+def test_sketch_merge_exact(spark, sf_dir):
+    row = run("q810_sketch_mergeability", spark, sf_dir).iloc[0]
+    assert row["mismatched_buckets"] == 0
+    assert row["merged_total"] == row["global_total"]
+
+
+# --- Markov attribution (q811-q815) ----------------------------------------------------
+
+
+def test_transition_probs_rowsum_one(spark, sf_dir):
+    df = run("q811_journey_transitions", spark, sf_dir)
+    sums = df.groupby("from_state")["prob"].sum()
+    assert ((sums - 1.0).abs() < 1e-6).all(), sums.to_dict()
+
+
+def test_removal_only_lowers_absorption(spark, sf_dir):
+    df = run("q812_absorption_probability", spark, sf_dir).set_index("variant")
+    full = df.loc["none", "p_convert_from_start"]
+    assert 0 < full <= 1
+    for v in df.index:
+        if v != "none":
+            assert df.loc[v, "p_convert_from_start"] <= full + 1e-9
+
+
+def test_markov_shares_sum_one(spark, sf_dir):
+    df = run("q813_removal_attribution", spark, sf_dir)
+    assert abs(df["markov_share"].sum() - 1.0) < 1e-9
+    assert (df["removal_effect"] >= -1e-12).all()
+
+
+def test_attribution_models_columns_sum_one(spark, sf_dir):
+    df = run("q814_attribution_models", spark, sf_dir)
+    for col in ("first_touch", "last_touch", "linear_touch", "markov"):
+        assert abs(df[col].sum() - 1.0) < 1e-6, col
+
+
+def test_journey_patterns_rates(spark, sf_dir):
+    df = run("q815_journey_patterns", spark, sf_dir)
+    assert (df["conversion_rate"] >= 0).all()
+    assert (df["conversion_rate"] <= 1).all()
+    assert (df["n_converted"] <= df["n_users"]).all()
