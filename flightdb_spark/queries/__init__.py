@@ -190,6 +190,7 @@ _MODULES = [
     "reliagrowth",
     "qsketch",
     "markovattr",
+    "netrobust",
 ]
 
 

@@ -1,0 +1,409 @@
+"""Network-robustness batch 150 (q816-q820) — structural audits of
+the brand co-purchase graph (nodes = 25 brands, an edge when two
+brands share more co-purchasing customers than the median pair):
+community quality and attack tolerance, the checks a graph-platform
+team runs before trusting clusters or betting on redundancy.
+
+- q816 graph census: the median-threshold edge set, per-node degrees,
+  density;
+- q817 modularity of the part-type communities (each brand assigned
+  its dominant part type): Q = sum_c (e_c/m - (d_c/2m)^2), exact
+  integer edge counts, one terminal expression;
+- q818 per-community conductance (cut / min(vol, 2m - vol));
+- q819 targeted-attack percolation: remove the top-k degree hubs
+  (k = 0..5) and measure the largest surviving component via
+  unrolled min-label propagation over the 2-hop closure (12 rounds
+  cover graph distance 24 > any 25-node diameter) — all six removal
+  variants iterate together as one labeled table;
+- q820 attack vs name-order removal: the same percolation curve
+  under degree-targeted vs arbitrary (name-order) removal — the
+  robustness gap.
+
+100 TB shape: ONE fact pass builds the (customer, brand) spine and
+the 300-pair co-purchase counts (customer-keyed join, catalog-
+bounded fan-out, the q746 shape); everything else — thresholds,
+degrees, communities, the 12-round CC iteration over <= 600
+(variant, node) rows — is constant-size. The Spark side materializes
+the bounded edge/node tables (localCheckpoint views) and the oracle
+marks its chain CTEs MATERIALIZED (the q812 lesson), so neither
+planner re-expands the fact chain per round.
+
+Determinism: all counts/degrees/labels are integers; ranks break
+ties by brand name; min-label propagation is a pure integer fixpoint
+(label = min over closed neighborhood), independent of evaluation
+order; modularity/conductance are terminal integer-ratio doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+CC_ROUNDS = 12  # over the 2-hop closure: covers distance 24 >= diameter
+MAX_REMOVE = 5
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("lineitem", "orders", "part"):
+        ensure_parallelism(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)
+
+
+def _graph_cte() -> str:
+    """Spine -> pair counts -> median threshold -> undirected edges."""
+    return """ub AS (
+      SELECT o.o_custkey AS u, p.p_brand AS b
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY o.o_custkey, p.p_brand
+    ),
+    pairs AS (
+      SELECT a.b AS x, c.b AS y, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ub a JOIN ub c ON c.u = a.u AND a.b < c.b
+      GROUP BY a.b, c.b
+    ),
+    pcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+    wrank AS (
+      SELECT /*+ BROADCAST(p2) */ p.x, p.y, p.w,
+             CAST(COUNT(*) AS BIGINT) AS le
+      FROM pairs p JOIN pairs p2 ON p2.w <= p.w
+      GROUP BY p.x, p.y, p.w
+    ),
+    med AS (
+      SELECT /*+ BROADCAST(q) */ MIN(r.w) AS thr
+      FROM wrank r JOIN pcnt q ON 2 * r.le >= q.n
+    ),
+    edges AS (
+      SELECT p.x, p.y FROM pairs p CROSS JOIN med m WHERE p.w > m.thr
+    ),
+    nodes AS (
+      SELECT DISTINCT b FROM ub
+    ),
+    deg AS (
+      SELECT n.b, CAST(COALESCE(c.d, 0) AS BIGINT) AS d
+      FROM nodes n LEFT JOIN (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT x AS b FROM edges UNION ALL SELECT y AS b FROM edges) u
+        GROUP BY b
+      ) c ON c.b = n.b
+    )"""
+
+
+def _comm_cte() -> str:
+    """Brand -> dominant part type (exact argmax, name tie-break)."""
+    return """bt AS (
+      SELECT p.p_brand AS b, p.p_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, p.p_type
+    ),
+    comm AS (
+      SELECT a.b, MIN(a.t) AS c
+      FROM bt a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bt z
+        WHERE z.b = a.b AND (z.n > a.n OR (z.n = a.n AND z.t < a.t))
+      )
+      GROUP BY a.b
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# q816 — graph census
+
+_Q816_SQL = f"""
+    WITH {_graph_cte()}
+    SELECT d.b AS brand, d.d AS degree,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT m.thr FROM med m) AS edge_threshold,
+           CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+             / ((SELECT COUNT(*) FROM nodes)
+                * ((SELECT COUNT(*) FROM nodes) - 1) / 2) AS density
+    FROM deg d
+    ORDER BY d.b
+    """
+
+
+@query("q816_copurchase_graph", oracle=_Q816_SQL)
+def q816_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand co-purchase graph at the median-pair threshold:
+    per-brand degree, edge count, and density. The only corpus work is
+    the q746-shape spine; the threshold is an exact median via a
+    bounded 300-pair rank test."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q816_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q817 — modularity
+
+_Q817_SQL = f"""
+    WITH {_graph_cte()},
+    {_comm_cte()},
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    within AS (
+      SELECT ca.c, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM edges e
+      JOIN comm ca ON ca.b = e.x
+      JOIN comm cb ON cb.b = e.y
+      WHERE ca.c = cb.c
+      GROUP BY ca.c
+    ),
+    vols AS (
+      SELECT c.c, CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM comm c JOIN deg d ON d.b = c.b
+      GROUP BY c.c
+    )
+    SELECT v.c AS community,
+           COALESCE(w.e_c, CAST(0 AS BIGINT)) AS within_edges,
+           v.d_c AS total_degree,
+           CAST(COALESCE(w.e_c, 0) AS DOUBLE) / t.m
+             - (CAST(v.d_c AS DOUBLE) / (2 * t.m))
+               * (CAST(v.d_c AS DOUBLE) / (2 * t.m)) AS modularity_term
+    FROM vols v
+    LEFT JOIN within w ON w.c = v.c
+    CROSS JOIN m2 t
+    ORDER BY v.c
+    """
+
+
+@query("q817_modularity", oracle=_Q817_SQL)
+def q817_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the part-type communities, one exact term
+    per community (sum = Q in [-0.5, 1], test-asserted): within-edge
+    counts and degree volumes are integers; the term is terminal."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q817_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q818 — conductance
+
+_Q818_SQL = f"""
+    WITH {_graph_cte()},
+    {_comm_cte()},
+    m2 AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_all FROM edges),
+    cuts AS (
+      SELECT ca.c, CAST(SUM(CASE WHEN ca.c <> cb.c THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cut_edges
+      FROM edges e
+      JOIN comm ca ON ca.b = e.x
+      JOIN comm cb ON cb.b = e.y
+      GROUP BY ca.c
+    ),
+    cuts2 AS (
+      SELECT cb.c, CAST(SUM(CASE WHEN ca.c <> cb.c THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cut_edges
+      FROM edges e
+      JOIN comm ca ON ca.b = e.x
+      JOIN comm cb ON cb.b = e.y
+      GROUP BY cb.c
+    ),
+    cut AS (
+      SELECT c, CAST(SUM(cut_edges) AS BIGINT) AS cut_edges
+      FROM (SELECT * FROM cuts UNION ALL SELECT * FROM cuts2) u
+      GROUP BY c
+    ),
+    vols AS (
+      SELECT c.c, CAST(SUM(d.d) AS BIGINT) AS vol
+      FROM comm c JOIN deg d ON d.b = c.b
+      GROUP BY c.c
+    )
+    SELECT v.c AS community,
+           COALESCE(k.cut_edges, CAST(0 AS BIGINT)) AS cut_edges,
+           v.vol AS volume,
+           CASE WHEN LEAST(v.vol, t.vol_all - v.vol) = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE CAST(COALESCE(k.cut_edges, 0) AS DOUBLE)
+                     / LEAST(v.vol, t.vol_all - v.vol) END AS conductance
+    FROM vols v
+    LEFT JOIN cut k ON k.c = v.c
+    CROSS JOIN m2 t
+    ORDER BY v.c
+    """
+
+
+@query("q818_conductance", oracle=_Q818_SQL)
+def q818_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance cut/min(vol, 2m - vol) — low values
+    mean the part-type grouping is a real cluster, values near 1 mean
+    it's arbitrary. Exact integer cut and volume counts."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q818_SQL)
+
+
+# ---------------------------------------------------------------------------
+# percolation machinery (q819/q820)
+
+_PERC_VIEWS = ("netrobust_edges_mv", "netrobust_rank_mv")
+_SUMMARY_VIEW = "netrobust_summary_mv"
+
+_RANK_SQL = """SELECT /*+ BROADCAST(z) */ a.b,
+               CAST(1 + SUM(CASE WHEN z.d > a.d
+                            OR (z.d = a.d AND z.b < a.b)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS hub_rank,
+               CAST(1 + SUM(CASE WHEN z.b < a.b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS name_rank
+        FROM deg a JOIN deg z ON z.b <> a.b
+        GROUP BY a.b, a.d"""
+
+
+def _variant_ctes(edges: str, rank: str) -> str:
+    """alive nodes and the 2-hop closure per (strategy, k) variant."""
+    ks = ", ".join(f"({k})" for k in range(0, MAX_REMOVE + 1))
+    return f"""ks(k) AS (VALUES {ks}),
+    strat(st) AS (VALUES ('hub'), ('name')),
+    alive AS (
+      SELECT s.st, q.k, r.b
+      FROM {rank} r CROSS JOIN ks q CROSS JOIN strat s
+      WHERE (s.st = 'hub' AND r.hub_rank > q.k)
+         OR (s.st = 'name' AND r.name_rank > q.k)
+    ),
+    ev AS (
+      SELECT a.st, a.k, e.x, e.y
+      FROM {edges} e
+      JOIN alive a ON a.b = e.x
+      JOIN alive a2 ON a2.st = a.st AND a2.k = a.k AND a2.b = e.y
+    ),
+    ev2 AS (
+      SELECT st, k, x, y FROM ev
+      UNION
+      SELECT st, k, y AS x, x AS y FROM ev
+      UNION
+      SELECT e1.st, e1.k, e1.x, e2.y
+      FROM ev e1 JOIN ev e2
+        ON e2.st = e1.st AND e2.k = e1.k AND e2.x = e1.y
+      UNION
+      SELECT e1.st, e1.k, e1.y AS x, e2.x AS y
+      FROM ev e1 JOIN ev e2
+        ON e2.st = e1.st AND e2.k = e1.k AND e2.y = e1.y AND e2.x <> e1.x
+    )"""
+
+
+def _cc_round_sql(prev: str, ev2: str) -> str:
+    return f"""
+    SELECT p.st, p.k, p.b,
+           LEAST(p.lbl, COALESCE(MIN(n.lbl), p.lbl)) AS lbl
+    FROM {prev} p
+    LEFT JOIN {ev2} e ON e.st = p.st AND e.k = p.k AND e.x = p.b
+    LEFT JOIN {prev} n ON n.st = p.st AND n.k = p.k AND n.b = e.y
+    GROUP BY p.st, p.k, p.b, p.lbl
+    """
+
+
+def _perc_summary_view(spark: SparkSession, sf_dir: str) -> None:
+    """Spark side of the percolation: an unrolled-SQL chain would
+    reference each round's labels twice (own + neighbor), doubling the
+    plan per round — so the 12 min-label rounds run as a DataFrame
+    loop with a localCheckpoint per round (the house iterative-op
+    idiom), each round one bounded SQL over materialized views."""
+    _views(spark, sf_dir)
+    edges = spark.sql(f"WITH {_graph_cte()} SELECT x, y FROM edges")
+    edges.localCheckpoint(eager=True).createOrReplaceTempView(_PERC_VIEWS[0])
+    rank = spark.sql(f"WITH {_graph_cte()}\n        {_RANK_SQL}")
+    rank.localCheckpoint(eager=True).createOrReplaceTempView(_PERC_VIEWS[1])
+    base = spark.sql(
+        f"WITH {_variant_ctes(*_PERC_VIEWS)} "
+        "SELECT st, k, x, y FROM ev2"
+    )
+    base.localCheckpoint(eager=True).createOrReplaceTempView("netrobust_ev2_mv")
+    lbl = spark.sql(
+        f"WITH {_variant_ctes(*_PERC_VIEWS)} "
+        "SELECT st, k, b, b AS lbl FROM alive"
+    ).localCheckpoint(eager=True)
+    lbl.createOrReplaceTempView("netrobust_lbl_mv")
+    for _ in range(CC_ROUNDS):
+        lbl = spark.sql(
+            _cc_round_sql("netrobust_lbl_mv", "netrobust_ev2_mv")
+        ).localCheckpoint(eager=True)
+        lbl.createOrReplaceTempView("netrobust_lbl_mv")
+    spark.sql(
+        """SELECT st, k,
+               CAST(MAX(sz) AS BIGINT) AS largest_component,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(sz) AS BIGINT) AS n_alive
+        FROM (
+          SELECT st, k, lbl, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM netrobust_lbl_mv GROUP BY st, k, lbl
+        ) comps GROUP BY st, k"""
+    ).localCheckpoint(eager=True).createOrReplaceTempView(_SUMMARY_VIEW)
+
+
+def _perc_oracle(tail_select: str) -> str:
+    """Oracle: the whole chain in ONE statement with every CTE
+    MATERIALIZED (DuckDB-only syntax) so its planner doesn't
+    re-expand rounds either."""
+    parts = [
+        f"WITH {_graph_cte()},\n    rnk AS (\n      {_RANK_SQL}\n    ),\n    "
+        + _variant_ctes("edges", "rnk"),
+        "l0 AS (SELECT st, k, b, b AS lbl FROM alive)",
+    ]
+    for r in range(1, CC_ROUNDS + 1):
+        parts.append(
+            f"l{r} AS ({_cc_round_sql(f'l{r - 1}', 'ev2')})"
+        )
+    parts.append(
+        f"""comps AS (
+      SELECT st, k, lbl, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM l{CC_ROUNDS} GROUP BY st, k, lbl
+    ),
+    summary AS (
+      SELECT st, k,
+             CAST(MAX(sz) AS BIGINT) AS largest_component,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(SUM(sz) AS BIGINT) AS n_alive
+      FROM comps GROUP BY st, k
+    )"""
+    )
+    txt = ",\n    ".join(parts) + tail_select
+    for name in ["ub", "pairs", "wrank", "edges", "deg", "alive", "ev",
+                 "ev2", "comps"] + [f"l{r}" for r in range(0, CC_ROUNDS + 1)]:
+        txt = txt.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return txt
+
+
+_PERC_SELECT_819 = """
+    SELECT k AS hubs_removed, largest_component, n_components, n_alive,
+           CAST(largest_component AS DOUBLE) / n_alive AS giant_share
+    FROM summary WHERE st = 'hub'
+    ORDER BY k
+    """
+
+_PERC_SELECT_820 = """
+    SELECT h.k AS n_removed,
+           h.largest_component AS giant_under_attack,
+           r.largest_component AS giant_under_name_removal,
+           CAST(r.largest_component - h.largest_component AS BIGINT)
+             AS robustness_gap
+    FROM summary h JOIN summary r
+      ON r.k = h.k AND h.st = 'hub' AND r.st = 'name'
+    ORDER BY h.k
+    """
+
+
+@query("q819_attack_percolation", oracle=_perc_oracle(_PERC_SELECT_819))
+def q819_attack_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack percolation: largest component and component
+    count after removing the top-k degree hubs (k = 0..5), all six
+    variants in ONE 12-round min-label propagation over the 2-hop
+    closure (covers distance 24 — any 25-node diameter)."""
+    _perc_summary_view(spark, sf_dir)
+    return spark.sql(
+        "WITH summary AS (SELECT * FROM " + _SUMMARY_VIEW + ")"
+        + _PERC_SELECT_819
+    )
+
+
+@query("q820_attack_vs_random", oracle=_perc_oracle(_PERC_SELECT_820))
+def q820_attack_vs_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robustness gap: the giant component under degree-targeted
+    removal vs arbitrary (name-order) removal of the same count —
+    targeted attack always does at least as much damage
+    (test-asserted)."""
+    _perc_summary_view(spark, sf_dir)
+    return spark.sql(
+        "WITH summary AS (SELECT * FROM " + _SUMMARY_VIEW + ")"
+        + _PERC_SELECT_820
+    )

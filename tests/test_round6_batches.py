@@ -1504,3 +1504,42 @@ def test_journey_patterns_rates(spark, sf_dir):
     assert (df["conversion_rate"] >= 0).all()
     assert (df["conversion_rate"] <= 1).all()
     assert (df["n_converted"] <= df["n_users"]).all()
+
+
+# --- network robustness (q816-q820) ------------------------------------------------
+
+
+def test_graph_census_consistent(spark, sf_dir):
+    df = run("q816_copurchase_graph", spark, sf_dir)
+    assert len(df) == 25
+    assert (df["degree"] >= 0).all()
+    # handshake: degree sum = 2 * edges
+    assert df["degree"].sum() == 2 * df["n_edges"].iloc[0]
+    assert 0 <= df["density"].iloc[0] <= 1
+
+
+def test_modularity_bounds(spark, sf_dir):
+    df = run("q817_modularity", spark, sf_dir)
+    q = df["modularity_term"].sum()
+    assert -0.5 - 1e-9 <= q <= 1.0 + 1e-9
+    assert (df["within_edges"] >= 0).all()
+
+
+def test_conductance_bounds(spark, sf_dir):
+    df = run("q818_conductance", spark, sf_dir)
+    assert (df["conductance"] >= -1e-12).all()
+    assert (df["conductance"] <= 1.0 + 1e-12).all()
+
+
+def test_percolation_monotone(spark, sf_dir):
+    df = run("q819_attack_percolation", spark, sf_dir).sort_values("hubs_removed")
+    g = df["largest_component"].tolist()
+    assert all(a >= b for a, b in zip(g, g[1:]))  # removals can't grow the giant
+    assert (df["n_alive"] == 25 - df["hubs_removed"]).all()
+    assert (df["giant_share"] <= 1.0 + 1e-12).all()
+
+
+def test_attack_at_least_as_damaging(spark, sf_dir):
+    df = run("q820_attack_vs_random", spark, sf_dir)
+    assert (df["robustness_gap"] >= 0).all()
+    assert df.loc[df["n_removed"] == 0, "robustness_gap"].iloc[0] == 0
