@@ -191,6 +191,8 @@ _MODULES = [
     "qsketch",
     "markovattr",
     "netrobust",
+    "scheduling",
+    "kalman",
 ]
 
 

@@ -1543,3 +1543,82 @@ def test_attack_at_least_as_damaging(spark, sf_dir):
     df = run("q820_attack_vs_random", spark, sf_dir)
     assert (df["robustness_gap"] >= 0).all()
     assert df.loc[df["n_removed"] == 0, "robustness_gap"].iloc[0] == 0
+
+
+# --- scheduling (q821-q825) --------------------------------------------------------
+
+
+def test_spt_optimal_for_flow(spark, sf_dir):
+    df = run("q821_spt_vs_fifo", spark, sf_dir).set_index("rule")
+    assert df.loc["spt", "total_flow"] <= df.loc["fifo", "total_flow"]
+    # makespan is sequence-invariant (sum of processing times)
+    assert df.loc["spt", "makespan"] == df.loc["fifo", "makespan"]
+
+
+def test_edd_optimal_for_max_lateness(spark, sf_dir):
+    df = run("q822_edd_lateness", spark, sf_dir).set_index("rule")
+    assert df.loc["edd", "max_lateness"] <= df.loc["fifo", "max_lateness"]
+    assert df.loc["edd", "n_jobs"] == df.loc["fifo", "n_jobs"]
+
+
+def test_wspt_optimal_for_weighted_flow(spark, sf_dir):
+    df = run("q823_wspt_weighted_flow", spark, sf_dir).set_index("rule")
+    assert df.loc["wspt", "weighted_flow"] <= df.loc["spt", "weighted_flow"]
+
+
+def test_johnson_never_worse(spark, sf_dir):
+    row = run("q824_johnson_flowshop", spark, sf_dir).iloc[0]
+    assert row["machines_johnson_worse"] == 0
+    assert row["total_saving"] >= 0
+
+
+def test_johnson_idle_never_larger(spark, sf_dir):
+    df = run("q825_flowshop_idle", spark, sf_dir).set_index("rule")
+    assert df.loc["johnson", "total_idle_m2"] <= df.loc["fifo", "total_idle_m2"]
+    assert (df["total_idle_m2"] >= 0).all()
+
+
+# --- Kalman filter (q826-q830) -------------------------------------------------------
+
+
+def test_kalman_trace_matches_sequential(spark, sf_dir):
+    # re-run the textbook sequential recurrence in Python and compare
+    df = run("q826_kalman_trace", spark, sf_dir)
+    from flightdb_spark.queries.kalman import _gain_schedule
+
+    gains = {t: k for t, k, g, c, pp in _gain_schedule()}
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values("step")
+        x = 0.0
+        for r in g.itertuples():
+            k = gains[r.step]
+            x = (1 - k) * x + k * r.z_cents
+            assert abs(x - r.filtered_cents) < 1e-3 * max(1.0, abs(x)), (
+                et, r.step, x, r.filtered_cents)
+
+
+def test_innovation_whiteness_bounds(spark, sf_dir):
+    df = run("q827_innovation_whiteness", spark, sf_dir)
+    assert (df["var_innovation"] >= 0).all()
+    assert (df["lag1_autocorr"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_gain_schedule_decays(spark, sf_dir):
+    df = run("q828_gain_schedule", spark, sf_dir).sort_values("step")
+    gaps = df["gap_to_steady"].tolist()
+    assert all(a >= b - 1e-15 for a, b in zip(gaps, gaps[1:]))
+    assert (df["gain"] > 0).all() and (df["gain"] <= 1).all()
+
+
+def test_kalman_vs_naive_sane(spark, sf_dir):
+    df = run("q829_kalman_vs_naive", spark, sf_dir)
+    assert (df["sse_kalman"] > 0).all()
+    assert (df["sse_ratio"] > 0).all()
+    # the filter should never be catastrophically worse than naive
+    assert (df["sse_ratio"] < 10).all()
+
+
+def test_coverage_in_unit_interval(spark, sf_dir):
+    df = run("q830_innovation_coverage", spark, sf_dir)
+    assert (df["coverage"] >= 0).all() and (df["coverage"] <= 1).all()
+    assert (df["nominal"] == 0.95).all()
