@@ -193,6 +193,7 @@ _MODULES = [
     "netrobust",
     "scheduling",
     "kalman",
+    "stopping",
 ]
 
 

@@ -1622,3 +1622,38 @@ def test_coverage_in_unit_interval(spark, sf_dir):
     df = run("q830_innovation_coverage", spark, sf_dir)
     assert (df["coverage"] >= 0).all() and (df["coverage"] <= 1).all()
     assert (df["nominal"] == 0.95).all()
+
+
+# --- optimal stopping (q831-q835) -----------------------------------------------------
+
+
+def test_secretary_success_band(spark, sf_dir):
+    row = run("q831_secretary_replay", spark, sf_dir).iloc[0]
+    assert 0 < row["success_rate"] <= 1
+    assert abs(row["asymptotic_rate"] - 0.36788) < 1e-9
+
+
+def test_observation_sweep_shape(spark, sf_dir):
+    df = run("q832_observation_sweep", spark, sf_dir)
+    assert len(df) == 6
+    assert (df["success_rate"] > 0).all()
+    assert (df["success_rate"] <= 1).all()
+
+
+def test_prophet_bound_holds(spark, sf_dir):
+    row = run("q833_prophet_inequality", spark, sf_dir).iloc[0]
+    # classic guarantee is 1/2; allow finite-sample slack
+    assert row["capture_ratio"] > 0.45
+    assert row["mean_rule_value"] <= row["mean_prophet_value"] + 1e-9
+
+
+def test_pick_rank_starts_at_one(spark, sf_dir):
+    df = run("q834_pick_rank_distribution", spark, sf_dir).sort_values("pick_rank")
+    assert df["pick_rank"].iloc[0] == 1
+    assert (df["share"] <= 1).all()
+
+
+def test_secretary_beats_take_last(spark, sf_dir):
+    df = run("q835_stopping_regret", spark, sf_dir).set_index("rule")
+    assert df.loc["secretary_1e", "hit_rate"] >= df.loc["take_last", "hit_rate"]
+    assert (df["mean_relative_regret"] >= -1e-12).all()
