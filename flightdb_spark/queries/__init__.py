@@ -194,6 +194,7 @@ _MODULES = [
     "scheduling",
     "kalman",
     "stopping",
+    "bandits",
 ]
 
 

@@ -1657,3 +1657,45 @@ def test_secretary_beats_take_last(spark, sf_dir):
     df = run("q835_stopping_regret", spark, sf_dir).set_index("rule")
     assert df.loc["secretary_1e", "hit_rate"] >= df.loc["take_last", "hit_rate"]
     assert (df["mean_relative_regret"] >= -1e-12).all()
+
+
+# --- successive halving (q836-q840) ----------------------------------------------------
+
+
+def test_arm_rewards_complete(spark, sf_dir):
+    df = run("q836_arm_rewards", spark, sf_dir)
+    assert df["phase"].between(1, 5).all()
+    assert (df["phase_revenue_cents"] > 0).all()
+
+
+def test_halving_trace_schedule(spark, sf_dir):
+    df = run("q837_halving_trace", spark, sf_dir).sort_values("round")
+    assert df["survivors_in"].tolist() == [25, 13, 7, 4, 2]
+    assert df["survivors_out"].tolist() == [13, 7, 4, 2, 1]
+    # cutoffs grow as cumulative revenue accumulates
+    c = df["cutoff_cents"].tolist()
+    assert all(a <= b for a, b in zip(c, c[1:]))
+
+
+def test_halving_pick_is_full_horizon_best(spark, sf_dir):
+    row = run("q838_halving_pick", spark, sf_dir).iloc[0]
+    # round 5 ranks by FULL cumulative revenue, so the survivor IS the best
+    assert row["found_best"] == 1
+    assert row["picked_true_rank"] == 1
+    assert row["picked_total_cents"] == row["best_total_cents"]
+
+
+def test_halving_regret_never_worse(spark, sf_dir):
+    df = run("q839_simple_regret", spark, sf_dir).set_index("rule")
+    assert (
+        df.loc["halving", "simple_regret_cents"]
+        <= df.loc["phase1_leader", "simple_regret_cents"]
+    )
+    assert (df["relative_regret"] >= -1e-12).all()
+
+
+def test_budget_ledger_adds_up(spark, sf_dir):
+    df = run("q840_halving_budget", spark, sf_dir).sort_values("round")
+    assert df["cells_this_round"].tolist() == [25, 13, 7, 4, 2]
+    assert df["cells_cumulative"].iloc[-1] == 51
+    assert (df["uniform_total_cells"] == 125).all()
