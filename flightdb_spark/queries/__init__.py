@@ -195,6 +195,7 @@ _MODULES = [
     "kalman",
     "stopping",
     "bandits",
+    "crossprice",
 ]
 
 

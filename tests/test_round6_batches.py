@@ -1699,3 +1699,41 @@ def test_budget_ledger_adds_up(spark, sf_dir):
     assert df["cells_this_round"].tolist() == [25, 13, 7, 4, 2]
     assert df["cells_cumulative"].iloc[-1] == 51
     assert (df["uniform_total_cells"] == 125).all()
+
+
+# --- cross-price elasticity (q841-q845) --------------------------------------------------
+
+
+def test_panel_demeaned(spark, sf_dir):
+    df = run("q841_price_qty_panel", spark, sf_dir)
+    by_brand = df.groupby("brand")[["demeaned_log_qty", "demeaned_log_price"]].sum()
+    assert (by_brand.abs() < 1e-3).all().all()  # demeaned to micro grain
+
+
+def test_elasticity_matrix_complete(spark, sf_dir):
+    df = run("q842_elasticity_matrix", spark, sf_dir)
+    assert len(df) == 25
+    assert df["is_own"].sum() == 5
+    import numpy as np
+
+    assert np.isfinite(df["elasticity"]).all()
+
+
+def test_substitution_census_partitions(spark, sf_dir):
+    df = run("q843_substitution_census", spark, sf_dir)
+    assert df["n_pairs"].sum() == 20
+
+
+def test_symmetry_pairs(spark, sf_dir):
+    df = run("q844_slutsky_symmetry", spark, sf_dir)
+    assert len(df) == 10
+    assert (df["abs_asymmetry"] >= 0).all()
+
+
+def test_lerner_rule(spark, sf_dir):
+    df = run("q845_lerner_markup", spark, sf_dir)
+    assert len(df) == 5
+    elastic = df[df["inelastic_flag"] == 0]
+    assert (elastic["lerner_markup"] > 0).all()
+    assert (elastic["lerner_markup"] < 1).all()
+    assert df[df["inelastic_flag"] == 1]["lerner_markup"].isna().all()
