@@ -196,6 +196,7 @@ _MODULES = [
     "stopping",
     "bandits",
     "crossprice",
+    "selection",
 ]
 
 

@@ -1737,3 +1737,42 @@ def test_lerner_rule(spark, sf_dir):
     assert (elastic["lerner_markup"] > 0).all()
     assert (elastic["lerner_markup"] < 1).all()
     assert df[df["inelastic_flag"] == 1]["lerner_markup"].isna().all()
+
+
+# --- selection inference (q846-q850) -------------------------------------------------------
+
+
+def test_tau_bounds(spark, sf_dir):
+    row = run("q846_rank_stability", spark, sf_dir).iloc[0]
+    assert row["n_pairs"] == 300
+    assert -1 <= row["kendall_tau_a"] <= 1
+    assert row["concordant"] + row["discordant"] <= 300
+
+
+def test_winners_selected_rank(spark, sf_dir):
+    row = run("q847_winners_curse", spark, sf_dir).iloc[0]
+    assert row["n_winners"] == 5
+    assert abs(row["mean_rank_h1"] - 3.0) < 1e-12  # ranks 1..5 by selection
+    assert row["mean_rank_h2"] >= 1.0
+
+
+def test_rtm_slope_and_corr_consistent(spark, sf_dir):
+    row = run("q848_rtm_slope", spark, sf_dir).iloc[0]
+    assert -1 <= row["half_correlation"] <= 1
+    # same sign by construction
+    assert row["rtm_slope"] * row["half_correlation"] >= -1e-12
+
+
+def test_shrinkage_never_loses_in_sample(spark, sf_dir):
+    row = run("q849_shrinkage_forecast", spark, sf_dir).iloc[0]
+    # OLS fit: SSE <= both baselines (unit-quantization slack)
+    slack = 2 * 25  # +-0.5 unit per brand, squared interactions
+    assert row["sse_shrunk"] <= row["sse_raw"] + slack
+    assert row["sse_shrunk"] <= row["sse_grand_mean"] + slack
+
+
+def test_repeat_champions_monotone_counts(spark, sf_dir):
+    df = run("q850_repeat_champions", spark, sf_dir).sort_values("top_k")
+    o = df["overlap"].tolist()
+    assert all(a <= b for a, b in zip(o, o[1:]))
+    assert (df["overlap"] <= df["top_k"]).all()
