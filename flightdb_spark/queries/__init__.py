@@ -197,6 +197,7 @@ _MODULES = [
     "bandits",
     "crossprice",
     "selection",
+    "adstock",
 ]
 
 

@@ -1776,3 +1776,44 @@ def test_repeat_champions_monotone_counts(spark, sf_dir):
     o = df["overlap"].tolist()
     assert all(a <= b for a, b in zip(o, o[1:]))
     assert (df["overlap"] <= df["top_k"]).all()
+
+
+# --- adstock / MMM (q851-q855) -----------------------------------------------------------
+
+
+def test_adstock_dominates_raw_clicks(spark, sf_dir):
+    df = run("q851_adstock_series", spark, sf_dir)
+    assert (df["adstocked_clicks"] >= 0).all()
+    # higher lambda -> more carryover mass, day by day
+    wide = df.pivot(index="day_idx", columns="lam", values="adstocked_clicks")
+    assert (wide[0.7] >= wide[0.3] - 1e-6).all()
+
+
+def test_adstock_regression_r2_bounds(spark, sf_dir):
+    df = run("q852_adstock_regression", spark, sf_dir)
+    assert len(df) == 3
+    assert (df["r_squared"] >= -1e-12).all()
+    assert (df["r_squared"] <= 1 + 1e-12).all()
+
+
+def test_dose_response_quintiles(spark, sf_dir):
+    df = run("q853_dose_response", spark, sf_dir).sort_values("quintile")
+    assert df["quintile"].tolist() == [1, 2, 3, 4, 5]
+    m = df["mean_adstock"].tolist()
+    assert all(a <= b + 1e-9 for a, b in zip(m, m[1:]))  # binned by adstock
+
+
+def test_lag_correlations_bounded(spark, sf_dir):
+    df = run("q854_lag_correlations", spark, sf_dir)
+    assert len(df) == 8
+    assert (df["lag_correlation"].abs() <= 1 + 1e-12).all()
+
+
+def test_half_life_table(spark, sf_dir):
+    import math
+
+    df = run("q855_carryover_half_life", spark, sf_dir).sort_values("lam")
+    for r in df.itertuples():
+        assert abs(r.half_life_days - math.log(0.5) / math.log(r.lam)) < 1e-9
+        assert abs(r.window_weight_share - (1 - r.lam ** 8)) < 1e-9
+    assert (df["window_weight_share"] > 0.93).all()
