@@ -296,6 +296,23 @@ HEADLINE = [
     "q771_heaps_curve",
     "q777_bass_grid_fit",
     "q785_mix_shift",
+    # round 6: records / options / matching / growth / sketches / attribution
+    "q789_record_symmetry",
+    "q791_crr_price_table",
+    "q797_stable_matching",
+    "q802_crow_amsaa_fit",
+    "q807_exact_quantiles",
+    "q813_removal_attribution",
+    # round 6: robustness / scheduling / kalman / stopping / bandits
+    "q819_attack_percolation",
+    "q824_johnson_flowshop",
+    "q826_kalman_trace",
+    "q831_secretary_replay",
+    "q837_halving_trace",
+    # round 6: elasticity / selection / adstock
+    "q842_elasticity_matrix",
+    "q848_rtm_slope",
+    "q852_adstock_regression",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

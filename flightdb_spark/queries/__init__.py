@@ -198,6 +198,7 @@ _MODULES = [
     "crossprice",
     "selection",
     "adstock",
+    "psychometrics",
 ]
 
 

@@ -1817,3 +1817,41 @@ def test_half_life_table(spark, sf_dir):
         assert abs(r.half_life_days - math.log(0.5) / math.log(r.lam)) < 1e-9
         assert abs(r.window_weight_share - (1 - r.lam ** 8)) < 1e-9
     assert (df["window_weight_share"] > 0.93).all()
+
+
+# --- psychometrics (q856-q860) -----------------------------------------------------------
+
+
+def test_cronbach_alpha_bounds(spark, sf_dir):
+    row = run("q856_cronbach_alpha", spark, sf_dir).iloc[0]
+    assert row["cronbach_alpha"] <= 1.0 + 1e-12
+    assert row["sum_item_variances"] > 0
+    assert row["total_variance"] > 0
+
+
+def test_item_total_corr_bounds(spark, sf_dir):
+    df = run("q857_item_total_corr", spark, sf_dir)
+    assert len(df) == 5
+    assert (df["item_total_corr"].abs() <= 1 + 1e-12).all()
+
+
+def test_alpha_if_deleted_consistent(spark, sf_dir):
+    df = run("q858_alpha_if_deleted", spark, sf_dir)
+    assert len(df) == 5
+    assert df["alpha_full"].nunique() == 1
+    assert ((df["alpha_without"] - df["alpha_full"] - df["alpha_gain"]).abs() < 1e-12).all()
+
+
+def test_spearman_brown_steps_up(spark, sf_dir):
+    row = run("q859_split_half", spark, sf_dir).iloc[0]
+    r = row["split_half_corr"]
+    assert abs(r) <= 1 + 1e-12
+    if r > 0:
+        assert row["spearman_brown"] >= r - 1e-12  # step-up for positive r
+
+
+def test_interitem_matrix_consistent(spark, sf_dir):
+    df = run("q860_interitem_matrix", spark, sf_dir)
+    assert len(df) == 10
+    assert (df["corr"].abs() <= 1 + 1e-12).all()
+    assert abs(df["mean_r"].iloc[0] - df["corr"].mean()) < 1e-9

@@ -58,8 +58,10 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if sys.argv[1:] and not os.path.isdir(sys.argv[1]) else None)
+    args = [a for a in sys.argv[1:] if a != "--merge"]
+    merge = "--merge" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args[1:]) if len(args) > 1 else (set(args) if args and not os.path.isdir(args[0]) else None)
 
     registry = load_registry()
     spark = get_spark("check")
@@ -140,6 +142,28 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if only and merge:
+        # Delta mode: fold the filtered results into the existing
+        # full-registry artifact (counts recomputed from the union).
+        artifact = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        import json
+
+        with open(artifact) as fh:
+            prior = json.load(fh)
+        prior["queries"].update(results)
+        qs = prior["queries"]
+        prior["n_rows_only"] = sum(1 for v in qs.values() if v.get("rows_only"))
+        prior["n_fail"] = sum(
+            1 for v in qs.values()
+            if not v.get("rows_only") and not v.get("hash_match")
+        )
+        prior["n_pass"] = len(qs) - prior["n_fail"] - prior["n_rows_only"]
+        with open(artifact, "w") as fh:
+            json.dump(prior, fh, indent=1, sort_keys=True)
+        print(f"merged {len(results)} results into {artifact}")
     if not only:
         artifact = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
