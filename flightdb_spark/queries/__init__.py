@@ -199,6 +199,8 @@ _MODULES = [
     "selection",
     "adstock",
     "psychometrics",
+    "capturerecapture",
+    "lmoments",
 ]
 
 

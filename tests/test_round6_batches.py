@@ -1855,3 +1855,77 @@ def test_interitem_matrix_consistent(spark, sf_dir):
     assert len(df) == 10
     assert (df["corr"].abs() <= 1 + 1e-12).all()
     assert abs(df["mean_r"].iloc[0] - df["corr"].mean()) < 1e-9
+
+
+# --- capture-recapture (q861-q865) ---------------------------------------------------------
+
+
+def test_lincoln_petersen_at_least_observed(spark, sf_dir):
+    row = run("q861_lincoln_petersen", spark, sf_dir).iloc[0]
+    assert row["n_recaptured"] <= min(row["n_marked_h1"], row["n_caught_h2"])
+    assert row["lincoln_petersen"] >= row["n_recaptured"]
+    assert row["chapman"] > 0
+
+
+def test_schnabel_positive(spark, sf_dir):
+    row = run("q862_schnabel", spark, sf_dir).iloc[0]
+    assert row["total_recaptures"] > 0
+    assert row["schnabel_estimate"] > 0
+
+
+def test_population_by_type_ge_observed_recaptures(spark, sf_dir):
+    df = run("q863_population_by_type", spark, sf_dir)
+    assert len(df) == 5
+    assert (df["chapman_population"] > 0).all()
+    assert (df["n_recaptured"] <= df["n_observed"]).all()
+
+
+def test_window_sensitivity_rows(spark, sf_dir):
+    df = run("q864_window_sensitivity", spark, sf_dir)
+    assert df["n_windows"].tolist() == [2, 3, 6]
+    assert (df["chapman_estimate"] > 0).all()
+
+
+def test_closure_shares(spark, sf_dir):
+    row = run("q865_closure_audit", spark, sf_dir).iloc[0]
+    assert 0 <= row["closure_violation_share"] <= 1
+    assert row["only_early"] >= 0 and row["only_late"] >= 0
+
+
+# --- L-moments (q866-q870) --------------------------------------------------------------
+
+
+def test_rank_support_max_rank(spark, sf_dir):
+    df = run("q866_rank_support_census", spark, sf_dir)
+    assert (df["max_rank"] == df["n_rows"]).all()
+    assert (df["n_distinct_values"] <= df["n_rows"]).all()
+
+
+def test_pwm_ordering(spark, sf_dir):
+    df = run("q867_pwm_table", spark, sf_dir)
+    # b0 >= b1 >= b2 >= b3 for nonnegative data (weights shift mass up)
+    assert (df["b0"] >= df["b1"] - 1e-9).all()
+    assert (df["b1"] >= df["b2"] - 1e-9).all()
+    assert (df["b2"] >= df["b3"] - 1e-9).all()
+
+
+def test_lambda1_equals_mean(spark, sf_dir):
+    df = run("q868_l_moments", spark, sf_dir)
+    assert ((df["lambda1"] - df["direct_mean"]).abs() < 1e-3).all()
+    assert (df["lambda2"] > 0).all()
+
+
+def test_l_ratio_bounds(spark, sf_dir):
+    df = run("q869_l_ratios", spark, sf_dir)
+    assert (df["l_cv"] > 0).all() and (df["l_cv"] < 1).all()
+    assert (df["tau3_l_skew"].abs() < 1).all()
+    assert (df["tau4_l_kurt"].abs() < 1).all()
+    # Hosking feasibility bound
+    assert (df["tau4_l_kurt"] >= (5 * df["tau3_l_skew"] ** 2 - 1) / 4 - 1e-9).all()
+
+
+def test_l_ratio_diagram_classification(spark, sf_dir):
+    df = run("q870_l_ratio_diagram", spark, sf_dir)
+    assert len(df) == 5
+    assert set(df["nearest_distribution"]) <= {"uniform", "normal", "exponential"}
+    assert (df["distance"] >= 0).all()
