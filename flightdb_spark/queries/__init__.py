@@ -201,6 +201,7 @@ _MODULES = [
     "psychometrics",
     "capturerecapture",
     "lmoments",
+    "composite",
 ]
 
 

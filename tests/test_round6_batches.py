@@ -1929,3 +1929,39 @@ def test_l_ratio_diagram_classification(spark, sf_dir):
     assert len(df) == 5
     assert set(df["nearest_distribution"]) <= {"uniform", "normal", "exponential"}
     assert (df["distance"] >= 0).all()
+
+
+# --- composite indicators (q871-q875) -------------------------------------------------------
+
+
+def test_indicator_normalization_bounds(spark, sf_dir):
+    df = run("q871_indicator_table", spark, sf_dir)
+    for c in ("norm_revenue", "norm_customers", "norm_consistency"):
+        assert (df[c] >= -1e-9).all() and (df[c] <= 1 + 1e-9).all()
+        assert abs(df[c].min()) < 1e-6 and abs(df[c].max() - 1) < 1e-6
+
+
+def test_am_ge_gm(spark, sf_dir):
+    df = run("q872_composite_scores", spark, sf_dir)
+    # AM-GM inequality (floor-at-1 for zero pillars adds <= 1 micro-unit)
+    assert (df["arithmetic_index"] >= df["geometric_index"] - 2e-6).all()
+
+
+def test_weight_swing_bounds(spark, sf_dir):
+    df = run("q873_weight_sensitivity", spark, sf_dir)
+    assert (df["best_rank"] >= 1).all()
+    assert (df["worst_rank"] <= 25).all()
+    assert (df["rank_swing"] >= 0).all()
+
+
+def test_normalization_distance_bounds(spark, sf_dir):
+    row = run("q874_normalization_sensitivity", spark, sf_dir).iloc[0]
+    assert row["n_pairs"] == 300
+    assert 0 <= row["normalization_kendall_distance"] <= 1
+
+
+def test_compensability_flags(spark, sf_dir):
+    df = run("q875_compensability_census", spark, sf_dir)
+    flagged = df[df["compensation_beneficiary"] == 1]
+    assert (flagged["rank_penalty_under_gm"] >= 2).all()
+    assert (df["weakest_pillar"] >= -1e-9).all()
