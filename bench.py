@@ -313,6 +313,11 @@ HEADLINE = [
     "q842_elasticity_matrix",
     "q848_rtm_slope",
     "q852_adstock_regression",
+    # round 6: psychometrics / capture-recapture / L-moments / composite
+    "q856_cronbach_alpha",
+    "q861_lincoln_petersen",
+    "q867_pwm_table",
+    "q872_composite_scores",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).
