@@ -202,6 +202,7 @@ _MODULES = [
     "capturerecapture",
     "lmoments",
     "composite",
+    "jlprojection",
 ]
 
 

@@ -1965,3 +1965,40 @@ def test_compensability_flags(spark, sf_dir):
     flagged = df[df["compensation_beneficiary"] == 1]
     assert (flagged["rank_penalty_under_gm"] >= 2).all()
     assert (df["weakest_pillar"] >= -1e-9).all()
+
+
+# --- JL projection (q876-q880) --------------------------------------------------------------
+
+
+def test_jl_norm_ratio_near_one(spark, sf_dir):
+    df = run("q876_jl_norm_preservation", spark, sf_dir)
+    assert len(df) == 3
+    assert (df["mean_norm_ratio"] > 0.3).all()
+    assert (df["mean_norm_ratio"] < 3.0).all()
+
+
+def test_jl_distortion_shrinks_with_k(spark, sf_dir):
+    df = run("q877_jl_distortion", spark, sf_dir).sort_values("k")
+    spread = (df["max_ratio"] - df["min_ratio"]).tolist()
+    assert spread[-1] <= spread[0] + 1e-9  # k=16 tighter than k=4
+    assert (df["min_ratio"] >= 0).all()
+
+
+def test_jl_epsilon_monotone(spark, sf_dir):
+    df = run("q878_jl_epsilon_census", spark, sf_dir)
+    for _, g in df.groupby("k"):
+        s = g.sort_values("eps")["share_within"].tolist()
+        assert all(a <= b + 1e-12 for a, b in zip(s, s[1:]))
+    assert (df["share_within"] <= 1).all()
+
+
+def test_jl_nn_preservation_bounds(spark, sf_dir):
+    df = run("q879_jl_nn_preservation", spark, sf_dir)
+    assert (df["preserved"] <= df["n_queries"]).all()
+    assert (df["nn_preservation"] >= 0).all()
+
+
+def test_jl_budget_row(spark, sf_dir):
+    row = run("q880_jl_dimension_budget", spark, sf_dir).iloc[0]
+    assert row["jl_bound_dims"] > 0
+    assert row["worst_16"] <= row["worst_4"] + 1e-9
