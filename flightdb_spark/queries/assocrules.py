@@ -449,8 +449,11 @@ def q585_negative_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand pairs that co-occur LESS than independence predicts —
     including pairs that never co-occur, which a pure basket explosion
     cannot emit: the bounded 25x25 brand triangle (self-join on the
-    AGGREGATED item table) LEFT JOINs observed pair support with
-    COALESCE 0. Bottom lifts with both items above a support floor."""
+    AGGREGATED item table, right side EXPLICITLY broadcast so the
+    planner can never degrade the theta join to a CartesianProduct
+    regardless of size estimates) LEFT JOINs observed pair support
+    with COALESCE 0. Bottom lifts with both items above a support
+    floor."""
     baskets = _baskets(spark, sf_dir)
     item = _item_support(baskets).filter(F.col("supp") >= MIN_ITEM_SUP)
     pairs = _pair_explode(baskets)
@@ -458,7 +461,7 @@ def q585_negative_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("brand").alias("a"), F.col("supp").alias("supp_a"))
     ib = item.select(F.col("brand").alias("b"), F.col("supp").alias("supp_b"))
     return (
-        ia.join(ib, F.col("b") > F.col("a"))
+        ia.join(F.broadcast(ib), F.col("b") > F.col("a"))
         .join(F.broadcast(pairs), ["a", "b"], "left")
         .select(
             "a", "b", "supp_a", "supp_b",

@@ -2,8 +2,10 @@
 action policy WOULD earn from logged interaction data — the
 counterfactual question behind every bandit/RLHF deployment gate.
 Events are the interaction log: the logged action is the event type,
-the reward is value/100, and the logging policy's propensities are
-the empirical action frequencies. Candidate policies are the five
+the reward is value/100. q319's IPS scores against the DECLARED
+uniform logging policy (p_log = 1/k over the k logged actions) so it
+genuinely differs from SNIPS; q320's DR correction keeps the
+empirical propensities. Candidate policies are the five
 deterministic single-action policies ("always A"), evaluated with
 inverse-propensity scoring (IPS), its self-normalized variant
 (SNIPS), the effective sample size that says how trustworthy each
@@ -37,7 +39,8 @@ _LOG_CTE = """
     ),
     prop AS (
       SELECT action, CAST(COUNT(*) AS BIGINT) AS n_a,
-             (SELECT COUNT(*) FROM logged) AS n
+             (SELECT COUNT(*) FROM logged) AS n,
+             (SELECT COUNT(DISTINCT action) FROM logged) AS k
       FROM logged GROUP BY action
     )
 """
@@ -50,9 +53,11 @@ _LOG_CTE = """
     SELECT p.action AS policy_action,
            p.n_a AS n_match,
            ROUND(CAST(p.n_a AS DOUBLE) / p.n, 6) AS propensity,
-           -- IPS: sum(r / p-hat) over matched rows, divided by N
-           ROUND(CAST(s.sr AS DOUBLE) / (CAST(p.n_a AS DOUBLE) / p.n) / p.n,
-                 6) AS ips_value,
+           -- IPS under the DECLARED uniform logging policy (p_log =
+           -- 1/k): sum(r / p_log) over matched rows, divided by N.
+           -- Differs from SNIPS exactly when the empirical action
+           -- frequency deviates from 1/k.
+           ROUND(CAST(s.sr AS DOUBLE) * p.k / p.n, 6) AS ips_value,
            -- SNIPS: constant weights cancel -> matched-rows mean
            ROUND(CAST(s.sr AS DOUBLE) / p.n_a, 6) AS snips_value,
            -- ESS of constant weights = n_match
@@ -72,32 +77,40 @@ def q319_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented closed form), and the effective sample size is the
     match count.
 
-    NOTE: with EMPIRICAL propensities (p-hat = n_a / n, as here) the
-    two estimators COINCIDE algebraically — sr/p-hat/n == sr/n_a —
-    so ips_value and snips_value print the same number by design;
-    both columns are kept because the identity breaks the moment
-    propensities come from a logging policy instead of the log
-    itself (the production case), and downstream consumers read both
-    columns positionally. The table an experimentation platform
-    reads before promoting a policy without an A/B test. Scale: one
-    action-keyed aggregate over the log (5 keys, map-side combine
-    does all the work); rewards accumulate 6-dp DECIMAL."""
+    IPS is scored against the DECLARED logging policy — uniform over
+    the k logged actions (p_log = 1/k) — not the empirical action
+    frequency: with empirical propensities the two estimators
+    coincide algebraically (sr/p-hat/n == sr/n_a) and the table would
+    print one number twice. Under the declared policy ips_value =
+    sr*k/n and snips_value = sr/n_a genuinely differ whenever the log
+    is action-imbalanced; their gap is itself the diagnostic a bandit
+    platform reads. The empirical propensity stays as its own column.
+    The table an experimentation platform reads before promoting a
+    policy without an A/B test. Scale: one action-keyed aggregate
+    over the log (k keys, map-side combine does all the work) plus a
+    1-row broadcast total — no eager driver-side counts; rewards
+    accumulate 6-dp DECIMAL."""
     ev = load_table(spark, sf_dir, "events")
     logged = ev.select(
         F.col("event_type").alias("action"),
         F.round(F.col("value") / 100.0, 6).cast("decimal(38,6)").alias("reward"),
     )
-    n = logged.count()
+    tot = logged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("action").cast("bigint").alias("k"),
+    )
     agg = logged.groupBy("action").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a"),
         F.sum("reward").alias("sr"),
     )
-    phat = F.col("n_a").cast("double") / n
-    return agg.select(
+    joined = agg.crossJoin(F.broadcast(tot))
+    return joined.select(
         F.col("action").alias("policy_action"),
         F.col("n_a").alias("n_match"),
-        F.round(phat, 6).alias("propensity"),
-        F.round(F.col("sr").cast("double") / phat / n, 6).alias("ips_value"),
+        F.round(F.col("n_a").cast("double") / F.col("n"), 6).alias("propensity"),
+        F.round(
+            F.col("sr").cast("double") * F.col("k") / F.col("n"), 6
+        ).alias("ips_value"),
         F.round(F.col("sr").cast("double") / F.col("n_a"), 6).alias(
             "snips_value"
         ),
@@ -158,8 +171,10 @@ def q320_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("action"),
         F.round(F.col("value") / 100.0, 6).cast("decimal(38,6)").alias("reward"),
     )
-    n = logged.count()
-    prop = logged.groupBy("action").agg(F.count(F.lit(1)).alias("n_a"))
+    tot = logged.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    prop = logged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_a")
+    ).crossJoin(F.broadcast(tot))
     ubin = logged.groupBy("user_id").agg(
         F.floor(F.count(F.lit(1)) / 5).cast("int").alias("bin")
     )
@@ -171,7 +186,7 @@ def q320_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx.join(F.broadcast(mu), "bin")
         .join(
             F.broadcast(
-                prop.select(F.col("action").alias("m_action"), "n_a")
+                prop.select(F.col("action").alias("m_action"), "n_a", "n")
             ),
             "m_action",
         )
@@ -182,7 +197,7 @@ def q320_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.when(
                     F.col("action") == F.col("m_action"),
                     (F.col("reward").cast("double") - F.col("mu_hat"))
-                    / (F.col("n_a").cast("double") / n),
+                    / (F.col("n_a").cast("double") / F.col("n")),
                 ).otherwise(0.0),
                 9,
             )

@@ -253,7 +253,11 @@ _Q735_SQL = f"""
     SELECT x.brand,
            x.max_dd AS max_drawdown,
            CAST(MIN(d.m) AS BIGINT) AS trough_month_idx,
-           CAST(MIN(d.gap_cents) AS BIGINT) AS trough_gap_cents
+           -- gap from the SAME row as the reported month (earliest
+           -- tied month), not an independent MIN over tied rows —
+           -- keeps the two columns mutually consistent when the max
+           -- ratio recurs under different peaks
+           CAST(MIN_BY(d.gap_cents, d.m) AS BIGINT) AS trough_gap_cents
     FROM mx x JOIN dd d ON d.brand = x.brand AND d.ddown = x.max_dd
     GROUP BY x.brand, x.max_dd
     ORDER BY x.brand
@@ -265,7 +269,8 @@ def q735_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deepest peak-to-trough drawdown of each brand's monthly revenue
     index: brand-partitioned running peak (bounded spine), drawdown as
     an exact integer gap over the integer peak, argmax tie broken by
-    the EARLIEST month (MIN over the equal-ddown rows — double equality
+    the EARLIEST month; both reported columns come from that ONE
+    tie-broken row (MIN month + MIN_BY gap on month — double equality
     of identically-computed values is engine-stable)."""
     _views(spark, sf_dir)
     return spark.sql(_Q735_SQL)

@@ -26,8 +26,10 @@ bucket to EXACT order statistics without ever sorting the corpus.
 100 TB shape: every build is ONE map-side-combining aggregate into a
 value-domain-bounded table (192 buckets at width 256); refinement
 touches only the target buckets' rows (a pushdown-friendly filter);
-cumulative structures are bounded inequality joins with BROADCAST
-hints. Nothing sorts, nothing windows the corpus.
+the coarse cumulative is a bounded inequality join with a BROADCAST
+hint; the in-bucket cumulative is a window PARTITIONED by target (each
+partition <= 256 distinct cent values). Nothing sorts, nothing windows
+the corpus.
 
 Determinism: cents are exact integers; bucket ids are FLOOR of an
 exact power-of-two division; all counts/ranks integer; target ranks
@@ -82,17 +84,19 @@ def _targets_cte() -> str:
       FROM pcts CROSS JOIN tot t
     ),
     located AS (
-      SELECT tg.p, tg.rank_target, tg.n,
+      SELECT /*+ BROADCAST(tg) */ tg.p, tg.rank_target, tg.n,
              MIN(c.bucket) AS bucket
       FROM targets tg JOIN cum c ON c.cum_cnt >= tg.rank_target
       GROUP BY tg.p, tg.rank_target, tg.n
     ),
     base AS (
+      -- count strictly below the located bucket: the inclusive
+      -- cumulative at that bucket minus its own count (an EQUI join on
+      -- bucket; the correlated "MAX(cum_cnt) WHERE bucket < l.bucket"
+      -- form decorrelates to a CartesianProduct and is avoided)
       SELECT l.p, l.rank_target, l.n, l.bucket,
-             COALESCE((SELECT MAX(c2.cum_cnt) FROM cum c2
-                       WHERE c2.bucket < l.bucket), CAST(0 AS BIGINT))
-               AS below
-      FROM located l
+             CAST(c.cum_cnt - c.cnt AS BIGINT) AS below
+      FROM located l JOIN cum c ON c.bucket = l.bucket
     )"""
 
 
@@ -134,11 +138,11 @@ _Q807_SQL = f"""
       GROUP BY b.p, b.rank_target, v.cents
     ),
     fcum AS (
-      SELECT /*+ BROADCAST(f2) */ f.p, f.rank_target, f.cents,
-             CAST(SUM(f2.cnt) AS BIGINT) AS incum
-      FROM fine f JOIN fine f2
-        ON f2.p = f.p AND f2.cents <= f.cents
-      GROUP BY f.p, f.rank_target, f.cents
+      SELECT p, rank_target, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY p ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS incum
+      FROM fine
     )
     SELECT b.p AS pct,
            b.rank_target,
@@ -154,8 +158,10 @@ _Q807_SQL = f"""
 def q807_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics without a global sort: the coarse
     cumulative locates each target's bucket, then a bounded in-bucket
-    cumulative (<= 256 distinct values) resolves the exact value. At
-    cluster scale pass two reads only the target buckets' rows."""
+    cumulative (a window PARTITIONED by target, <= 256 distinct values
+    per partition — never a join, never a global window) resolves the
+    exact value. At cluster scale pass two reads only the target
+    buckets' rows."""
     _views(spark, sf_dir)
     return spark.sql(_Q807_SQL)
 
@@ -173,11 +179,11 @@ _Q808_SQL = f"""
       GROUP BY b.p, b.rank_target, v.cents
     ),
     fcum AS (
-      SELECT /*+ BROADCAST(f2) */ f.p, f.rank_target, f.cents,
-             CAST(SUM(f2.cnt) AS BIGINT) AS incum
-      FROM fine f JOIN fine f2
-        ON f2.p = f.p AND f2.cents <= f.cents
-      GROUP BY f.p, f.rank_target, f.cents
+      SELECT p, rank_target, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY p ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS incum
+      FROM fine
     ),
     exact AS (
       SELECT b.p, b.rank_target, b.n, b.bucket, b.below,

@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-6 batches (q561-q610) beyond the
+"""Semantic invariants for the round-6 batches (q561-q880) beyond the
 oracle hash gate: properties the DuckDB comparison cannot see (both
 engines could be wrong the same way), checked on sf0.001.
 """

@@ -153,6 +153,13 @@ def main() -> int:
 
         with open(artifact) as fh:
             prior = json.load(fh)
+        if prior.get("sf_dir") and prior["sf_dir"] != sf_dir:
+            print(
+                f"REFUSED merge: delta ran at {sf_dir} but {artifact} "
+                f"records {prior['sf_dir']} — rerun the delta at the "
+                "artifact's scale (or do a full run to rebase)"
+            )
+            return 1
         prior["queries"].update(results)
         qs = prior["queries"]
         prior["n_rows_only"] = sum(1 for v in qs.values() if v.get("rows_only"))
