@@ -357,6 +357,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# warmup {t} failed: {exc}", file=sys.stderr)
 
+    # Codegen-infrastructure warm-up: the FIRST hash aggregate / window /
+    # broadcast join of a session pays Janino classloading + whole-stage
+    # compilation (~1-3 s) that has nothing to do with the query being
+    # timed — r6 showed q01 (first in HEADLINE) absorbing 4.18 s driver-side
+    # vs 0.6 s warm. Three tiny shaped plans compile those paths up front.
+    try:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        rng = spark.range(10000).select(
+            (_F.col("id") % 7).alias("k"), _F.col("id").alias("v")
+        )
+        rng.groupBy("k").agg(_F.sum("v"), _F.avg("v"), _F.count("*")).count()
+        rng.withColumn(
+            "lagv", _F.lag("v").over(_W.partitionBy("k").orderBy("v"))
+        ).count()
+        dim = spark.range(7).select(_F.col("id").alias("k"))
+        rng.join(_F.broadcast(dim), "k").count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# codegen warmup failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:

@@ -172,9 +172,12 @@ def q322_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates of the customer table; the TVD join runs on
     25 nations x 5 segments."""
     cust = load_table(spark, sf_dir, "customer")
-    n_total = cust.count()
-    glob = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
-        (F.count(F.lit(1)) * 1.0 / n_total).alias("q")
+    tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    glob = (
+        cust.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("segn"))
+        .crossJoin(F.broadcast(tot))
+        .select("seg", (F.col("segn") * 1.0 / F.col("n_total")).alias("q"))
     )
     grp = cust.groupBy(
         F.col("c_nationkey").alias("g_nation"),

@@ -919,14 +919,17 @@ def q191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.count()
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     dims = e.select(F.posexplode("v").alias("i", "x"))
-    means = dims.groupBy("i").agg(
-        F.round(
-            F.sum(F.round(F.col("x"), 9).cast("decimal(38,9)")).cast("double")
-            / F.lit(n),
-            6,
-        ).alias("m")
+    means = (
+        dims.groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("sx")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("i", F.round(F.col("sx") / F.col("nn"), 6).alias("m"))
     )
     crossp = (
         e.select(
@@ -946,9 +949,10 @@ def q191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sxy")
         )
     )
-    raw_c = F.col("sxy") / F.lit(n) - F.col("ma") * F.col("mb")
+    raw_c = F.col("sxy") / F.col("nn") - F.col("ma") * F.col("mb")
     cov = (
-        crossp.join(
+        crossp.crossJoin(F.broadcast(tot))
+        .join(
             F.broadcast(
                 means.select(F.col("i").alias("mi"), F.col("m").alias("ma"))
             ),

@@ -178,13 +178,14 @@ def q581_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "supp_ab")
     )
     item = _item_support(baskets)
-    n = baskets.count()
+    nt = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     ia = item.select(F.col("brand").alias("a"), F.col("supp").alias("supp_a"))
     ib = item.select(F.col("brand").alias("b"), F.col("supp").alias("supp_b"))
     conf = F.col("supp_ab").cast("double") / F.col("supp_a")
     return (
         directed.join(F.broadcast(ia), "a")
         .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(nt))
         .select(
             F.col("a").alias("antecedent"),
             F.col("b").alias("consequent"),
@@ -192,20 +193,22 @@ def q581_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(conf, 6).alias("confidence"),
             F.round(
                 F.col("supp_ab").cast("double")
-                * n
+                * F.col("nb")
                 / (F.col("supp_a") * 1.0 * F.col("supp_b")),
                 6,
             ).alias("lift"),
             F.round(
-                F.col("supp_ab").cast("double") / n
-                - (F.col("supp_a").cast("double") / n)
-                * (F.col("supp_b").cast("double") / n),
+                F.col("supp_ab").cast("double") / F.col("nb")
+                - (F.col("supp_a").cast("double") / F.col("nb"))
+                * (F.col("supp_b").cast("double") / F.col("nb")),
                 6,
             ).alias("leverage"),
             F.when(F.col("supp_ab") == F.col("supp_a"), F.lit(None).cast("double"))
             .otherwise(
                 F.round(
-                    (1.0 - F.col("supp_b").cast("double") / n) / (1.0 - conf), 6
+                    (1.0 - F.col("supp_b").cast("double") / F.col("nb"))
+                    / (1.0 - conf),
+                    6,
                 )
             )
             .alias("conviction"),
@@ -457,18 +460,19 @@ def q585_negative_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = _baskets(spark, sf_dir)
     item = _item_support(baskets).filter(F.col("supp") >= MIN_ITEM_SUP)
     pairs = _pair_explode(baskets)
-    n = baskets.count()
+    nt = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     ia = item.select(F.col("brand").alias("a"), F.col("supp").alias("supp_a"))
     ib = item.select(F.col("brand").alias("b"), F.col("supp").alias("supp_b"))
     return (
         ia.join(F.broadcast(ib), F.col("b") > F.col("a"))
         .join(F.broadcast(pairs), ["a", "b"], "left")
+        .crossJoin(F.broadcast(nt))
         .select(
             "a", "b", "supp_a", "supp_b",
             F.coalesce(F.col("supp_ab"), F.lit(0)).cast("bigint").alias("supp_ab"),
             F.round(
                 F.coalesce(F.col("supp_ab"), F.lit(0)).cast("double")
-                * n
+                * F.col("nb")
                 / (F.col("supp_a") * 1.0 * F.col("supp_b")),
                 6,
             ).alias("lift"),

@@ -229,7 +229,7 @@ def q353_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_hit"),
         )
     )
-    nv = e.count()
+    corpus = e.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
     return (
         hits.groupBy(F.col("np").alias("nprobe"))
         .agg(
@@ -237,9 +237,14 @@ def q353_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("n_hit") * 1.0 / (F.count(F.lit(1)) * SWEEP_TOPK), 6
             ).alias(f"recall_at_{SWEEP_TOPK}"),
-            F.round(
-                F.sum("n_cand") * 1.0 / F.count(F.lit(1)) / nv, 6
-            ).alias("candidate_frac"),
+            (F.sum("n_cand") * 1.0 / F.count(F.lit(1))).alias("_mc"),
+        )
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "nprobe",
+            "n_queries",
+            f"recall_at_{SWEEP_TOPK}",
+            F.round(F.col("_mc") / F.col("nv"), 6).alias("candidate_frac"),
         )
         .orderBy("nprobe")
     )

@@ -121,7 +121,7 @@ def q362_symspell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(split(text, ' ')[0], 3)"),
         ).alias("typo"),
     )
-    n_typos = typos.count()
+    tcnt = typos.agg(F.count(F.lit(1)).cast("bigint").alias("n_typos"))
 
     def deletes(col: str):
         return F.expr(
@@ -150,21 +150,21 @@ def q362_symspell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wbest))
         .filter(F.col("rn") == 1)
     )
-    return best.agg(
-        F.lit(n_typos).cast("bigint").alias("n_typos"),
+    # global agg first (exactly one row even on an empty input), THEN the
+    # 1-row typo-count broadcast — keeps n_typos correct when no typo
+    # finds a candidate, with no eager driver-side count.
+    summed = best.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_with_candidate"),
         F.sum(F.when(F.col("candidate") == F.col("original"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_corrected"),
+    )
+    return summed.crossJoin(F.broadcast(tcnt)).select(
+        F.col("n_typos"),
+        F.col("n_with_candidate"),
+        F.col("n_corrected"),
         F.round(
-            F.sum(
-                F.when(F.col("candidate") == F.col("original"), 1).otherwise(
-                    0
-                )
-            )
-            * 1.0
-            / n_typos,
-            6,
+            F.col("n_corrected") * 1.0 / F.col("n_typos"), 6
         ).alias("correction_rate"),
     )
 

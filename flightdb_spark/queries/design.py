@@ -203,8 +203,14 @@ def q369_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nonzero (user, day) cells and four scalars are ever
     materialized on the Spark side."""
     ev = load_table(spark, sf_dir, "events")
-    n_users = ev.select("user_id").distinct().count()
-    n_days = ev.select(F.col("ts").cast("date")).distinct().count()
+    grid = ev.agg(
+        (
+            F.countDistinct("user_id")
+            * F.countDistinct(F.col("ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("n")
+    )
     daily = ev.filter(F.col("event_type") == "purchase").groupBy(
         "user_id", F.col("ts").cast("date").alias("d")
     ).agg(F.count(F.lit(1)).alias("k"))
@@ -212,16 +218,16 @@ def q369_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nz_cells"),
         F.sum("k").cast("double").alias("s1"),
     )
-    n = n_users * n_days
-    return nz.select(
-        F.lit(n).cast("bigint").alias("n_user_days"),
+    n = F.col("n")
+    return nz.crossJoin(F.broadcast(grid)).select(
+        n.alias("n_user_days"),
         F.round(F.col("s1") / n, 6).alias("lambda_hat"),
-        F.round((n - F.col("nz_cells")) / F.lit(float(n)), 6).alias(
+        F.round((n - F.col("nz_cells")) / n.cast("double"), 6).alias(
             "zero_share"
         ),
         F.round(F.exp(-(F.col("s1") / n)), 6).alias("poisson_zero_share"),
         F.round(
-            (n - F.col("nz_cells")) / F.lit(float(n))
+            (n - F.col("nz_cells")) / n.cast("double")
             - F.exp(-(F.col("s1") / n)),
             6,
         ).alias("excess_zeros"),

@@ -694,11 +694,12 @@ def q128_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     rcnt = binned(ref).withColumnRenamed("n", "nr")
     ccnt = binned(cur).withColumnRenamed("n", "nc")
-    tr = ref.count()
-    tc = cur.count()
-    pr = F.col("nr") * 1.0 / tr
-    pc = F.col("nc") * 1.0 / tc
-    terms = rcnt.join(ccnt, "bin").select(
+    tots = ref.agg(F.count(F.lit(1)).cast("bigint").alias("tr")).crossJoin(
+        cur.agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    pr = F.col("nr") * 1.0 / F.col("tr")
+    pc = F.col("nc") * 1.0 / F.col("tc")
+    terms = rcnt.join(ccnt, "bin").crossJoin(F.broadcast(tots)).select(
         F.round((pr - pc) * F.log(pr / pc), 8).alias("term")
     )
     return terms.agg(
@@ -749,11 +750,12 @@ def q129_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = obs.select("event_type", (F.col("dow_s") - 1).alias("dow"), "o")
     rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("nr"))
     cols_t = obs.groupBy("dow").agg(F.sum("o").alias("nc"))
-    n = ev.count()
-    e = F.col("nr") * 1.0 * F.col("nc") / n
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    e = F.col("nr") * 1.0 * F.col("nc") / F.col("nn")
     terms = (
         obs.join(F.broadcast(rows_t), "event_type")
         .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.round((F.col("o") - e) * (F.col("o") - e) / e, 8).alias("term")
         )

@@ -62,8 +62,10 @@ def q21_flown_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance travelled along track: running haversine sum
     (DistanceTravelledKM, track.go:216; flown-distance-between-waypoints
     report family). Window lag + one groupBy — single shuffle on
-    flight_id."""
-    tp = synth_trackpoints(spark, sf_dir)
+    flight_id (parallelize=False: the window's hash exchange is the
+    first op, a round-robin pre-split would only add a second
+    full-table shuffle)."""
+    tp = synth_trackpoints(spark, sf_dir, parallelize=False)
     w = W.partitionBy("flight_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     step = haversine_km(
         F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")

@@ -668,6 +668,8 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataF
             .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
             .localCheckpoint()
         )
+        # plan-shaping eager counts: k-core fixed-point detection on the
+        # localCheckpointed edge set (loop termination, not data flow)
         if e2.count() == e.count():
             e = e2
             break

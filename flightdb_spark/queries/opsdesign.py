@@ -81,13 +81,19 @@ def q327_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("e_over_24h")
     )
     bucketed = late.select(bucket.alias("bucket"), "late_us")
-    n = bucketed.count()
+    tot = bucketed.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     return (
         bucketed.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.count(F.lit(1)) * 1.0 / n, 6).alias("frac"),
             F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_events",
+            F.round(F.col("n_events") * 1.0 / F.col("nn"), 6).alias("frac"),
+            "max_late_us",
         )
         .orderBy("bucket")
     )

@@ -90,15 +90,16 @@ def q356_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.round(pin, 6).cast("decimal(38,6)")).alias("pinball")
         )
     )
-    n = xy.count()
+    tot = xy.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     wbest = W.orderBy(F.col("pinball").asc(), F.col("b").asc())
     return (
         losses.withColumn("rn", F.row_number().over(wbest))
         .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("b").alias("slope"),
             F.round(F.col("pinball").cast("double"), 2).alias("pinball_loss"),
-            F.lit(n).cast("bigint").alias("n_orders"),
+            F.col("n_orders"),
         )
     )
 

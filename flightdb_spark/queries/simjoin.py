@@ -109,6 +109,8 @@ def q91_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table broadcasts and verification is map-side, above it the two
     # joins shuffle candidate-sized rows (never candidates x doc size)
     sets_ = toks.groupBy("doc_id").agg(F.collect_list("sh").alias("w"))
+    # plan-shaping eager count (broadcast-vs-shuffle strategy gate, the
+    # role AQE stats play) — not a data-flow scalar
     n_docs = sets_.count()
     maybe_bcast = F.broadcast if n_docs <= JACCARD_BCAST_DOCS else (lambda df: df)
     out = (

@@ -72,7 +72,11 @@ def q130_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on doc_id for the per-doc rollup — no pairwise work,
     frequency table bounded by distinct segments."""
     docs = load_table(spark, sf_dir, "documents")
-    min_docs = math.ceil(BOILER_MIN_FRAC * docs.count())
+    thr = docs.agg(
+        F.ceil(F.lit(BOILER_MIN_FRAC) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("min_docs")
+    )
     toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
     segs = (
         toks.select(
@@ -94,7 +98,8 @@ def q130_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (
         segs.groupBy("seg")
         .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("nd") >= F.col("min_docs"))
         .select("seg", F.lit(1).alias("is_boiler"))
     )
     return (
@@ -272,14 +277,18 @@ def q132_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("o"))
     rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("nr"))
     cols_t = obs.groupBy("dow").agg(F.sum("o").alias("nc"))
-    n = ev.count()
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     terms = (
         obs.join(F.broadcast(rows_t), "event_type")
         .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.round(
-                (F.col("o") * 1.0 / n)
-                * F.log(F.col("o") * 1.0 * n / (F.col("nr") * 1.0 * F.col("nc"))),
+                (F.col("o") * 1.0 / F.col("nn"))
+                * F.log(
+                    F.col("o") * 1.0 * F.col("nn")
+                    / (F.col("nr") * 1.0 * F.col("nc"))
+                ),
                 8,
             ).alias("term")
         )
@@ -361,7 +370,7 @@ def q133_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = baskets.select(
         F.explode("items").alias("l_partkey")
     ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n = baskets.count()
+    tot = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     return (
         pairs.join(
             F.broadcast(pc.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))),
@@ -371,12 +380,15 @@ def q133_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(pc.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))),
             "pb",
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "pa",
             "pb",
             "support",
             F.round(
-                F.col("support") * 1.0 * n / (F.col("ca") * 1.0 * F.col("cb")), 6
+                F.col("support") * 1.0 * F.col("nn")
+                / (F.col("ca") * 1.0 * F.col("cb")),
+                6,
             ).alias("lift"),
         )
         .orderBy(F.desc("lift"), "pa", "pb")
@@ -1905,7 +1917,7 @@ def q157_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc universe = docs with at least one token (the oracle's
     # COUNT(DISTINCT doc_id)): empty docs must not inflate the PMI
     # denominator
-    nd = dtoks.count()
+    ndt = dtoks.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     tc = dtoks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1940,12 +1952,16 @@ def q157_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(tc.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))),
             "tok_b",
         )
+        .crossJoin(F.broadcast(ndt))
         .select(
             "tok_a",
             "tok_b",
             F.col("cab").cast("bigint").alias("n_docs"),
             F.round(
-                F.log(F.col("cab") * 1.0 * nd / (F.col("ca") * 1.0 * F.col("cb"))),
+                F.log(
+                    F.col("cab") * 1.0 * F.col("nd")
+                    / (F.col("ca") * 1.0 * F.col("cb"))
+                ),
                 6,
             ).alias("pmi"),
         )

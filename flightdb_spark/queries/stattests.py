@@ -413,13 +413,20 @@ def q196_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q197 — semantic dedup scoped to IVF cells
 
 SEM_TH = "0.25"  # cosine threshold as a literal string shared by both sides
+SEM_CELL_TARGET = 64  # target mean cell population: k = max(8, ceil(n/64))
+SEM_MAX_CELL = 512  # circuit breaker: cells beyond this never pair
 
 
 @query(
     "q197_semantic_dedup",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT GREATEST({N_CENTROIDS},
+                        CAST(CEIL(COUNT(*) / {SEM_CELL_TARGET}.0) AS BIGINT))
+                      FROM e)
+    ),
     asg AS (
       SELECT e.vec_id, e.v, cid,
              ROW_NUMBER() OVER (
@@ -429,10 +436,15 @@ SEM_TH = "0.25"  # cosine threshold as a literal string shared by both sides
       FROM e, cents
     ),
     cells AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+    pops AS (SELECT cell, COUNT(*) AS m FROM cells GROUP BY cell),
+    kept AS (
+      SELECT c.vec_id, c.v, c.cell FROM cells c
+      JOIN pops p ON p.cell = c.cell AND p.m <= {SEM_MAX_CELL}
+    ),
     dup AS (
       SELECT b.vec_id, b.cell, MIN(a.vec_id) AS canonical_id,
              MAX(ROUND(list_cosine_similarity(a.v, b.v), 6)) AS max_sim
-      FROM cells a JOIN cells b
+      FROM kept a JOIN kept b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {SEM_TH}
       GROUP BY b.vec_id, b.cell
@@ -448,13 +460,25 @@ def q197_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved ONLY within a cell: a vector is dropped when a lower-id
     cell-mate sits above the cosine threshold (greedy keep-lowest-id,
     the SemDeDup rule). Reports each dropped vector with its keeper
-    and best similarity. The within-cell self-join is the whole point
-    at scale — k grows with sqrt(n) so cells stay bounded and the n^2
-    never happens globally (cap cell population or refine k if a cell
-    outgrows its budget). Cosine compared on the shared 6-dp rounding.
+    and best similarity.
+
+    Scale contract (the r6 sf1 rehearsal lesson — a FIXED k went 139x
+    on 10x dup-dense data): the centroid count now tracks the corpus,
+    k = max({N_CENTROIDS}, ceil(n/{SEM_CELL_TARGET})), so mean cell
+    population stays ~{SEM_CELL_TARGET} and total pair work stays
+    LINEAR in n (SemDeDup's own recipe — clusters sized ~constant);
+    and semantic_dedup_drops' max_cell={SEM_MAX_CELL} circuit breaker
+    excludes any dup-dense cell that still outgrows its budget from
+    pair generation instead of going m^2. Both rules are mirrored in
+    the oracle (k via a COUNT subquery, the cap via a cell-population
+    join) so parity holds at every SF. The one eager action (count to
+    size k) is plan-shaping, not data-flow — the same role AQE stats
+    play. Cosine compared on the shared 6-dp rounding.
     Implementation: operators/vectors.py::semantic_dedup_drops (also a
     pipelines.py stage)."""
     e = _emb(spark, sf_dir)
+    n = e.count()
+    k = max(N_CENTROIDS, -(-n // SEM_CELL_TARGET))
     return vectors.semantic_dedup_drops(
-        e, n_centroids=N_CENTROIDS, threshold=float(SEM_TH)
+        e, n_centroids=k, threshold=float(SEM_TH), max_cell=SEM_MAX_CELL
     ).orderBy("vec_id")

@@ -43,11 +43,20 @@ trackpoints AS (
 """
 
 
-def synth_trackpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame twin of SYNTH_TP_CTE (same arithmetic, DataFrame API)."""
-    # Per-point trig downstream: spread a single-file local scan
-    # across cores (no-op on a real cluster).
-    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+def synth_trackpoints(
+    spark: SparkSession, sf_dir: str, *, parallelize: bool = True
+) -> DataFrame:
+    """DataFrame twin of SYNTH_TP_CTE (same arithmetic, DataFrame API).
+
+    ``parallelize=False`` skips the round-robin scan split: callers
+    whose FIRST operation is already a shuffle (window / groupBy on
+    flight_id, e.g. q21) gain nothing from pre-splitting — the extra
+    exchange just rewrites the whole fact table once more (measured
+    2x on q21 at sf0.1). Callers with per-point trig BEFORE any
+    shuffle keep the default."""
+    ev = load_table(spark, sf_dir, "events")
+    if parallelize:
+        ev = ensure_parallelism(ev)
     return ev.select(
         F.col("user_id").alias("flight_id"),
         "ts",

@@ -122,7 +122,7 @@ def q316_labeling_function_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature projection per document (pure column expressions), an
     in-row unpivot to (doc, lf, vote) and one shuffle onto 3 keys."""
     v = _votes(spark, sf_dir)
-    n_docs = v.count()
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
 
     def lf_rows(name: str, me: str, o1: str, o2: str) -> DataFrame:
         others_vote = F.col(o1).isNotNull() | F.col(o2).isNotNull()
@@ -146,24 +146,22 @@ def q316_labeling_function_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("lf")
         .agg(
             F.count("vote").cast("bigint").alias("n_votes"),
-            F.round(F.count("vote") * 1.0 / n_docs, 6).alias("coverage"),
-            F.round(
-                F.sum(F.when(voted, F.col("other_votes")).otherwise(0))
-                * 1.0
-                / n_docs,
-                6,
-            ).alias("overlap"),
-            F.round(
-                F.sum(F.when(voted, F.col("disagrees")).otherwise(0))
-                * 1.0
-                / n_docs,
-                6,
-            ).alias("conflict"),
+            F.sum(F.when(voted, F.col("other_votes")).otherwise(0)).alias("_ov"),
+            F.sum(F.when(voted, F.col("disagrees")).otherwise(0)).alias("_dg"),
             F.round(
                 F.sum(F.when(F.col("vote") == 1, 1).otherwise(0)).cast("double")
                 / F.count("vote"),
                 6,
             ).alias("pos_rate"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lf",
+            "n_votes",
+            F.round(F.col("n_votes") * 1.0 / F.col("nd"), 6).alias("coverage"),
+            F.round(F.col("_ov") * 1.0 / F.col("nd"), 6).alias("overlap"),
+            F.round(F.col("_dg") * 1.0 / F.col("nd"), 6).alias("conflict"),
+            "pos_rate",
         )
         .orderBy("lf")
     )
