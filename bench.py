@@ -318,6 +318,16 @@ HEADLINE = [
     "q861_lincoln_petersen",
     "q867_pwm_table",
     "q872_composite_scores",
+    # round 7: process mining / apportionment / SAX / quadkey / microstructure
+    "q881_handoff_times",
+    "q883_bottleneck_ranking",
+    "q887_dhondt_seats",
+    "q891_apportionment_divergence",
+    "q894_user_sax_words",
+    "q897_quadkey_census",
+    "q901_bbox_index_equivalence",
+    "q902_vwap_hourly",
+    "q904_volatility_signature",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).
@@ -344,7 +354,12 @@ BASELINE_SET = frozenset(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    t_reg = time.time()
     registry = load_registry()
+    # recorded in BENCH_LOCAL so registry-import creep is visible per
+    # round (880 eager module imports measured ~0.9 s cold in r7; the
+    # lazy-load threshold is ~2 s)
+    registry_load_sec = round(time.time() - t_reg, 3)
     spark = get_spark("flightdb_bench")
 
     # warm-up: force JVM init + parquet footer reads for every input table.
@@ -409,6 +424,7 @@ def main() -> None:
         "errors": errors,
         "sf": sf_val,
         "n_queries": len(timings),
+        "registry_load_sec": registry_load_sec,
     }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"

@@ -203,6 +203,11 @@ _MODULES = [
     "lmoments",
     "composite",
     "jlprojection",
+    "procmining",
+    "apportionment",
+    "saxpaa",
+    "quadkey",
+    "microstructure",
 ]
 
 

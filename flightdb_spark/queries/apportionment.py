@@ -1,0 +1,267 @@
+"""Seat-apportionment batch 163 (q887-q891) — the divisor and quota
+methods that turn counts into a fixed number of discrete seats:
+allocating S=100 "seats" (capacity slots, shards, audit quotas) to the
+25 nations proportionally to their customer counts. The same math
+allocates replicas to partitions or reviewers to regions — integer
+proportional division under a hard total.
+
+- q887 D'Hondt: highest averages with divisors 1,2,3,...;
+- q888 Sainte-Lague: odd divisors 1,3,5,... (favors small parties);
+- q889 Hamilton largest remainder: floor quotas + ranked remainders;
+- q890 Huntington-Hill: geometric-mean divisors, compared EXACTLY via
+  squared priorities (votes^2 vs k(k+1)) so no sqrt enters ranking;
+- q891 method divergence: all four seat vectors side by side with the
+  max pairwise disagreement per nation.
+
+100 TB shape: ONE fact aggregate to the 25-row vote table, then all
+allocation happens on literal-bounded grids (25 nations x <= 100
+divisors = 2500 rows); top-S selection is a rank join on the bounded
+quotient table. Nothing beyond the first aggregate ever touches fact
+rows.
+
+Determinism: quotients rank by EXACT integer cross-products
+(va * kb vs vb * ka — never a double division), remainders are exact
+integers (votes*S - floor*total, integer div is dialected
+`div`/`//`), Huntington-Hill priorities compare as v^2 * k(k+1)
+products (exact while votes < ~9.5e8; document and widen to DECIMAL
+operands beyond that). Ties break on nation key, then divisor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flightdb_spark.tables import ensure_parallelism, load_table
+
+from . import query
+
+SEATS = 100
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    ensure_parallelism(load_table(spark, sf_dir, "customer")).createOrReplaceTempView(
+        "customer"
+    )
+
+
+def _votes_cte(p: str = "") -> str:
+    return f"""{p}votes AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM customer GROUP BY c_nationkey
+    )"""
+
+
+def _ks_cte(d: str, p: str = "") -> str:
+    if d == "spark":
+        gen = f"SELECT explode(sequence(1, {SEATS})) AS n"
+    else:
+        gen = f"SELECT UNNEST(GENERATE_SERIES(1, {SEATS})) AS n"
+    return f"{p}ks AS (SELECT CAST(n AS BIGINT) AS k FROM ({gen}))"
+
+
+def _idiv(d: str, a: str, b: str) -> str:
+    return f"({a}) div ({b})" if d == "spark" else f"({a}) // ({b})"
+
+
+def _divisor_seats(d: str, step_expr: str, p: str) -> str:
+    """CTE chain ``{p}seats(nation, seats)`` for a highest-averages
+    method whose k-th divisor is ``step_expr`` over column k."""
+    return f"""{_ks_cte(d, p)},
+    {p}quot AS (
+      SELECT nation, v, k, CAST({step_expr} AS BIGINT) AS dv
+      FROM {p}votes CROSS JOIN {p}ks
+    ),
+    {p}ranked AS (
+      -- INCLUSIVE rank (self matches via the final <=): an exclusive
+      -- strictly-better join drops the top quotient entirely (inner
+      -- join finds no partner) and loses seat #1
+      SELECT q.nation,
+             CAST(COUNT(*) AS BIGINT) AS rnk
+      FROM {p}quot q JOIN {p}quot q2
+        ON (q2.v * q.dv > q.v * q2.dv)
+        OR (q2.v * q.dv = q.v * q2.dv
+            AND (q2.nation < q.nation
+                 OR (q2.nation = q.nation AND q2.dv <= q.dv)))
+      GROUP BY q.nation, q.v, q.dv
+    ),
+    {p}seats AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS seats
+      FROM {p}ranked WHERE rnk <= {SEATS} GROUP BY nation
+    )"""
+
+
+def _hh_seats(d: str, p: str) -> str:
+    """Huntington-Hill ``{p}seats`` chain: priorities v/sqrt(k(k+1))
+    ranked by exact squared cross-products."""
+    return f"""{_ks_cte(d, p)},
+    {p}quot AS (
+      SELECT nation, v, k, CAST(k * (k + 1) AS BIGINT) AS kk
+      FROM {p}votes CROSS JOIN {p}ks
+    ),
+    {p}ranked AS (
+      -- inclusive rank, same reason as the divisor chains
+      SELECT q.nation,
+             CAST(COUNT(*) AS BIGINT) AS rnk
+      FROM {p}quot q JOIN {p}quot q2
+        ON (q2.v * q2.v * q.kk > q.v * q.v * q2.kk)
+        OR (q2.v * q2.v * q.kk = q.v * q.v * q2.kk
+            AND (q2.nation < q.nation
+                 OR (q2.nation = q.nation AND q2.k <= q.k)))
+      GROUP BY q.nation, q.v, q.k
+    ),
+    {p}seats AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS seats
+      FROM {p}ranked WHERE rnk <= {SEATS} GROUP BY nation
+    )"""
+
+
+def _hamilton_seats(d: str, p: str) -> str:
+    """Hamilton largest-remainder ``{p}seats`` chain (+ floor/remainder
+    columns on {p}quota for q889's detail output)."""
+    fl = _idiv(d, f"v.v * {SEATS}", "t.tv")
+    return f"""{p}tot AS (SELECT CAST(SUM(v) AS BIGINT) AS tv FROM {p}votes),
+    {p}quota AS (
+      SELECT v.nation, v.v,
+             CAST({fl} AS BIGINT) AS fl,
+             CAST(v.v * {SEATS} - ({fl}) * t.tv AS BIGINT) AS rem
+      FROM {p}votes v CROSS JOIN {p}tot t
+    ),
+    {p}leftover AS (
+      SELECT CAST({SEATS} - SUM(fl) AS BIGINT) AS extra FROM {p}quota
+    ),
+    {p}rranked AS (
+      -- inclusive rank (<= on the nation tie-break matches self)
+      SELECT q.nation, CAST(COUNT(*) AS BIGINT) AS rnk
+      FROM {p}quota q JOIN {p}quota q2
+        ON q2.rem > q.rem OR (q2.rem = q.rem AND q2.nation <= q.nation)
+      GROUP BY q.nation
+    ),
+    {p}seats AS (
+      SELECT q.nation,
+             CAST(q.fl + CASE WHEN r.rnk <= l.extra THEN 1 ELSE 0 END
+               AS BIGINT) AS seats
+      FROM {p}quota q
+      JOIN {p}rranked r ON r.nation = q.nation
+      CROSS JOIN {p}leftover l
+    )"""
+
+
+def _divisor_sql(d: str, step_expr: str) -> str:
+    return f"""
+    WITH {_votes_cte()},
+    {_divisor_seats(d, step_expr, "")}
+    SELECT v.nation, v.v AS votes,
+           CAST(COALESCE(s.seats, 0) AS BIGINT) AS seats,
+           ROUND(CAST(v.v AS DOUBLE) * {SEATS}
+                 / (SELECT SUM(v) FROM votes), 6) AS exact_quota
+    FROM votes v
+    LEFT JOIN seats s ON s.nation = v.nation
+    ORDER BY v.nation
+    """
+
+
+@query("q887_dhondt_seats", oracle=_divisor_sql("duckdb", "k"))
+def q887_dhondt_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt highest-averages seat allocation: every (nation, k)
+    quotient v/k competes; the top 100 win seats. Ranking is a bounded
+    inequality self-join over the 2500-row literal grid comparing
+    EXACT integer cross-products (va*kb vs vb*ka), so no double
+    division can flip a seat. One fact aggregate feeds it all."""
+    _views(spark, sf_dir)
+    return spark.sql(_divisor_sql("spark", "k"))
+
+
+@query("q888_sainte_lague_seats", oracle=_divisor_sql("duckdb", "2 * k - 1"))
+def q888_sainte_lague_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sainte-Lague (odd divisors 1,3,5,...): the small-party-friendly
+    highest-averages variant, same exact-integer ranking machinery as
+    q887 — only the divisor expression changes."""
+    _views(spark, sf_dir)
+    return spark.sql(_divisor_sql("spark", "2 * k - 1"))
+
+
+def _q889_sql(d: str) -> str:
+    return f"""
+    WITH {_votes_cte()},
+    {_hamilton_seats(d, "")}
+    SELECT q.nation, q.v AS votes, q.fl AS floor_seats, q.rem AS remainder,
+           s.seats
+    FROM quota q JOIN seats s ON s.nation = q.nation
+    ORDER BY q.nation
+    """
+
+
+@query("q889_hamilton_seats", oracle=_q889_sql("duckdb"))
+def q889_hamilton_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton / largest-remainder: integer floor quotas first, then
+    the leftover seats go to the largest EXACT integer remainders
+    (v*S - floor*total, dialected integer division — no double quota
+    ever computed). Remainder ranking is a 25-row self-join with a
+    full tie-break."""
+    _views(spark, sf_dir)
+    return spark.sql(_q889_sql("spark"))
+
+
+def _q890_sql(d: str) -> str:
+    return f"""
+    WITH {_votes_cte()},
+    {_hh_seats(d, "")}
+    SELECT v.nation, v.v AS votes,
+           CAST(COALESCE(s.seats, 0) AS BIGINT) AS seats
+    FROM votes v
+    LEFT JOIN seats s ON s.nation = v.nation
+    ORDER BY v.nation
+    """
+
+
+@query("q890_huntington_hill_seats", oracle=_q890_sql("duckdb"))
+def q890_huntington_hill_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huntington-Hill (US House method): seat priorities v/sqrt(k(k+1))
+    ranked WITHOUT any sqrt — the comparison squares both sides into
+    exact BIGINT products (v^2 * k(k+1) < 2^63 for v < ~9.5e8; widen
+    to DECIMAL operands beyond). Same bounded-grid rank join as q887."""
+    _views(spark, sf_dir)
+    return spark.sql(_q890_sql("spark"))
+
+
+def _q891_sql(d: str) -> str:
+    aliases = ",\n    ".join(
+        f"{p}votes AS (SELECT * FROM votes)" for p in ("dh", "sl", "hh", "ha")
+    )
+    return f"""
+    WITH {_votes_cte()},
+    {aliases},
+    {_divisor_seats(d, "k", "dh")},
+    {_divisor_seats(d, "2 * k - 1", "sl")},
+    {_hh_seats(d, "hh")},
+    {_hamilton_seats(d, "ha")}
+    SELECT v.nation, v.v AS votes,
+           CAST(COALESCE(dh.seats, 0) AS BIGINT) AS dhondt,
+           CAST(COALESCE(sl.seats, 0) AS BIGINT) AS sainte_lague,
+           CAST(COALESCE(ha.seats, 0) AS BIGINT) AS hamilton,
+           CAST(COALESCE(hh.seats, 0) AS BIGINT) AS huntington_hill,
+           CAST(GREATEST(COALESCE(dh.seats, 0), COALESCE(sl.seats, 0),
+                         COALESCE(ha.seats, 0), COALESCE(hh.seats, 0))
+                - LEAST(COALESCE(dh.seats, 0), COALESCE(sl.seats, 0),
+                        COALESCE(ha.seats, 0), COALESCE(hh.seats, 0))
+             AS BIGINT) AS max_divergence
+    FROM votes v
+    LEFT JOIN dhseats dh ON dh.nation = v.nation
+    LEFT JOIN slseats sl ON sl.nation = v.nation
+    LEFT JOIN haseats ha ON ha.nation = v.nation
+    LEFT JOIN hhseats hh ON hh.nation = v.nation
+    ORDER BY v.nation
+    """
+
+
+@query("q891_apportionment_divergence", oracle=_q891_sql("duckdb"))
+def q891_apportionment_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four seat vectors side by side with the per-nation max
+    disagreement — the table that shows WHERE method choice moves
+    seats (divisor methods vs quota methods split on mid-sized
+    nations). The four methods share ONE vote aggregate via
+    prefix-renamed CTE chains (no nested-WITH shadowing); everything
+    after it runs on 25-to-2500-row bounded tables."""
+    _views(spark, sf_dir)
+    return spark.sql(_q891_sql("spark"))

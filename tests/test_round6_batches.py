@@ -2002,3 +2002,191 @@ def test_jl_budget_row(spark, sf_dir):
     row = run("q880_jl_dimension_budget", spark, sf_dir).iloc[0]
     assert row["jl_bound_dims"] > 0
     assert row["worst_16"] <= row["worst_4"] + 1e-9
+
+
+# --- process mining (q881-q886) --------------------------------------------------------------
+
+
+def test_handoff_edges_bounded_and_positive(spark, sf_dir):
+    df = run("q881_handoff_times", spark, sf_dir)
+    assert len(df) <= 25  # 5x5 activity alphabet
+    assert (df["n_transitions"] > 0).all()
+    assert (df["min_gap_us"] <= df["max_gap_us"]).all()
+    assert (df["min_gap_us"] >= 0).all()  # per-case order is monotone
+
+
+def test_variant_shares_and_lengths(spark, sf_dir):
+    df = run("q882_variant_analysis", spark, sf_dir)
+    assert (df["case_share"] <= 1.0).all() and (df["case_share"] > 0).all()
+    # trace string has trace_len activities = trace_len - 1 separators
+    seps = df["variant"].str.count(">")
+    assert (seps == df["trace_len"] - 1).all()
+
+
+def test_bottleneck_pareto_monotone(spark, sf_dir):
+    df = run("q883_bottleneck_ranking", spark, sf_dir)
+    cum = df.sort_values(
+        ["total_wait_us", "a", "b"], ascending=[False, True, True]
+    )["cum_wait_share"].tolist()
+    assert all(x <= y + 1e-9 for x, y in zip(cum, cum[1:])), cum[:5]
+    assert abs(cum[-1] - 1.0) < 1e-6
+
+
+def test_rework_rates_bounded(spark, sf_dir):
+    df = run("q884_rework_census", spark, sf_dir)
+    assert (df["n_cases_rework"] <= df["n_cases"]).all()
+    assert (df["mean_occ"] >= 1).all()
+    assert (df["max_occ"] >= df["mean_occ"] - 1e-9).all()
+
+
+def test_conformance_bands_partition_cases(spark, sf_dir):
+    df = run("q885_conformance_fitness", spark, sf_dir)
+    assert (df["mean_conformance"] <= 1.0).all()
+    assert (df["n_cases"] > 0).all()
+
+
+def test_wip_nonnegative_and_ends_at_zero_or_more(spark, sf_dir):
+    df = run("q886_wip_over_time", spark, sf_dir).sort_values("d")
+    assert (df["active_cases"] >= 0).all()
+    # every case opens and closes: net deltas sum to 0 past the last day
+    assert df["active_cases"].iloc[-1] >= 0
+
+
+# --- apportionment (q887-q891) ---------------------------------------------------------------
+
+
+def test_seat_totals_are_exactly_100(spark, sf_dir):
+    for q in (
+        "q887_dhondt_seats",
+        "q888_sainte_lague_seats",
+        "q889_hamilton_seats",
+        "q890_huntington_hill_seats",
+    ):
+        df = run(q, spark, sf_dir)
+        assert df["seats"].sum() == 100, q
+
+
+def test_divisor_methods_monotone_in_votes(spark, sf_dir):
+    # more votes never means fewer D'Hondt seats (house monotonicity of
+    # divisor methods)
+    df = run("q887_dhondt_seats", spark, sf_dir).sort_values("votes")
+    seats = df["seats"].tolist()
+    votes = df["votes"].tolist()
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            if votes[j] > votes[i]:
+                assert seats[j] >= seats[i]
+
+
+def test_hamilton_within_one_of_quota(spark, sf_dir):
+    df = run("q889_hamilton_seats", spark, sf_dir)
+    # largest remainder satisfies quota: floor <= seats <= floor + 1
+    assert ((df["seats"] - df["floor_seats"]).isin([0, 1])).all()
+
+
+def test_divergence_consistent(spark, sf_dir):
+    df = run("q891_apportionment_divergence", spark, sf_dir)
+    mx = df[["dhondt", "sainte_lague", "hamilton", "huntington_hill"]].max(axis=1)
+    mn = df[["dhondt", "sainte_lague", "hamilton", "huntington_hill"]].min(axis=1)
+    assert (df["max_divergence"] == mx - mn).all()
+
+
+# --- SAX / PAA (q892-q896) -------------------------------------------------------------------
+
+
+def test_paa_covers_all_days(spark, sf_dir):
+    df = run("q892_paa_segments", spark, sf_dir)
+    assert df["seg"].between(0, 15).all()
+    assert (df["n_days"] > 0).all()
+
+
+def test_sax_symbols_valid(spark, sf_dir):
+    df = run("q893_sax_symbols", spark, sf_dir)
+    assert set(df["symbol"]) <= set("abcd")
+    # z-scores of a z-normalized set are mean ~0
+    assert abs(df["z"].mean()) < 0.2
+
+
+def test_user_words_shape(spark, sf_dir):
+    df = run("q894_user_sax_words", spark, sf_dir)
+    assert (df["word"].str.len() <= 4).all()
+    assert df["word"].str.fullmatch("[abcd]{1,4}").all()
+
+
+def test_motif_pairs_arithmetic(spark, sf_dir):
+    df = run("q895_motif_collisions", spark, sf_dir)
+    assert (df["n_pairs"] == df["n_users"] * (df["n_users"] - 1) // 2).all()
+    assert (df["n_users"] >= 2).all()
+
+
+def test_reconstruction_error_ordering(spark, sf_dir):
+    row = run("q896_paa_reconstruction", spark, sf_dir).iloc[0]
+    assert row["mae_cents"] <= row["rmse_cents"] + 1e-9  # Jensen
+    assert row["max_abs_err_cents"] >= row["rmse_cents"] - 1e-9
+
+
+# --- quadkey (q897-q901) ---------------------------------------------------------------------
+
+
+def test_quadkey_format(spark, sf_dir):
+    df = run("q897_quadkey_census", spark, sf_dir)
+    assert df["qk"].str.fullmatch("[0123]{12}").all()
+    assert (df["n_points"] > 0).all()
+
+
+def test_quadkey_rollup_conserves_points(spark, sf_dir):
+    cells = run("q897_quadkey_census", spark, sf_dir)
+    roll = run("q898_quadkey_rollup", spark, sf_dir)
+    # parents partition the children: rollup totals cover every point
+    # counted at level 12 (compare via the independent q22-style count)
+    assert roll["n_points"].sum() >= cells["n_points"].sum()
+    assert (roll["max_child_points"] <= roll["n_points"]).all()
+
+
+def test_neighborhood_contains_self(spark, sf_dir):
+    df = run("q899_neighborhood_hotspots", spark, sf_dir)
+    assert (df["hood_points"] >= df["n_points"]).all()
+    assert df["hood_cells"].between(1, 9).all()
+
+
+def test_bbox_index_paths_agree(spark, sf_dir):
+    row = run("q901_bbox_index_equivalence", spark, sf_dir).iloc[0]
+    assert row["paths_agree"] == 1
+    assert row["n_direct"] == row["n_via_index"]
+    assert row["n_pruned_cells"] > 0  # the index actually prunes
+
+
+# --- microstructure (q902-q906) --------------------------------------------------------------
+
+
+def test_vwap_within_price_range(spark, sf_dir):
+    df = run("q902_vwap_hourly", spark, sf_dir)
+    assert (df["volume"] >= 0).all()
+    ok = df["vwap_cents"].dropna()
+    assert (ok >= 0).all()
+    # vwap is a weighted mean: bounded by the hour's price extremes,
+    # so it can never exceed the global max price
+    assert (ok <= df["notional_cents"].max()).all()
+
+
+def test_imbalance_bounded(spark, sf_dir):
+    df = run("q903_orderflow_imbalance", spark, sf_dir)
+    ok = df["imbalance"].dropna()
+    assert ok.between(-1.0, 1.0).all()
+    assert (df["buy_volume"] >= 0).all() and (df["sell_volume"] >= 0).all()
+
+
+def test_volatility_signature_rows(spark, sf_dir):
+    df = run("q904_volatility_signature", spark, sf_dir)
+    assert sorted(df["sample_minutes"]) == [1, 5, 15, 60]
+    assert (df["realized_variance"] >= 0).all()
+    # finer sampling -> more returns
+    d = df.set_index("sample_minutes")["n_returns"]
+    assert d[1] >= d[5] >= d[15] >= d[60]
+
+
+def test_roll_spread_only_on_negative_cov(spark, sf_dir):
+    df = run("q906_roll_spread", spark, sf_dir)
+    has = df["roll_spread_cents"].notna()
+    assert (df.loc[has, "serial_cov"] < 0).all()
+    assert (df.loc[has, "roll_spread_cents"] > 0).all()

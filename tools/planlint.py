@@ -61,6 +61,11 @@ GLOBAL_WINDOW_ALLOWED = {
     "q403_stl_decomposition",
     # backlog running sum over the bounded day table (q351 class)
     "q371_backlog_curve",
+    # WIP running sum over the bounded daily delta table (q371 class)
+    "q886_wip_over_time",
+    # per-frequency return lags over BOUNDED sampled-bucket tables
+    # (calendar buckets at 1/5/15/60 min — q339 class)
+    "q904_volatility_signature",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # same bounded-bins class: cumulative over <= 101 value bins
