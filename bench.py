@@ -328,6 +328,13 @@ HEADLINE = [
     "q901_bbox_index_equivalence",
     "q902_vwap_hourly",
     "q904_volatility_signature",
+    # round 7: ledger / cluster validity / propensity matching
+    "q907_trial_balance",
+    "q911_accrual_vs_cash",
+    "q912_inertia_elbow",
+    "q913_davies_bouldin",
+    "q918_caliper_match",
+    "q919_att_matched",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -208,6 +208,9 @@ _MODULES = [
     "saxpaa",
     "quadkey",
     "microstructure",
+    "ledgerops",
+    "clustervalidity",
+    "psmatching",
 ]
 
 

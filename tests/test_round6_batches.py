@@ -2190,3 +2190,106 @@ def test_roll_spread_only_on_negative_cov(spark, sf_dir):
     has = df["roll_spread_cents"].notna()
     assert (df.loc[has, "serial_cov"] < 0).all()
     assert (df.loc[has, "roll_spread_cents"] > 0).all()
+
+
+# --- ledger (q907-q911) ----------------------------------------------------------------------
+
+
+def test_trial_balance_residual_equals_planted_drift(spark, sf_dir):
+    tb = run("q907_trial_balance", spark, sf_dir)
+    ji = run("q909_journal_integrity", spark, sf_dir).iloc[0]
+    # structural double-entry identity: trial-balance residual ==
+    # total drift of unbalanced entries
+    assert tb["balance_cents"].sum() == ji["total_drift_cents"]
+    assert ji["n_unbalanced"] > 0  # the plant actually planted
+
+
+def test_running_balance_matches_trial_balance(spark, sf_dir):
+    rb = run("q908_running_balances", spark, sf_dir)
+    tb = run("q907_trial_balance", spark, sf_dir)
+    last = rb.sort_values("d").groupby("acct")["balance_cents"].last()
+    want = tb.set_index("acct")["balance_cents"]
+    assert (last == want.loc[last.index]).all()
+
+
+def test_aging_buckets_cover_everyone(spark, sf_dir):
+    df = run("q910_receivables_aging", spark, sf_dir)
+    assert df["n_accounts"].sum() > 0
+    assert (df["max_age_days"] >= 0).all()
+
+
+def test_accrual_conserves_cash_lifetime(spark, sf_dir):
+    df = run("q911_accrual_vs_cash", spark, sf_dir)
+    # integer-thirds recognition is cent-exact over the lifetime
+    assert df["accrual_cents"].sum() == df["cash_cents"].sum()
+    assert df["recognition_shift_cents"].sum() == 0
+
+
+# --- cluster validity (q912-q916) ------------------------------------------------------------
+
+
+def test_inertia_decreases_in_k(spark, sf_dir):
+    df = run("q912_inertia_elbow", spark, sf_dir).sort_values("k")
+    ws = df["within_ss"].tolist()
+    assert all(a >= b - 1e-6 for a, b in zip(ws, ws[1:])), ws
+    assert (df["within_ss"] >= 0).all()
+
+
+def test_davies_bouldin_positive(spark, sf_dir):
+    row = run("q913_davies_bouldin", spark, sf_dir).iloc[0]
+    assert row["davies_bouldin"] > 0
+    assert row["worst_cluster_ratio"] >= row["davies_bouldin"]
+
+
+def test_calinski_harabasz_consistent(spark, sf_dir):
+    row = run("q914_calinski_harabasz", spark, sf_dir).iloc[0]
+    assert row["within_ss"] > 0 and row["between_ss"] >= 0
+    want = (row["between_ss"] / (row["k"] - 1)) / (
+        row["within_ss"] / (row["n_total"] - row["k"])
+    )
+    assert abs(row["calinski_harabasz"] - want) < 1e-4
+
+
+def test_centroid_separation_fields(spark, sf_dir):
+    row = run("q915_centroid_separation", spark, sf_dir).iloc[0]
+    assert 0 < row["min_centroid_sep"] <= row["mean_centroid_sep"] + 1e-9
+    assert row["centroid_dunn"] > 0
+
+
+def test_stability_retention_bounded(spark, sf_dir):
+    df = run("q916_assignment_stability", spark, sf_dir)
+    assert df["retention"].between(0, 1).all()
+    assert (df["n_retained"] <= df["n_points"]).all()
+    # the k=8 centroids are a prefix of the k=16 centroids, so their
+    # own rows always retain themselves
+    assert (df["n_split_into"] >= 1).all()
+
+
+# --- propensity matching (q917-q921) ---------------------------------------------------------
+
+
+def test_propensity_model_sane(spark, sf_dir):
+    row = run("q917_propensity_model", spark, sf_dir).iloc[0]
+    assert 0 <= row["r2"] <= 1
+    assert row["n_treated"] > 0
+    assert row["min_p_u"] <= row["max_p_u"]
+
+
+def test_match_rate_and_gaps(spark, sf_dir):
+    row = run("q918_caliper_match", spark, sf_dir).iloc[0]
+    assert 0 < row["match_rate"] <= 1.0
+    assert row["max_score_gap_u"] <= 5000  # the caliper binds
+    assert row["n_distinct_controls"] <= row["n_matched"]
+
+
+def test_balance_improves_after_matching(spark, sf_dir):
+    df = run("q920_covariate_balance", spark, sf_dir).set_index("stage")
+    assert abs(df.loc["b_post", "smd_balance"]) <= abs(
+        df.loc["a_pre", "smd_balance"]
+    ) + 0.05
+
+
+def test_common_support_histogram(spark, sf_dir):
+    df = run("q921_common_support", spark, sf_dir)
+    assert df["bin"].between(0, 9).all()
+    assert (df["n_treated"] + df["n_control"] > 0).all()
