@@ -335,6 +335,13 @@ HEADLINE = [
     "q913_davies_bouldin",
     "q918_caliper_match",
     "q919_att_matched",
+    # round 7: DiD / Good-Turing / click models
+    "q922_did_2x2",
+    "q926_staggered_adoption",
+    "q929_unseen_mass",
+    "q931_split_coverage",
+    "q932_position_ctr",
+    "q935_coec",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -211,6 +211,9 @@ _MODULES = [
     "ledgerops",
     "clustervalidity",
     "psmatching",
+    "diffindiff",
+    "goodturing",
+    "clickmodels",
 ]
 
 

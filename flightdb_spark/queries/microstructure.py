@@ -180,7 +180,7 @@ def _q904_sql(d: str) -> str:
              * CAST(FLOOR(r * 1000000000 + 0.5) AS DECIMAL(24,0)) AS r2
       FROM (
         SELECT (close_px - LAG(close_px) OVER (ORDER BY bucket))
-               / (0.0 + LAG(close_px) OVER (ORDER BY bucket)) AS r
+               / NULLIF(0.0 + LAG(close_px) OVER (ORDER BY bucket), 0.0) AS r
         FROM sampled_{m}
       ) rr WHERE r IS NOT NULL
     ),

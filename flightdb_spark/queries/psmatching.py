@@ -85,11 +85,15 @@ def _base_cte() -> str:
       FROM units
     ),
     fit AS (
+      -- moments go through DOUBLE before any product: n*sxx overflows
+      -- BIGINT from sf0.1 up (n ~ 1.5e4, sxx ~ 3.7e15); identical
+      -- double arithmetic on identical integer inputs is engine-exact
       SELECT n, sx, st, sxt, sxx,
-             CAST(n * sxt - sx * st AS DOUBLE)
-               / (n * sxx - sx * sx) AS b,
-             (st - CAST(n * sxt - sx * st AS DOUBLE)
-                   / (n * sxx - sx * sx) * sx) / n AS a
+             (CAST(n AS DOUBLE) * sxt - CAST(sx AS DOUBLE) * st)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (st - (CAST(n AS DOUBLE) * sxt - CAST(sx AS DOUBLE) * st)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sx) / n AS a
       FROM mom
     ),
     scored AS (
@@ -110,10 +114,11 @@ _Q917_SQL = f"""
            f.st AS n_treated,
            ROUND(f.b * 1000000, 6) AS slope_per_cent_x1e6,
            ROUND(f.a, 6) AS intercept,
-           ROUND(CAST(f.n * f.sxt - f.sx * f.st AS DOUBLE)
-                 * (f.n * f.sxt - f.sx * f.st)
-                 / ((0.0 + f.n * f.sxx - f.sx * f.sx)
-                    * (f.n * f.st - f.st * f.st)), 6) AS r2,
+           ROUND((CAST(f.n AS DOUBLE) * f.sxt - CAST(f.sx AS DOUBLE) * f.st)
+                 * (CAST(f.n AS DOUBLE) * f.sxt - CAST(f.sx AS DOUBLE) * f.st)
+                 / ((CAST(f.n AS DOUBLE) * f.sxx - CAST(f.sx AS DOUBLE) * f.sx)
+                    * (CAST(f.n AS DOUBLE) * f.st
+                       - CAST(f.st AS DOUBLE) * f.st)), 6) AS r2,
            CAST(MIN(s.p_u) AS BIGINT) AS min_p_u,
            CAST(MAX(s.p_u) AS BIGINT) AS max_p_u
     FROM scored s CROSS JOIN fit f

@@ -2293,3 +2293,98 @@ def test_common_support_histogram(spark, sf_dir):
     df = run("q921_common_support", spark, sf_dir)
     assert df["bin"].between(0, 9).all()
     assert (df["n_treated"] + df["n_control"] > 0).all()
+
+
+# --- difference-in-differences (q922-q926) ---------------------------------------------------
+
+
+def test_did_identity(spark, sf_dir):
+    row = run("q922_did_2x2", spark, sf_dir).iloc[0]
+    want = (row["treated_post"] - row["treated_pre"]) - (
+        row["control_post"] - row["control_pre"]
+    )
+    assert abs(row["did_cents"] - want) < 1e-3
+    assert row["n_obs"] > 0
+
+
+def test_pretrends_two_groups(spark, sf_dir):
+    df = run("q923_parallel_pretrends", spark, sf_dir)
+    assert sorted(df["treated"]) == [0, 1]
+    assert (df["n_obs"] > 0).all()
+
+
+def test_staggered_att_grid(spark, sf_dir):
+    df = run("q926_staggered_adoption", spark, sf_dir)
+    # cohort 1 -> periods 1,2; cohort 2 -> period 2
+    assert set(zip(df["cohort"], df["period"])) == {(1, 1), (1, 2), (2, 2)}
+
+
+# --- Good-Turing (q927-q931) -----------------------------------------------------------------
+
+
+def test_fof_identity(spark, sf_dir):
+    fof = run("q927_freq_of_freqs", spark, sf_dir)
+    assert (fof["tokens_at_r"] == fof["r"] * fof["nr"]).all()
+    assert (fof["nr"] > 0).all()
+
+
+def test_gt_discounts_shift_mass_down(spark, sf_dir):
+    df = run("q928_gt_discounts", spark, sf_dir)
+    # r* > 0 always; at tiny SFs the noisy head can have N_{r+1} > N_r
+    # so r* is not guaranteed below r+1 without SGT smoothing
+    assert (df["r_star"] > 0).all()
+    assert (df["nr_plus_1"] > 0).all()
+
+
+def test_unseen_mass_bounds(spark, sf_dir):
+    row = run("q929_unseen_mass", spark, sf_dir).iloc[0]
+    assert 0 < row["unseen_mass_p0"] < 1
+    assert abs(row["unseen_mass_p0"] + row["good_coverage"] - 1) < 1e-9
+    assert row["n_hapax"] <= row["n_types"]
+
+
+def test_holdout_oov_close_to_estimate(spark, sf_dir):
+    row = run("q931_split_coverage", spark, sf_dir).iloc[0]
+    assert 0 <= row["empirical_oov_rate"] <= 1
+    assert row["oov_tokens"] <= row["test_tokens"]
+    # the estimator should land within an order of magnitude of reality
+    if row["empirical_oov_rate"] > 0:
+        ratio = row["good_turing_estimate"] / row["empirical_oov_rate"]
+        assert 0.1 < ratio < 10, ratio
+
+
+# --- click models (q932-q936) ----------------------------------------------------------------
+
+
+def test_position_ctr_rows(spark, sf_dir):
+    df = run("q932_position_ctr", spark, sf_dir)
+    assert df["pos"].between(1, 10).all()
+    assert (df["n_clicks"] <= df["n_impressions"]).all()
+    # deeper positions never have more impressions (sessions truncate)
+    imp = df.sort_values("pos")["n_impressions"].tolist()
+    assert all(a >= b for a, b in zip(imp, imp[1:]))
+
+
+def test_examination_pinned_at_1(spark, sf_dir):
+    df = run("q933_pbm_examination", spark, sf_dir).set_index("pos")
+    assert abs(df.loc[1, "examination_prob"] - 1.0) < 1e-9
+    # a deep rank can have zero clicks at tiny SFs
+    assert (df["examination_prob"] >= 0).all()
+
+
+def test_cascade_shares_sum_to_1(spark, sf_dir):
+    df = run("q934_cascade_first_click", spark, sf_dir)
+    assert abs(df["session_share"].sum() - 1.0) < 1e-6
+
+
+def test_coec_expected_clicks_conserved(spark, sf_dir):
+    df = run("q935_coec", spark, sf_dir)
+    # expected clicks across items == observed clicks across items
+    # (the position-CTR is fit on the same impressions)
+    assert abs(df["expected_clicks"].sum() - df["n_clicks"].sum()) < 1e-3
+
+
+def test_rbp_bounded(spark, sf_dir):
+    row = run("q936_rbp_mass", spark, sf_dir).iloc[0]
+    assert 0 <= row["mean_rbp"] <= 1
+    assert row["max_rbp"] <= 1
