@@ -342,6 +342,11 @@ HEADLINE = [
     "q931_split_coverage",
     "q932_position_ctr",
     "q935_coec",
+    # round 7: knapsack / proper scoring
+    "q937_greedy_knapsack",
+    "q941_density_vs_value_greedy",
+    "q942_crps_ensemble",
+    "q944_winkler_interval",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

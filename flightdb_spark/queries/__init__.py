@@ -214,6 +214,8 @@ _MODULES = [
     "diffindiff",
     "goodturing",
     "clickmodels",
+    "knapsack",
+    "properscoring",
 ]
 
 

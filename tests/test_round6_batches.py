@@ -2388,3 +2388,87 @@ def test_rbp_bounded(spark, sf_dir):
     row = run("q936_rbp_mass", spark, sf_dir).iloc[0]
     assert 0 <= row["mean_rbp"] <= 1
     assert row["max_rbp"] <= 1
+
+
+# --- knapsack (q937-q941) --------------------------------------------------------------------
+
+
+def test_greedy_within_budget(spark, sf_dir):
+    row = run("q937_greedy_knapsack", spark, sf_dir).iloc[0]
+    assert row["total_weight"] <= 20_000
+    assert 0 < row["budget_utilization"] <= 1.0
+
+
+def test_lp_certificate_bounds_greedy(spark, sf_dir):
+    row = run("q938_lp_certificate", spark, sf_dir).iloc[0]
+    assert row["greedy_v"] <= row["lp_upper_bound"] + 1e-6
+    # Dantzig gap: bound - greedy < one (fractional) item's value
+    assert row["lp_upper_bound"] - row["greedy_v"] <= row["next_item_value"]
+    assert 0 < row["greedy_over_bound"] <= 1.0
+
+
+def test_budget_curve_concave(spark, sf_dir):
+    df = run("q939_budget_sensitivity", spark, sf_dir).set_index("budget_label")
+    vh, vb, vd = (
+        df.loc["a_half", "total_value"],
+        df.loc["b_base", "total_value"],
+        df.loc["c_double", "total_value"],
+    )
+    assert vh <= vb <= vd
+    # diminishing marginal value per token (density order is sorted)
+    assert (vb - vh) / 10_000 >= (vd - vb) / 20_000 - 1e-9
+
+
+def test_per_source_budgets_hold(spark, sf_dir):
+    df = run("q940_per_source_knapsack", spark, sf_dir)
+    assert (df["tokens_used"] <= 5_000).all()
+    assert (df["utilization"] <= 1.0).all()
+
+
+def test_density_beats_value_greedy(spark, sf_dir):
+    row = run("q941_density_vs_value_greedy", spark, sf_dir).iloc[0]
+    assert row["density_wins"] == 1  # LP-optimal order never loses here
+
+
+# --- proper scoring (q942-q946) --------------------------------------------------------------
+
+
+def test_crps_decomposition(spark, sf_dir):
+    row = run("q942_crps_ensemble", spark, sf_dir).iloc[0]
+    assert row["mean_crps_cents"] >= 0
+    want = row["mean_abs_component"] - row["mean_spread_component"]
+    assert abs(row["mean_crps_cents"] - want) < 1e-3
+    assert row["n_days"] > 0
+
+
+def test_pit_shares_sum_to_1(spark, sf_dir):
+    df = run("q943_pit_histogram", spark, sf_dir)
+    assert abs(df["share"].sum() - 1.0) < 1e-6
+    assert df["pit_rank"].between(0, 7).all()
+
+
+def test_winkler_at_least_width(spark, sf_dir):
+    row = run("q944_winkler_interval", spark, sf_dir).iloc[0]
+    assert row["mean_winkler_cents"] >= row["mean_width_cents"] - 1e-9
+    assert 0 <= row["empirical_coverage"] <= 1
+
+
+def test_crps_skill_fields(spark, sf_dir):
+    row = run("q945_crps_skill", spark, sf_dir).iloc[0]
+    assert row["ensemble_crps_cents"] > 0
+    assert row["persistence_mae_cents"] > 0
+    assert row["crps_skill_score"] < 1
+
+
+def test_nested_intervals_monotone(spark, sf_dir):
+    df = run("q946_sharpness_coverage", spark, sf_dir).set_index("interval_label")
+    assert (
+        df.loc["a_full", "mean_width_cents"]
+        >= df.loc["b_central50", "mean_width_cents"]
+        >= df.loc["c_narrow", "mean_width_cents"]
+    )
+    assert (
+        df.loc["a_full", "coverage"]
+        >= df.loc["b_central50", "coverage"]
+        >= df.loc["c_narrow", "coverage"]
+    )
