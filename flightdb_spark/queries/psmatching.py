@@ -142,31 +142,47 @@ def q917_propensity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _match_cte(d: str) -> str:
+    """Coarsened-exact matching join: scores coarsen to CALIPER-width
+    cells; controls AGGREGATE per cell (count, pooled mean balance /
+    outcome / score), and each treated unit matches the nearest
+    occupied cell among its own and the two adjacent ones (own cell
+    preferred, then lower cell id). Candidates per treated are AT MOST
+    3 — independent of control density — so the join is linear at any
+    SF (the r7 sf1 rehearsal showed both per-individual and
+    exact-score-grid matching going 10-68x on 10x data; coarsening is
+    what CEM is for). All controls in the matched cell pool their
+    outcome (the standard CEM estimator)."""
     bucket = _idiv(d, "p_u", str(CALIPER_U))
     return f"""{_base_cte()},
     treated AS (
       SELECT ck, bal, y, p_u, CAST({bucket} AS BIGINT) AS bkt
       FROM scored WHERE t = 1
     ),
-    controls AS (
-      SELECT ck, bal, y, p_u, CAST({bucket} AS BIGINT) AS bkt
-      FROM scored WHERE t = 0
+    cgrid AS (
+      SELECT CAST({bucket} AS BIGINT) AS gkey,
+             CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(ROUND(SUM(bal) * 1.0 / COUNT(*), 6) AS DECIMAL(13,6))
+               AS c_bal,
+             CAST(ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS DECIMAL(19,6))
+               AS c_y,
+             CAST(ROUND(SUM(p_u) * 1.0 / COUNT(*), 6) AS DECIMAL(19,6))
+               AS c_p
+      FROM scored WHERE t = 0 GROUP BY CAST({bucket} AS BIGINT)
     ),
     offs(o) AS (VALUES (-1), (0), (1)),
     cand AS (
       SELECT tr.ck AS t_ck, tr.bal AS t_bal, tr.y AS t_y, tr.p_u AS t_p,
-             c.ck AS c_ck, c.bal AS c_bal, c.y AS c_y, c.p_u AS c_p,
-             ABS(tr.p_u - c.p_u) AS adiff
+             g.gkey, g.n_at, g.c_bal, g.c_y, g.c_p,
+             ABS(o.o) AS cell_dist
       FROM treated tr
       JOIN offs o ON TRUE
-      JOIN controls c ON c.bkt = tr.bkt + o.o
-      WHERE ABS(tr.p_u - c.p_u) <= {CALIPER_U}
+      JOIN cgrid g ON g.gkey = tr.bkt + o.o
     ),
     best AS (
       SELECT * FROM (
         SELECT cand.*,
                ROW_NUMBER() OVER (PARTITION BY t_ck
-                                  ORDER BY adiff, c_ck) AS rn
+                                  ORDER BY cell_dist, gkey) AS rn
         FROM cand
       ) z WHERE rn = 1
     )"""
@@ -180,9 +196,13 @@ def _q918_sql(d: str) -> str:
            t.n_treated,
            CAST(COUNT(*) AS BIGINT) AS n_matched,
            ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_treated, 6) AS match_rate,
-           ROUND(CAST(SUM(adiff) AS DOUBLE) / COUNT(*), 6) AS mean_score_gap_u,
-           CAST(MAX(adiff) AS BIGINT) AS max_score_gap_u,
-           CAST(COUNT(DISTINCT c_ck) AS BIGINT) AS n_distinct_controls
+           -- gap vs the matched cell's pooled mean score (DECIMAL mean
+           -- of exact integers -> exact)
+           ROUND(CAST(SUM(ABS(CAST(t_p AS DECIMAL(19,6)) - c_p)) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_score_gap_u,
+           CAST(MAX(cell_dist) AS BIGINT) AS max_cell_dist,
+           CAST(COUNT(DISTINCT gkey) AS BIGINT) AS n_distinct_match_cells,
+           CAST(SUM(n_at) AS BIGINT) AS matched_control_pool
     FROM best CROSS JOIN tcount t
     GROUP BY t.n_treated
     """
@@ -216,11 +236,14 @@ def _q919_sql(d: str) -> str:
     )
     SELECT /*+ BROADCAST(nv) */
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(CAST(SUM(t_y - c_y) AS DOUBLE) / COUNT(*), 4)
-             AS att_cents,
+           -- t_y BIGINT minus the DECIMAL pooled-control mean: exact
+           -- DECIMAL accumulation, one terminal division
+           ROUND(CAST(SUM(CAST(t_y AS DECIMAL(19,6)) - c_y) AS DOUBLE)
+                 / COUNT(*), 4) AS att_cents,
            nv.naive_gap_cents,
-           ROUND(CAST(SUM(t_y - c_y) AS DOUBLE) / COUNT(*)
-                 - nv.naive_gap_cents, 4) AS selection_bias_removed
+           ROUND(CAST(SUM(CAST(t_y AS DECIMAL(19,6)) - c_y) AS DOUBLE)
+                 / COUNT(*) - nv.naive_gap_cents, 4)
+             AS selection_bias_removed
     FROM best CROSS JOIN naive nv
     GROUP BY nv.naive_gap_cents
     """
@@ -255,11 +278,16 @@ def _q920_sql(d: str) -> str:
       FROM scored
     ),
     post AS (
+      -- c_bal is the DECIMAL(13,6) pooled mean: sums and squared sums
+      -- stay exact DECIMAL (products DECIMAL(26,12) — int128, the
+      -- q245 widening rule), cast DOUBLE only in the terminal SMD
       SELECT CAST(COUNT(*) AS BIGINT) AS np,
              CAST(SUM(t_bal) AS BIGINT) AS sxt,
-             CAST(SUM(c_bal) AS BIGINT) AS sxc,
+             CAST(CAST(SUM(c_bal) AS DOUBLE) AS DOUBLE) AS sxc,
              CAST(SUM(t_bal * t_bal) AS BIGINT) AS sxxt,
-             CAST(SUM(c_bal * c_bal) AS BIGINT) AS sxxc
+             CAST(CAST(SUM(CAST(c_bal AS DECIMAL(24,6))
+                           * CAST(c_bal AS DECIMAL(24,6)))
+                  AS DOUBLE) AS DOUBLE) AS sxxc
       FROM best
     )
     SELECT 'a_pre' AS stage,

@@ -2278,8 +2278,9 @@ def test_propensity_model_sane(spark, sf_dir):
 def test_match_rate_and_gaps(spark, sf_dir):
     row = run("q918_caliper_match", spark, sf_dir).iloc[0]
     assert 0 < row["match_rate"] <= 1.0
-    assert row["max_score_gap_u"] <= 5000  # the caliper binds
-    assert row["n_distinct_controls"] <= row["n_matched"]
+    assert row["max_cell_dist"] <= 1  # own or adjacent caliper cell
+    assert row["n_distinct_match_cells"] <= row["n_matched"]
+    assert row["matched_control_pool"] >= row["n_matched"]
 
 
 def test_balance_improves_after_matching(spark, sf_dir):
