@@ -14,9 +14,15 @@ def test_ips_snips_identities(spark, sf_dir):
     assert len(out) == 5
     # propensities partition: sum to 1
     assert abs(out.propensity.sum() - 1.0) < 1e-4
-    # for single-action policies IPS == SNIPS (constant weights):
-    # IPS = sum(r)/p/N = (sum(r)/n_a) * (n_a/(p*N)) = SNIPS exactly
-    assert (out.ips_value - out.snips_value).abs().max() < 1e-4
+    # IPS scores against the DECLARED uniform logging policy (p = 1/k)
+    # while SNIPS is the matched mean, so the exact identity is
+    # ips = snips * (n_a * k / n) — the empirical/declared propensity
+    # ratio (r7: the previous empirical-propensity IPS coincided with
+    # SNIPS and carried no information)
+    k = len(out)
+    n = out.n_match.sum()
+    want = out.snips_value * (out.n_match * k / n)
+    assert (out.ips_value - want).abs().max() < 1e-3
     assert (out.n_match == out.effective_sample_size).all()
     n = load_table(spark, sf_dir, "events").count()
     assert out.n_match.sum() == n
