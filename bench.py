@@ -347,6 +347,11 @@ HEADLINE = [
     "q941_density_vs_value_greedy",
     "q942_crps_ensemble",
     "q944_winkler_interval",
+    # round 7: text tiling / forgetting curves
+    "q947_gap_similarity",
+    "q949_boundary_census",
+    "q952_gap_survival",
+    "q954_type_half_lives",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

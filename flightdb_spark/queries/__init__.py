@@ -216,6 +216,8 @@ _MODULES = [
     "clickmodels",
     "knapsack",
     "properscoring",
+    "texttiling",
+    "forgetting",
 ]
 
 

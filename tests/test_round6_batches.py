@@ -2473,3 +2473,70 @@ def test_nested_intervals_monotone(spark, sf_dir):
         >= df.loc["b_central50", "coverage"]
         >= df.loc["c_narrow", "coverage"]
     )
+
+
+# --- TextTiling (q947-q951) ------------------------------------------------------------------
+
+
+def test_gap_similarity_bounds(spark, sf_dir):
+    row = run("q947_gap_similarity", spark, sf_dir).iloc[0]
+    assert 0 <= row["min_sim"] <= row["max_sim"] <= 1
+    assert 0 <= row["pooled_jaccard"] <= 1
+    assert row["n_gaps"] > 0
+
+
+def test_depth_scores_nonneg(spark, sf_dir):
+    df = run("q948_depth_scores", spark, sf_dir)
+    assert (df["depth"] >= 0).all()
+    assert (df["sim"].between(0, 1)).all()
+
+
+def test_boundary_census_covers_docs(spark, sf_dir):
+    df = run("q949_boundary_census", spark, sf_dir)
+    assert (df["n_boundaries"] >= 0).all()
+    assert df["n_docs"].sum() > 0
+
+
+def test_segment_lengths_positive(spark, sf_dir):
+    df = run("q950_segment_lengths", spark, sf_dir)
+    assert (df["len_blocks"] >= 1).all()
+    assert (df["n_segments"] > 0).all()
+
+
+def test_boundaries_are_less_coherent(spark, sf_dir):
+    row = run("q951_coherence_validation", spark, sf_dir).iloc[0]
+    if row["n_boundary_gaps"] > 0 and row["n_interior_gaps"] > 0:
+        assert row["mean_sim_at_boundaries"] <= row["mean_sim_interior"] + 1e-9
+
+
+# --- forgetting curve (q952-q956) -------------------------------------------------------------
+
+
+def test_survival_monotone(spark, sf_dir):
+    df = run("q952_gap_survival", spark, sf_dir).sort_values("hr")
+    r = df["retention"].tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(r, r[1:]))
+    assert abs(r[0] - 1.0) < 1e-6  # R(0) = everyone
+
+
+def test_halflife_positive(spark, sf_dir):
+    row = run("q953_exponential_fit", spark, sf_dir).iloc[0]
+    assert row["lambda_per_hour"] > 0
+    assert row["half_life_hours"] > 0
+
+
+def test_type_halflives(spark, sf_dir):
+    df = run("q954_type_half_lives", spark, sf_dir)
+    assert len(df) == 5
+    assert (df["half_life_hours"] > 0).all()
+
+
+def test_fit_quality_bounded(spark, sf_dir):
+    row = run("q955_fit_quality", spark, sf_dir).iloc[0]
+    assert 0 <= row["mean_abs_dev"] <= row["max_abs_dev"] <= 1
+
+
+def test_censoring_share(spark, sf_dir):
+    row = run("q956_censoring_audit", spark, sf_dir).iloc[0]
+    assert 0 < row["censored_share"] < 1
+    assert row["mean_censored_tail_hours"] >= 0
