@@ -352,6 +352,9 @@ HEADLINE = [
     "q949_boundary_census",
     "q952_gap_survival",
     "q954_type_half_lives",
+    # round 7: EB shrinkage
+    "q958_stein_paradox",
+    "q959_pooling_spectrum",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

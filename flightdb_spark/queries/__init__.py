@@ -218,6 +218,7 @@ _MODULES = [
     "properscoring",
     "texttiling",
     "forgetting",
+    "shrinkage",
 ]
 
 

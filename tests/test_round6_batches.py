@@ -2540,3 +2540,37 @@ def test_censoring_share(spark, sf_dir):
     row = run("q956_censoring_audit", spark, sf_dir).iloc[0]
     assert 0 < row["censored_share"] < 1
     assert row["mean_censored_tail_hours"] >= 0
+
+
+# --- EB shrinkage (q957-q961) ----------------------------------------------------------------
+
+
+def test_shrinkage_weights_bounded(spark, sf_dir):
+    row = run("q957_eb_shrinkage_table", spark, sf_dir).iloc[0]
+    assert 0 <= row["min_shrinkage_b"] <= row["max_shrinkage_b"] <= 1
+    assert row["sigma2_within"] > 0
+
+
+def test_stein_paradox_holds(spark, sf_dir):
+    row = run("q958_stein_paradox", spark, sf_dir).iloc[0]
+    # the aggregate MSE of the shrunk estimates must not exceed raw
+    assert row["mse_eb"] <= row["mse_raw"] + 1e-6
+    assert row["n_users_validated"] > 0
+
+
+def test_partial_pooling_never_worst(spark, sf_dir):
+    row = run("q959_pooling_spectrum", spark, sf_dir).iloc[0]
+    worst = max(row["mse_no_pooling"], row["mse_complete_pooling"])
+    assert row["mse_partial_pooling"] <= worst + 1e-6
+
+
+def test_rank_movers_are_small_n(spark, sf_dir):
+    df = run("q960_rank_movement", spark, sf_dir).sort_values("decile_moves")
+    assert (df["decile_moves"] >= 0).all()
+    assert df["n_users"].sum() > 0
+
+
+def test_eb_rates_inside_raw_range(spark, sf_dir):
+    row = run("q961_beta_binomial_rates", spark, sf_dir).iloc[0]
+    assert 0 <= row["min_eb_rate"] <= row["max_eb_rate"] <= 1
+    assert row["max_rate_move"] >= 0

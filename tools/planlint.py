@@ -66,6 +66,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # per-frequency return lags over BOUNDED sampled-bucket tables
     # (calendar buckets at 1/5/15/60 min — q339 class)
     "q904_volatility_signature",
+    # NTILE over the per-user AGGREGATED table (one row per user, the
+    # q66 aggregated-spine class — never event rows)
+    "q960_rank_movement",
     # ECDF cumulative runs over the <= KS_BINS-row bin aggregate only
     "q131_ks_binned",
     # same bounded-bins class: cumulative over <= 101 value bins
