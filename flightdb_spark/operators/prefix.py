@@ -41,12 +41,19 @@ def bucketed_cumsum(
     order_col: str,
     value_cols: list[str],
     n_buckets: int = 64,
+    *,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Add ``cum_<c>`` (inclusive cumulative sum over the total order
     of ``order_col``) for each c in ``value_cols``.
 
     Equal order keys share a bucket; pre-collapse them for
-    deterministic per-row results (see module docstring).
+    deterministic per-row results (see module docstring), OR pass
+    ``tie_col`` — a column whose (order_col, tie_col) pairs are unique
+    over the whole table. Rows with equal order keys always land in the
+    same bucket (edges compare on order_col only), so the secondary
+    sort inside the per-bucket window yields a globally deterministic
+    total order without any key packing by the caller.
     """
     # n_buckets=1 would need an empty percentile array (degenerate —
     # and the whole point is avoiding the single-partition scan)
@@ -65,9 +72,10 @@ def bucketed_cumsum(
         )
         .drop("__edges")
     )
+    order_cols = [order_col] if tie_col is None else [order_col, tie_col]
     w_in = (
         Window.partitionBy(_BUCKET)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in value_cols:

@@ -122,7 +122,8 @@ def _q933_sql(d: str) -> str:
     top1 AS (SELECT CAST(c AS DOUBLE) / n AS ctr1 FROM bypos WHERE pos = 1)
     SELECT /*+ BROADCAST(t) */ b.pos,
            ROUND(CAST(b.c AS DOUBLE) / b.n, 6) AS ctr,
-           ROUND(CAST(b.c AS DOUBLE) / b.n / t.ctr1, 6) AS examination_prob
+           ROUND(CAST(b.c AS DOUBLE) / b.n / NULLIF(t.ctr1, 0), 6)
+             AS examination_prob
     FROM bypos b CROSS JOIN top1 t
     ORDER BY b.pos
     """

@@ -8,10 +8,12 @@ The global greedy needs a cumulative sum over the density order —
 the classic 100 TB cliff if done with a global window — so the Spark
 side routes it through operators/prefix.py::bucketed_cumsum (the
 scan-then-offset primitive built for exactly this; q59/q123 pattern),
-while the oracle keeps the textbook global-window SQL. Order keys are
-made UNIQUE (density micro-units * 2^20 + doc tie-break) so the
-per-row cumulative is engine-deterministic per the operator's
-contract.
+while the oracle keeps the textbook global-window SQL. The total
+order is the COMPOSITE (okey = -density micro-units, doc_id): doc_id
+is the full-width unique tie-break column on both engines (Spark via
+bucketed_cumsum's tie_col, SQL via ORDER BY okey, doc_id), so the
+per-row cumulative is engine-deterministic over the entire doc_id
+domain — no bit-packed key, hence no modulus collisions at scale.
 
 - q937 greedy selection: items taken in integer-density order until
   the budget; count/weight/value/utilization;
@@ -71,10 +73,10 @@ def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer division (expr div): a double divide + cast would
     # truncate one off the oracle's // on exact-integer quotients
     dens = F.expr("v * 1000000 div w")
-    # ascending key: high density first -> negate; doc_id tie-break
+    # ascending key: high density first -> negate; doc_id is the
+    # separate full-width tie-break column (never packed into okey)
     return df.withColumn("dens_u", dens).withColumn(
-        "okey",
-        (-F.col("dens_u")) * (1 << 20) + F.col("doc_id") % (1 << 20),
+        "okey", -F.col("dens_u")
     )
 
 
@@ -89,16 +91,15 @@ _ITEMS_SQL = f"""items AS (
     keyed AS (
       SELECT doc_id, w, v,
              CAST(v * 1000000 // w AS BIGINT) AS dens_u,
-             CAST(-(v * 1000000 // w) * (1 << 20)
-                  + doc_id % (1 << 20) AS BIGINT) AS okey
+             CAST(-(v * 1000000 // w) AS BIGINT) AS okey
       FROM items
     ),
     cum AS (
       SELECT doc_id, w, v, dens_u, okey,
-             CAST(SUM(w) OVER (ORDER BY okey
+             CAST(SUM(w) OVER (ORDER BY okey, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_w,
-             CAST(SUM(v) OVER (ORDER BY okey
+             CAST(SUM(v) OVER (ORDER BY okey, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_v
       FROM keyed
@@ -109,7 +110,7 @@ def _cum_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the oracle's `cum` CTE, via bucketed_cumsum (no
     global window — the two-pass scan-then-offset primitive)."""
     return bucketed_cumsum(
-        _items_df(spark, sf_dir), "okey", ["w", "v"]
+        _items_df(spark, sf_dir), "okey", ["w", "v"], tie_col="doc_id"
     ).withColumnRenamed("cum_w", "cum_w").withColumnRenamed("cum_v", "cum_v")
 
 
@@ -157,7 +158,7 @@ _Q938_SQL = f"""
     nxt AS (
       SELECT v AS nv, w AS nw
       FROM cum WHERE cum_w > {BUDGET}
-      ORDER BY okey LIMIT 1
+      ORDER BY okey, doc_id LIMIT 1
     )
     SELECT t.greedy_v,
            t.greedy_w,
@@ -187,7 +188,7 @@ def q938_lp_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nxt = (
         cum.filter(F.col("cum_w") > BUDGET)
-        .orderBy("okey")
+        .orderBy("okey", "doc_id")
         .limit(1)
         .select(F.col("v").alias("nv"), F.col("w").alias("nw"))
     )
@@ -272,13 +273,12 @@ _Q940_SQL = f"""
     ),
     keyed AS (
       SELECT doc_id, source, w, v,
-             CAST(-(v * 1000000 // w) * (1 << 20)
-                  + doc_id % (1 << 20) AS BIGINT) AS okey
+             CAST(-(v * 1000000 // w) AS BIGINT) AS okey
       FROM items
     ),
     cum AS (
       SELECT source, doc_id, w, v,
-             CAST(SUM(w) OVER (PARTITION BY source ORDER BY okey
+             CAST(SUM(w) OVER (PARTITION BY source ORDER BY okey, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_w
       FROM keyed
@@ -309,14 +309,10 @@ def q940_per_source_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("w"),
         (F.size(F.array_distinct(toks)) * VAL_SCALE).cast("bigint").alias("v"),
     ).filter(F.col("w") > 0)
-    keyed = items.withColumn(
-        "okey",
-        (-F.expr("v * 1000000 div w")) * (1 << 20)
-        + F.col("doc_id") % (1 << 20),
-    )
+    keyed = items.withColumn("okey", -F.expr("v * 1000000 div w"))
     w = (
         Window.partitionBy("source")
-        .orderBy("okey")
+        .orderBy("okey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = keyed.withColumn("cum_w", F.sum("w").over(w))
@@ -342,12 +338,12 @@ _Q941_SQL = f"""
     WITH {_ITEMS_SQL},
     vkeyed AS (
       SELECT doc_id, w, v,
-             CAST(-v * (1 << 20) + doc_id % (1 << 20) AS BIGINT) AS vkey
+             CAST(-v AS BIGINT) AS vkey
       FROM keyed
     ),
     vcum AS (
       SELECT doc_id, w, v,
-             CAST(SUM(w) OVER (ORDER BY vkey
+             CAST(SUM(w) OVER (ORDER BY vkey, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_w
       FROM vkeyed
@@ -375,10 +371,8 @@ def q941_density_vs_value_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents first). Both cumulatives run through bucketed_cumsum on
     the Spark side; density's advantage is the table's point."""
     dens = _cum_df(spark, sf_dir)
-    items = _items_df(spark, sf_dir).withColumn(
-        "vkey", (-F.col("v")) * (1 << 20) + F.col("doc_id") % (1 << 20)
-    )
-    vcum = bucketed_cumsum(items, "vkey", ["w"])
+    items = _items_df(spark, sf_dir).withColumn("vkey", -F.col("v"))
+    vcum = bucketed_cumsum(items, "vkey", ["w"], tie_col="doc_id")
     dv = dens.filter(F.col("cum_w") <= BUDGET).agg(
         F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias("dens_value")
     )

@@ -77,6 +77,8 @@ def _q902_sql(d: str) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_trades,
            CAST(SUM(qty) AS BIGINT) AS volume,
            CAST(SUM(px * qty) AS BIGINT) AS notional_cents,
+           CAST(MIN(px) AS BIGINT) AS min_px_cents,
+           CAST(MAX(px) AS BIGINT) AS max_px_cents,
            ROUND(CAST(SUM(px * qty) AS DOUBLE) / NULLIF(SUM(qty), 0), 6)
              AS vwap_cents
     FROM tape

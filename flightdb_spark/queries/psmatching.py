@@ -2,9 +2,10 @@
 causal-inference workflow (Rosenbaum-Rubin) over customers: treatment =
 the BUILDING market segment, covariate = account balance, outcome =
 lifetime order spend. Complements causal.py's IPW/raking with the
-MATCHING estimator family: fit a propensity, caliper-match each treated
-unit to its nearest control, estimate the ATT from pair differences,
-audit covariate balance and common support.
+MATCHING estimator family: fit a propensity, coarsened-exact-match
+(CEM) each treated unit to a pooled caliper-width cell of controls,
+estimate the ATT from treated-minus-cell-mean differences, audit
+covariate balance and common support.
 
 The propensity here is a closed-form LINEAR probability model (OLS of
 the treatment indicator on balance cents from exact integer moments) —
@@ -13,28 +14,32 @@ double both engines agree on; swap in any model without touching the
 matching plumbing.
 
 - q917 the propensity model: slope/intercept/R^2 and score range;
-- q918 caliper 1-NN matching (with replacement): scores quantize to
-  integer micro-units; candidate pairs come from an EQUI-join on the
-  caliper-width score bucket x a 3-row neighbor-offset grid (so every
-  within-caliper pair appears, never an all-pairs theta join); the
-  nearest control wins by (|diff|, custkey) ROW_NUMBER;
-- q919 ATT: mean matched-pair outcome difference vs the naive
-  treated-minus-control gap — what matching corrects;
+- q918 coarsened-exact matching (CEM, with replacement): scores
+  quantize to integer micro-units and coarsen to caliper-width cells;
+  controls are POOLED per cell (count + mean balance/outcome/score),
+  and each treated unit matches the nearest OCCUPIED cell among its
+  own and the two adjacent ones — (cell_dist, gkey) ROW_NUMBER, at
+  most 3 candidates per treated unit regardless of control density
+  (no per-control |diff| or custkey tie-break exists by design);
+- q919 ATT: mean treated-minus-matched-cell-pooled-mean outcome
+  difference vs the naive treated-minus-control gap — what the
+  cell-pooled CEM estimator corrects;
 - q920 balance: standardized mean difference of the covariate before
   vs after matching (|SMD| < 0.1 is the conventional pass);
 - q921 common support: the propensity histogram per arm with
   off-support treated counts.
 
 100 TB shape: one customer scan + one orders aggregate; moments are
-1-row broadcasts; matching joins are bucket-equi (bucket width = the
-caliper, so candidates per treated are caliper-local; a degenerate
-propensity concentrates buckets — the same max-bucket consideration as
-LSH, handled by the caliper itself at sane calipers).
+1-row broadcasts; the matching join is treated x (<=3 adjacent cell
+aggregates), so candidate count per treated unit is
+density-INDEPENDENT — the cell aggregation is what keeps the match
+linear at any SF (per-individual 1-NN went 10-68x on 10x data in the
+r7 rehearsal; coarsening is what CEM is for).
 
 Determinism: all moments integer cents; propensity scores are
 identical-arithmetic doubles quantized to exact micro-units BEFORE any
-compare; pair choice tie-breaks on custkey; SMD/ATT are terminal
-ratios.
+compare; cell choice tie-breaks on (cell_dist, gkey); SMD/ATT are
+terminal ratios over exact DECIMAL cell means.
 """
 
 from __future__ import annotations
@@ -210,12 +215,12 @@ def _q918_sql(d: str) -> str:
 
 @query("q918_caliper_match", oracle=_q918_sql("duckdb"))
 def q918_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Caliper 1-NN matching with replacement: candidates come from an
-    EQUI-join on the caliper-width score bucket (x a literal 3-offset
-    grid, so cross-bucket neighbors within the caliper are not missed
-    — every |diff| <= caliper pair is a candidate by construction);
-    the nearest control wins by (|diff|, custkey). Reports match rate,
-    score gaps and control reuse."""
+    """Coarsened-exact matching (CEM) with replacement: scores coarsen
+    to caliper-width cells, controls POOL per cell, and each treated
+    unit matches the nearest occupied cell among its own and the two
+    adjacent ones by (cell_dist, gkey) — at most 3 candidates per
+    treated unit, independent of control density. Reports match rate,
+    treated-vs-cell-mean score gaps and matched-pool size."""
     _views(spark, sf_dir)
     return spark.sql(_q918_sql("spark"))
 
@@ -251,10 +256,11 @@ def _q919_sql(d: str) -> str:
 
 @query("q919_att_matched", oracle=_q919_sql("duckdb"))
 def q919_att_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ATT from matched pairs — mean treated-minus-matched-control
-    spend, in exact integer cent differences summed before one terminal
-    division — beside the naive group gap; their difference is the
-    selection bias the matching removed."""
+    """The CEM ATT — mean treated spend minus the MATCHED CELL'S POOLED
+    control mean (exact DECIMAL cell means, differences summed before
+    one terminal division) — beside the naive group gap; their
+    difference is the selection bias the cell-pooled matching
+    removed."""
     _views(spark, sf_dir)
     return spark.sql(_q919_sql("spark"))
 

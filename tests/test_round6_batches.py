@@ -2162,11 +2162,11 @@ def test_bbox_index_paths_agree(spark, sf_dir):
 def test_vwap_within_price_range(spark, sf_dir):
     df = run("q902_vwap_hourly", spark, sf_dir)
     assert (df["volume"] >= 0).all()
-    ok = df["vwap_cents"].dropna()
-    assert (ok >= 0).all()
-    # vwap is a weighted mean: bounded by the hour's price extremes,
-    # so it can never exceed the global max price
-    assert (ok <= df["notional_cents"].max()).all()
+    ok = df[df["vwap_cents"].notna()]
+    assert (ok["vwap_cents"] >= 0).all()
+    # vwap is a weighted mean: bounded by the hour's own price extremes
+    assert (ok["vwap_cents"] >= ok["min_px_cents"]).all()
+    assert (ok["vwap_cents"] <= ok["max_px_cents"]).all()
 
 
 def test_imbalance_bounded(spark, sf_dir):
