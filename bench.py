@@ -378,7 +378,62 @@ BASELINE_SET = frozenset(
 )
 
 
+# --headline-core: the contention-robust profile (r7 VERDICT item 6) —
+# the 13 recorded-baseline queries plus the ~40 scale-path headliners
+# (every >2.6 s query in the r7 full run and every rehearsal-flagged
+# family), so a bounded driver window still exercises the expensive
+# plans. The full 265-query sweep remains the default.
+CORE_SCALE = [
+    "q819_attack_percolation",
+    "q437_dup_substring_bands",
+    "q749_user_recommendation",
+    "q387_label_propagation",
+    "q576_viterbi_decode",
+    "q397_knn_shapley",
+    "q728_irv_rounds",
+    "q51_dedup_clusters",
+    "q229_spearman",
+    "q91_prefix_jaccard_join",
+    "q813_removal_attribution",
+    "q481_dawid_skene_quality",
+    "q797_stable_matching",
+    "q312_hits_authorities",
+    "q224_trajectory_clusters",
+    "q872_composite_scores",
+    "q191_pca_power_iteration",
+    "q225_ahash_neardup",
+    "q259_bounded_sssp",
+    "q86_pagerank",
+    "q571_bitemporal_snapshot",
+    "q217_python_datasource",
+    "q48_lsh_near_dup",
+    "q473_chrf",
+    "q267_item_similarity_topk",
+    "q143_density_hotspots",
+    "q762_hedonic_index",
+    "q613_placebo_tests",
+    "q516_hierarchy_depths",
+    "q81_dup_spans",
+    "q187_resample_interpolate",
+    "q837_halving_trace",
+    "q198_bfs_hops",
+    "q310_clustering_coefficient",
+    "q582_maximal_frequent_pairs",
+    "q223_theil_sen",
+    "q109_minhash_jaccard_est",
+    "q353_ivf_nprobe_sweep",
+    "q93_triangle_count",
+    "q107_simhash_hamming_pairs",
+    "q667_reserve_price_grid",
+    "q842_elasticity_matrix",
+    "q117_shingle_containment",
+    "q226_pq_adc_topk",
+    "q197_semantic_dedup",
+]
+
+
 def main() -> None:
+    core_mode = "--headline-core" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     t_reg = time.time()
@@ -420,9 +475,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# codegen warmup failed: {exc}", file=sys.stderr)
 
+    if core_mode:
+        names = [n for n in HEADLINE if n in BASELINE_SET or n in set(CORE_SCALE)]
+    else:
+        names = list(HEADLINE)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         qd = registry.get(name)
         if qd is None:
             continue
@@ -452,6 +511,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "registry_load_sec": registry_load_sec,
+        "mode": "headline-core" if core_mode else "full",
     }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
@@ -476,6 +536,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "baseline_total": round(sum(baseline_queries.values()), 3),
+        "mode": "headline-core" if core_mode else "full",
     }
     print(json.dumps(out))
 

@@ -29,9 +29,10 @@ Determinism: KNN-Shapley suffix terms and the recursion base round to
 integer after one exact hundredths recovery; contamination is integer
 counting; centroid margins reuse q67's DECIMAL centroid idiom.
 
-100 TB shapes: q397 is per-probe bounded fan-out (|probes| x corpus,
-probes broadcast; the per-probe ordered scan is the documented cost —
-at fleet scale it runs on the bucketed prefix-scan like q59); q398 one
+100 TB shapes: q397 is per-probe bounded fan-out against a
+FIXED-cardinality probe panel (N_PROBES x corpus = linear, probes
+broadcast; the per-probe ordered scan is the documented cost — at
+fleet scale it runs on the bucketed prefix-scan like q59); q398 one
 10-bin aggregate; q399 one cell aggregate + a 6-way neighbor explode
 on the AGGREGATED cell table; q400 hashed 8-gram equi-join with the
 eval side broadcast; q401 broadcast 10-centroid cross with a
@@ -51,6 +52,14 @@ from .synth import SYNTH_TP_CTE, synth_trackpoints
 
 KNN_K = 5
 SHAP_TOPK = 5
+# q397's probe panel is FIXED-cardinality by contract: the data-market
+# question is "value the corpus against a fixed probe panel", so probe
+# count must NOT scale with the corpus (a corpus-proportional probe
+# rule makes probe x corpus pair work quadratic — the r7 VERDICT
+# scale-killer). The panel is the N_PROBES smallest qualifying ids —
+# deterministic and stable under corpus growth by key-shifted
+# replication (new ids are strictly larger).
+N_PROBES = 20
 ECE_BINS = 10
 HEX_TOPK = 15
 CONTAM_NGRAM = 8
@@ -74,7 +83,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_shapley_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-    probes AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    probes AS (SELECT * FROM e WHERE vec_id % 100 = 0
+               ORDER BY vec_id LIMIT {N_PROBES}),
     pairs AS (
       SELECT p.vec_id AS query_id, t.vec_id, t.label,
              CASE WHEN t.label = p.label THEN 1 ELSE 0 END AS ind,
@@ -129,16 +139,23 @@ def q397_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-rank terms (each rounded to 12 dp into DECIMAL, so the
     windowed accumulation is order-free and engine-stable). Output:
     the top-{SHAP_TOPK} most valuable training points per probe — the
-    table a data-market / corpus-pruning decision reads. Scale: probes
-    broadcast against the corpus (the q40 plan); the per-probe ordered
-    scan is the documented cost — the window partitions by probe, and
-    at fleet scale the rank/suffix stage runs per-probe on the
-    bucketed prefix scan exactly like q59."""
+    table a data-market / corpus-pruning decision reads. Scale: the
+    probe PANEL is fixed-cardinality ({N_PROBES} probes) by contract,
+    so total pair work is O(N_PROBES x corpus) = linear in the corpus;
+    probes broadcast against the corpus (the q40 plan); the per-probe
+    ordered scan is the documented cost — the window partitions by
+    probe, and at fleet scale the rank/suffix stage runs per-probe on
+    the bucketed prefix scan exactly like q59."""
     e = _emb(spark, sf_dir).localCheckpoint()
-    probes = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
+    probes = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
     )
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda a, b: a * b),

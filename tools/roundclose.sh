@@ -21,6 +21,16 @@ echo "=== gate 1/3: full oracle sweep (sf0.01) ==="
 python tools/check.py /root/testdata/sf0.01 || rc=1
 if [ $rc -ne 0 ]; then echo "ROUNDCLOSE: check.py FAILED"; exit 1; fi
 
+echo "=== canary: reference-parity layer (crawl goldens + misordered assembly) ==="
+# A queries/-only round must not silently break operators/ or
+# streaming/ (r7 VERDICT item 7): these two fixtures are the cheapest
+# end-to-end exercise of the restrictor crawl (all reference edge
+# cases) and the fragment-assembly state machine (the reference's own
+# misordered-fragments fixture).
+python -m pytest tests/test_flightdb_core.py -q -k "crawl" || rc=1
+python -m pytest tests/test_assembly.py -q || rc=1
+if [ $rc -ne 0 ]; then echo "ROUNDCLOSE: parity canary FAILED"; exit 1; fi
+
 echo "=== gate 2/3: plan lint (sf0.001 + sf0.01) ==="
 python tools/planlint.py /root/testdata/sf0.001 || rc=1
 if [ $rc -ne 0 ]; then echo "ROUNDCLOSE: planlint sf0.001 FAILED"; exit 1; fi

@@ -14,17 +14,27 @@ the realistic stress for sessionization/windows).
 
 Output: SCALE_REHEARSAL.json at the repo root —
   {query: {"sf01_sec", "sf1_sec", "ratio"}} + flagged list (ratio > 10,
-  i.e. worse than linear in rows) — and a one-line summary in
-  BENCH_LOCAL.json under "scale_rehearsal" when that file exists.
+  i.e. worse than linear in rows).
 
-Usage: python tools/scale_rehearsal.py [--queries q51_dedup_clusters,...]
-       (default: the bench HEADLINE set)
+THIS IS A GATE (r7 VERDICT item 1): the default invocation rehearses
+EVERY bench headliner that is missing from the artifact or recorded as
+an error, running batches in FRESH SUBPROCESSES (one SparkSession per
+batch — r7's only rehearsal error was session resource contention
+after ~120 queries x 2 SFs in one JVM), retries any errored row once
+standalone, and exits NONZERO if any headliner still lacks a clean
+ratio. A crashed rehearsal can no longer ship as a green gate.
+
+Usage:
+  python tools/scale_rehearsal.py              # gate mode: fill + verify all headliners
+  python tools/scale_rehearsal.py --all        # gate mode, re-run everything from scratch
+  python tools/scale_rehearsal.py --queries q51_dedup_clusters,...   # child: run just these in-process
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,9 +43,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "SCALE_REHEARSAL.json")
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfscale/sf1")
 COPIES = 10
+BATCH = 30  # queries per subprocess (fresh SparkSession per batch)
 
 # Key spans chosen >= max key in sf0.1 so shifted copies never collide.
 SPANS = {
@@ -112,13 +124,27 @@ def generate() -> None:
         print(f"# generated {t}: {n} rows", file=sys.stderr)
 
 
-def run(queries: list[str] | None) -> None:
-    from bench import HEADLINE
+def _load_artifact() -> dict:
+    out = {"copies": COPIES, "flagged_over_10x": [], "queries": {}}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as fh:
+            out.update(json.load(fh))
+    return out
+
+
+def _save_artifact(out: dict) -> None:
+    with open(ARTIFACT, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+
+def run_child(names: list[str]) -> None:
+    """Run the named queries in-process (ONE SparkSession) and merge
+    results into the artifact. Called per-batch by gate mode so each
+    batch gets a fresh JVM."""
     from flightdb_spark.queries import load_registry
     from flightdb_spark.session import get_spark
     from flightdb_spark.tables import load_table
 
-    names = queries or HEADLINE
     registry = load_registry()
     spark = get_spark("scale_rehearsal")
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
@@ -148,25 +174,80 @@ def run(queries: list[str] | None) -> None:
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
 
-    # MERGE into the existing artifact: a --queries subset run must not
-    # clobber earlier rehearsal rows, flags, or plan notes.
-    path = os.path.join(REPO, "SCALE_REHEARSAL.json")
-    out = {"copies": COPIES, "flagged_over_10x": [], "queries": {}}
-    if os.path.exists(path):
-        with open(path) as fh:
-            out.update(json.load(fh))
+    # MERGE into the existing artifact: a batch run must not clobber
+    # earlier rehearsal rows, flags, or plan notes.
+    out = _load_artifact()
     out["queries"].update(results)
     out["flagged_over_10x"] = sorted(
         set(out["flagged_over_10x"]) - set(results) | set(flagged)
     )
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
-    print(f"wrote {path}; {len(flagged)} queries over 10x: {flagged}")
+    _save_artifact(out)
+    print(f"# batch done: {len(results)} queries, {len(flagged)} over 10x")
+
+
+def _spawn(names: list[str]) -> int:
+    """One batch = one subprocess = one fresh SparkSession/JVM."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--queries", ",".join(names)]
+    return subprocess.run(cmd, cwd=REPO).returncode
+
+
+def run_gate(rerun_all: bool) -> int:
+    """Fill the artifact for EVERY headliner, retry errors standalone,
+    exit nonzero if any headliner still lacks a clean ratio."""
+    from bench import HEADLINE
+
+    art = _load_artifact()
+    if rerun_all:
+        pending = list(HEADLINE)
+    else:
+        pending = [
+            n for n in HEADLINE
+            if n not in art["queries"] or "err" in art["queries"][n]
+        ]
+    print(f"# gate: {len(pending)} of {len(HEADLINE)} headliners to rehearse")
+
+    for i in range(0, len(pending), BATCH):
+        batch = pending[i : i + BATCH]
+        print(f"# batch {i // BATCH + 1}: {len(batch)} queries")
+        rc = _spawn(batch)
+        if rc != 0:
+            print(f"# batch subprocess exited {rc}; rows it completed are merged",
+                  file=sys.stderr)
+
+    # retry every errored row ONCE, standalone (one query per JVM):
+    # r7's only error was session contention, which a solo run clears.
+    art = _load_artifact()
+    errs = [n for n in HEADLINE
+            if n not in art["queries"] or "err" in art["queries"][n]]
+    for n in errs:
+        print(f"# standalone retry: {n}")
+        _spawn([n])
+
+    # final verdict
+    art = _load_artifact()
+    bad = [n for n in HEADLINE
+           if n not in art["queries"] or "err" in art["queries"][n]]
+    flagged = [n for n in art["flagged_over_10x"] if n in set(HEADLINE)]
+    noted = set(art.get("plan_notes", {}))
+    unexplained = [n for n in flagged if n not in noted]
+    print(f"# headliners: {len(HEADLINE)}; clean ratios: "
+          f"{len(HEADLINE) - len(bad)}; errors/missing: {bad}")
+    print(f"# flagged >10x: {flagged} (without plan note: {unexplained})")
+    if bad:
+        print("SCALE_REHEARSAL GATE: FAIL (errored/missing headliners)")
+        return 1
+    if unexplained:
+        print("SCALE_REHEARSAL GATE: FAIL (flagged >10x without a plan note "
+              "in SCALE_REHEARSAL.json plan_notes)")
+        return 1
+    print("SCALE_REHEARSAL GATE: PASS")
+    return 0
 
 
 if __name__ == "__main__":
-    only = None
     if len(sys.argv) > 2 and sys.argv[1] == "--queries":
-        only = sys.argv[2].split(",")
+        generate()
+        run_child(sys.argv[2].split(","))
+        sys.exit(0)
     generate()
-    run(only)
+    sys.exit(run_gate(rerun_all="--all" in sys.argv[1:]))
