@@ -153,8 +153,13 @@ def dtw_via_pairs(tp: DataFrame, pairs: DataFrame) -> DataFrame:
     scores far instead of 0). Each flight is evenly downsampled to at
     most DTW_MAX_POINTS points JVM-side, so the Arrow stage sees a
     bounded matrix per pair; pairs come from candidate_pairs_by_grid
-    (equi-join, never n²). Deterministic: point order is (ts, lat,
-    lon), downsample indices are exact integers, numpy float64."""
+    (equi-join, never n²). Deterministic and ORACLE-EXACT: point order
+    is (ts, lat, lon); downsample indices are exact integers; the mean
+    latitude is an order-free integer micro-degree sum; per-cell costs
+    quantize to integer micro-km BEFORE the DP, so the banded min-plus
+    recursion runs entirely in int64 — the same numbers q213's
+    unrolled SQL oracle computes (dtw_ukm is the hash-compared
+    column; dtw_km is its display form)."""
     import numpy as np
     import pandas as pd
 
@@ -206,32 +211,47 @@ def dtw_via_pairs(tp: DataFrame, pairs: DataFrame) -> DataFrame:
         g1 = pdf[pdf["side"] == 1].sort_values("i")
         if len(g0) and len(g1):
             lat0 = g0["lat"].to_numpy()
-            mean_lat = float(np.mean(np.concatenate([lat0, g1["lat"].to_numpy()])))
+            lat1 = g1["lat"].to_numpy()
+            # order-free mean latitude: exact integer micro-degree sum
+            # (np.mean's pairwise summation is engine-private; the SQL
+            # oracle must reproduce this value bit-for-bit)
+            lat_u = np.floor(
+                np.concatenate([lat0, lat1]) * 1e6 + 0.5
+            ).astype(np.int64)
+            mean_lat = float(lat_u.sum()) / float(len(lat_u) * 1_000_000)
             kx = 111.32 * np.cos(np.deg2rad(mean_lat))
             ax = g0["lon"].to_numpy() * kx
             ay = lat0 * 111.32
             bx = g1["lon"].to_numpy() * kx
-            by = g1["lat"].to_numpy() * 111.32
+            by = lat1 * 111.32
             m, n = len(ax), len(bx)
             band = max(DTW_BAND, abs(m - n) + 1)
-            INF = float("inf")
-            prev = np.full(n + 1, INF)
-            prev[0] = 0.0
+            INF = 1 << 60
+            prev = np.full(n + 1, INF, dtype=np.int64)
+            prev[0] = 0
             for i in range(1, m + 1):
-                cur = np.full(n + 1, INF)
+                cur = np.full(n + 1, INF, dtype=np.int64)
                 lo = max(1, i - band)
                 hi = min(n, i + band)
                 dx = ax[i - 1] - bx[lo - 1 : hi]
                 dy = ay[i - 1] - by[lo - 1 : hi]
-                cost = np.hypot(dx, dy)
+                # element-wise sqrt (NOT np.hypot: different low bits)
+                # then micro-km floor — the exact op sequence the SQL
+                # oracle replays; the DP below is pure int64 min-plus
+                cost = np.floor(
+                    np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                ).astype(np.int64)
                 for k, j in enumerate(range(lo, hi + 1)):
                     cur[j] = cost[k] + min(prev[j], prev[j - 1], cur[j - 1])
                 prev = cur
-            out.append((fa, fb, m, n, round(float(prev[n]), 3)))
+            dtw_u = int(prev[n])
+            out.append((fa, fb, m, n, dtw_u, round(dtw_u / 1e6, 3)))
         return pd.DataFrame(
-            out, columns=["flight_a", "flight_b", "n_a", "n_b", "dtw_km"]
+            out,
+            columns=["flight_a", "flight_b", "n_a", "n_b", "dtw_ukm", "dtw_km"],
         )
 
     return both.groupBy("flight_a", "flight_b").applyInPandas(
-        _one, "flight_a long, flight_b long, n_a int, n_b int, dtw_km double"
+        _one,
+        "flight_a long, flight_b long, n_a int, n_b int, dtw_ukm long, dtw_km double",
     )

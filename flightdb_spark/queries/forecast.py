@@ -1,7 +1,8 @@
 """Time-series / privacy batch 18 (q260-q263): KMV sketch SET algebra
 (union + inclusion-exclusion intersection estimates audited against
 exact), Holt linear-trend forecasting (the double-exponential-
-smoothing recurrence, rows-only with a Python parity pin), rolling
+smoothing recurrence, replayed bit-exactly by a recursive-CTE oracle
+since r8; Python parity pin remains), rolling
 z-score anomaly flagging over exact decimal window moments, and a
 reproducible Laplace-mechanism noisy-count release (the DP shape with
 hash-seeded noise so both engines — and reruns — agree).
@@ -163,7 +164,7 @@ def q260_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q261 — Holt linear-trend forecast (rows-only; Python-parity pinned)
+# q261 — Holt linear-trend forecast (hash-verified: recursive-CTE oracle)
 
 
 _HOLT_SCHEMA = StructType(
@@ -181,7 +182,11 @@ HOLT_BETA = 0.1
 def _holt_forecast(pdf, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA, horizon: int = 7):
     """Holt's linear method over one key's day-ordered series; init
     level = y0, trend = y1 - y0. Pure function shared with the parity
-    test."""
+    test. yhat quantizes via floor(x*1e4 + 0.5)/1e4 — the exact op
+    sequence the recursive-CTE oracle replays (NOT Python round():
+    half-even vs DuckDB half-up would diverge on ties)."""
+    import math
+
     import pandas as pd
 
     pdf = pdf.sort_values("day").reset_index(drop=True)
@@ -192,21 +197,82 @@ def _holt_forecast(pdf, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA, hori
         prev_level = level
         level = alpha * float(y[t]) + (1 - alpha) * (level + trend)
         trend = beta * (level - prev_level) + (1 - beta) * trend
-    rows = [(key, h, round(level + h * trend, 4)) for h in range(1, horizon + 1)]
+    rows = [
+        (key, h, math.floor((level + h * trend) * 10000 + 0.5) / 10000.0)
+        for h in range(1, horizon + 1)
+    ]
     return pd.DataFrame(rows, columns=["event_type", "h", "yhat"])
 
 
-@query("q261_holt_forecast")  # rows-only: sequential recurrence
+def _q261_oracle() -> str:
+    """Recursive-CTE oracle replaying Holt's EXACT recurrence (r7
+    VERDICT item 4): each recursion step evaluates the same IEEE
+    double expressions the Python loop runs — constants inlined via
+    repr() so both engines hold bit-identical alpha/(1-alpha)/beta/
+    (1-beta) — so the final (level, trend) match bit-for-bit and the
+    quantized forecasts hash-match."""
+    a, oma = HOLT_ALPHA, 1 - HOLT_ALPHA
+    b, omb = HOLT_BETA, 1 - HOLT_BETA
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, day
+    ),
+    seq AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM daily
+    ),
+    holt AS (
+      SELECT s0.event_type, CAST(2 AS BIGINT) AS t,
+             CAST({a!r} AS DOUBLE) * s1.v
+               + CAST({oma!r} AS DOUBLE) * (s0.v + (s1.v - s0.v)) AS lvl,
+             CAST({b!r} AS DOUBLE)
+               * ((CAST({a!r} AS DOUBLE) * s1.v
+                   + CAST({oma!r} AS DOUBLE) * (s0.v + (s1.v - s0.v)))
+                  - s0.v)
+               + CAST({omb!r} AS DOUBLE) * (s1.v - s0.v) AS trd
+      FROM seq s0 JOIN seq s1
+        ON s1.event_type = s0.event_type AND s0.t = 1 AND s1.t = 2
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             CAST({a!r} AS DOUBLE) * s.v
+               + CAST({oma!r} AS DOUBLE) * (h.lvl + h.trd),
+             CAST({b!r} AS DOUBLE)
+               * ((CAST({a!r} AS DOUBLE) * s.v
+                   + CAST({oma!r} AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
+               + CAST({omb!r} AS DOUBLE) * h.trd
+      FROM holt h JOIN seq s
+        ON s.event_type = h.event_type AND s.t = h.t + 1
+    ),
+    lastt AS (
+      SELECT event_type, MAX(t) AS t FROM holt GROUP BY event_type
+    ),
+    fin AS (
+      SELECT h.event_type, h.lvl, h.trd
+      FROM holt h JOIN lastt l ON l.event_type = h.event_type AND l.t = h.t
+    )
+    SELECT f.event_type, CAST(hz.h AS INT) AS h,
+           CAST(CAST(FLOOR((f.lvl + hz.h * f.trd) * 10000 + 0.5) AS BIGINT)
+                AS DOUBLE) / CAST(10000 AS DOUBLE) AS yhat
+    FROM fin f
+    CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) hz(h)
+    ORDER BY f.event_type, hz.h
+    """
+
+
+@query("q261_holt_forecast", oracle=_q261_oracle())
 def q261_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecast (double exponential smoothing,
     Holt 1957): 7-day-ahead daily-revenue forecasts per event type.
     The level/trend recurrence is inherently sequential, so it runs
     per key in Arrow-batched applyInPandas over the BOUNDED daily
     series (30 points per key, 5 keys) — the per-key-recurrence
-    pattern (q234, q258); semantics pinned by a Python parity test
-    rather than a SQL oracle. EWMA (q114) is the single-smoothing
-    sibling that IS oracle-expressible; Holt's coupled recurrences
-    are not.
+    pattern (q234, q258). The ORACLE replays the identical recurrence
+    as a recursive CTE with repr-inlined double constants, so the
+    coupled level/trend states match bit-for-bit and the micro-unit-
+    quantized forecasts hash-match (was rows-only before r8).
 
     Plan: one shuffle to the (type, day) daily aggregate — the only
     fact-sized exchange; Python sees 150 tiny rows."""

@@ -1320,20 +1320,134 @@ def q212_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q213 — DTW trajectory similarity, grid-gated (rows-only: the banded
-# dynamic program is not SQL-expressible; properties pinned in
-# tests/test_dtw.py)
+# q213 — DTW trajectory similarity, grid-gated. The banded DP unrolls
+# into SQL (r7 VERDICT item 4, the q576-Viterbi pattern): the per-row
+# recurrence cur[j] = cost[j] + min(prev[j], prev[j-1], cur[j-1]) is a
+# min-plus prefix — cur[j] = C[j] + MIN_{k<=j}(m[k] - C[k-1]) with
+# C = the row's cost prefix sum and m[k] = min(prev[k], prev[k-1]) —
+# so each of the <=64 rows is ONE windowed CTE, and the whole DP is an
+# exact-integer (micro-km) chain both engines compute identically.
 
 
-@query("q213_dtw_similarity")
+def _q213_oracle() -> str:
+    from flightdb_spark.operators.trajectory import DTW_BAND, DTW_MAX_POINTS
+
+    from .extras import _GRID_PAIRS_SQL
+    from .synth import SYNTH_TP_CTE
+
+    k = DTW_MAX_POINTS
+    inf = 1 << 60
+    steps = [f"""v1 AS MATERIALIZED (
+      SELECT flight_a, flight_b, j,
+             SUM(c) OVER (PARTITION BY flight_a, flight_b ORDER BY j) AS e
+      FROM cost WHERE i = 1
+    )"""]
+    for i in range(2, k + 1):
+        steps.append(f"""v{i} AS MATERIALIZED (
+      SELECT x.flight_a, x.flight_b, x.j,
+             x.cum + MIN(x.term) OVER (PARTITION BY x.flight_a, x.flight_b
+                                       ORDER BY x.j) AS e
+      FROM (
+        SELECT c.flight_a, c.flight_b, c.j, c.c,
+               SUM(c.c) OVER (PARTITION BY c.flight_a, c.flight_b
+                              ORDER BY c.j) AS cum,
+               COALESCE(LEAST(p0.e, p1.e), {inf})
+                 - (SUM(c.c) OVER (PARTITION BY c.flight_a, c.flight_b
+                                   ORDER BY c.j) - c.c) AS term
+        FROM cost c
+        LEFT JOIN v{i - 1} p0 ON p0.flight_a = c.flight_a
+          AND p0.flight_b = c.flight_b AND p0.j = c.j
+        LEFT JOIN v{i - 1} p1 ON p1.flight_a = c.flight_a
+          AND p1.flight_b = c.flight_b AND p1.j = c.j - 1
+        WHERE c.i = {i}
+      ) x
+    )""")
+    finals = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS i, flight_a, flight_b, j, e FROM v{i}"
+        for i in range(1, k + 1)
+    )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH {SYNTH_TP_CTE},
+    pts AS (
+      SELECT flight_id, ts, lat, lon FROM trackpoints WHERE flight_id < 40
+    ),
+    {_GRID_PAIRS_SQL},
+    seq AS (
+      SELECT flight_id, CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon,
+             ROW_NUMBER() OVER (PARTITION BY flight_id
+                                ORDER BY ts, lat, lon) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY flight_id) AS n
+      FROM pts
+    ),
+    kept AS (
+      SELECT flight_id, lat, lon, i FROM seq
+      WHERE n <= {k} OR i = 0 OR (i * {k} // n) <> ((i - 1) * {k} // n)
+    ),
+    dsd AS (
+      SELECT flight_id, lat, lon,
+             ROW_NUMBER() OVER (PARTITION BY flight_id ORDER BY i) AS j,
+             COUNT(*) OVER (PARTITION BY flight_id) AS len,
+             SUM(CAST(FLOOR(lat * 1000000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY flight_id) AS slat_u
+      FROM kept
+    ),
+    fl AS (
+      SELECT flight_id, MAX(len) AS len, MAX(slat_u) AS slat_u
+      FROM dsd GROUP BY flight_id
+    ),
+    dims AS (
+      SELECT p.flight_a, p.flight_b, a.len AS m, b.len AS n,
+             GREATEST({DTW_BAND}, ABS(a.len - b.len) + 1) AS band,
+             CAST(111.32 AS DOUBLE) * COS(RADIANS(
+               CAST(a.slat_u + b.slat_u AS DOUBLE)
+               / CAST((a.len + b.len) * 1000000 AS DOUBLE))) AS kx
+      FROM pairs p
+      JOIN fl a ON a.flight_id = p.flight_a
+      JOIN fl b ON b.flight_id = p.flight_b
+    ),
+    cost AS MATERIALIZED (
+      SELECT d.flight_a, d.flight_b, sa.j AS i, sb.j AS j,
+             CAST(FLOOR(SQRT(
+               (sa.lon * d.kx - sb.lon * d.kx)
+                 * (sa.lon * d.kx - sb.lon * d.kx)
+               + (sa.lat * CAST(111.32 AS DOUBLE)
+                    - sb.lat * CAST(111.32 AS DOUBLE))
+                 * (sa.lat * CAST(111.32 AS DOUBLE)
+                      - sb.lat * CAST(111.32 AS DOUBLE))
+             ) * 1000000 + 0.5) AS BIGINT) AS c
+      FROM dims d
+      JOIN dsd sa ON sa.flight_id = d.flight_a
+      JOIN dsd sb ON sb.flight_id = d.flight_b
+      WHERE sb.j BETWEEN GREATEST(1, sa.j - d.band)
+                     AND LEAST(d.n, sa.j + d.band)
+    ),
+    {steps_sql},
+    allv AS (
+      {finals}
+    )
+    SELECT d.flight_a, d.flight_b,
+           CAST(d.m AS INT) AS n_a, CAST(d.n AS INT) AS n_b,
+           CAST(v.e AS BIGINT) AS dtw_ukm
+    FROM dims d
+    JOIN allv v ON v.flight_a = d.flight_a AND v.flight_b = d.flight_b
+               AND v.i = d.m AND v.j = d.n
+    ORDER BY d.flight_a, d.flight_b
+    """
+
+
+@query("q213_dtw_similarity", oracle=_q213_oracle())
 def q213_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance for every grid-candidate flight pair — the
     order-respecting companion to q47's Hausdorff (a reversed track is
     FAR under DTW, identical under Hausdorff). Candidates come from
     the same 3x3-expanded cell equi-join as q47; each flight is evenly
     downsampled to <=64 points JVM-side before the Arrow stage, so the
-    per-pair dynamic program is a bounded 64x64 band. Output: pair,
-    downsampled lengths, dtw_km."""
+    per-pair dynamic program is a bounded 64x64 band in EXACT integer
+    micro-km (operators/trajectory.py::dtw_via_pairs) — which is what
+    lets the oracle unroll the same DP as 64 windowed CTEs and
+    hash-match bit-for-bit. Output: pair, downsampled lengths,
+    dtw_ukm."""
     from flightdb_spark.operators.trajectory import (
         candidate_pairs_by_grid,
         dtw_via_pairs,
@@ -1341,7 +1455,11 @@ def q213_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tp = synth_trackpoints(spark, sf_dir).filter(F.col("flight_id") < 40)
     pairs = candidate_pairs_by_grid(tp)
-    return dtw_via_pairs(tp, pairs).orderBy("flight_a", "flight_b")
+    return (
+        dtw_via_pairs(tp, pairs)
+        .select("flight_a", "flight_b", "n_a", "n_b", "dtw_ukm")
+        .orderBy("flight_a", "flight_b")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,11 @@
 """Trajectory-metrics batch 29 (q290-q291): path tortuosity (flown
 distance over great-circle displacement — the wandering index that
 separates vectoring from direct routing) and per-track convex hulls
-(monotone chain, the operating-area summary). Tortuosity is fully
-oracle-checked; the hull is rows-only (sequential chain scan) with a
-pure-Python parity pin, the bounded-per-key applyInPandas pattern
-(q234/q258/q261).
+(monotone chain, the operating-area summary). Both are fully
+oracle-checked: the hull runs in exact integer hundredth-degree units
+inside bounded-per-key applyInPandas, and its oracle recomputes the
+same hull by the extreme-edge characterization (hash-exact since r8;
+the pure-Python parity pin remains).
 
 Reference basis: trajectory analysis family (SURVEY §2.4; track.go's
 DistanceTravelledKM + bounding boxes — the hull is the tighter
@@ -138,7 +139,7 @@ def q290_tortuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q291 — convex hull (rows-only; Python-parity pinned)
+# q291 — convex hull (hash-verified: exact integer hull, edge-characterization oracle)
 
 
 _HULL_SCHEMA = StructType(
@@ -152,13 +153,24 @@ _HULL_SCHEMA = StructType(
 
 
 def convex_hull_stats(pdf):
-    """Andrew's monotone chain over one flight's (lon, lat) points;
-    returns hull size and shoelace area. Pure function shared with
-    the parity test."""
+    """Andrew's monotone chain over one flight's (lon, lat) points in
+    EXACT integer hundredth-degree units (the synth grid): cross
+    products and the shoelace sum are integer arithmetic, so collinear
+    popping is exact (a float chain can sign-flip a true-zero cross)
+    and the area is the exact integer A2/20000. Pure function shared
+    with the parity test; q291's SQL oracle recomputes the same hull
+    via the extreme-edge characterization — identical integers."""
+    import math
+
     import pandas as pd
 
     fid = int(pdf["flight_id"].iloc[0])
-    pts = sorted(set(zip(pdf["lon"].tolist(), pdf["lat"].tolist())))
+    pts = sorted(
+        set(
+            (int(math.floor(lo * 100 + 0.5)), int(math.floor(la * 100 + 0.5)))
+            for lo, la in zip(pdf["lon"].tolist(), pdf["lat"].tolist())
+        )
+    )
     n = len(pdf)
 
     def cross(o, a, b):
@@ -177,19 +189,80 @@ def convex_hull_stats(pdf):
                 upper.pop()
             upper.append(p)
         hull = lower[:-1] + upper[:-1]
-    area = 0.0
+    a2 = 0
     for i in range(len(hull)):
         x1, y1 = hull[i]
         x2, y2 = hull[(i + 1) % len(hull)]
-        area += x1 * y2 - x2 * y1
-    area = abs(area) / 2.0 if len(hull) >= 3 else 0.0
+        a2 += x1 * y2 - x2 * y1
+    a2 = abs(a2) if len(hull) >= 3 else 0
     return pd.DataFrame(
-        [(fid, n, len(hull), round(area, 9))],
+        [(fid, n, len(hull), float(a2) / 20000.0)],
         columns=["flight_id", "n_points", "n_hull_points", "hull_area_deg2"],
     )
 
 
-@query("q291_convex_hull")  # rows-only: sequential chain scan
+_Q291_ORACLE = f"""
+    WITH {SYNTH_TP_CTE},
+    raw AS (
+      SELECT flight_id,
+             CAST(FLOOR(lon * 100 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(lat * 100 + 0.5) AS BIGINT) AS y
+      FROM trackpoints
+    ),
+    npt AS (
+      SELECT flight_id, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM raw GROUP BY flight_id
+    ),
+    pts AS (SELECT DISTINCT flight_id, x, y FROM raw),
+    cnt AS (SELECT flight_id, COUNT(*) AS np FROM pts GROUP BY flight_id),
+    -- extreme-edge characterization: directed edge a->b is on the CCW
+    -- hull iff every other point is strictly LEFT of it (cross > 0)
+    -- or collinear STRICTLY INSIDE the segment. Exact integer cross
+    -- products on the hundredth-degree grid; collinear ends or
+    -- beyond-segment points disqualify the edge, which reproduces the
+    -- monotone chain's <=0 popping (no collinear hull vertices).
+    edges AS MATERIALIZED (
+      SELECT a.flight_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+      FROM pts a
+      JOIN pts b ON b.flight_id = a.flight_id
+        AND (a.x <> b.x OR a.y <> b.y)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts r
+        WHERE r.flight_id = a.flight_id
+          AND (r.x <> a.x OR r.y <> a.y)
+          AND (r.x <> b.x OR r.y <> b.y)
+          AND NOT (
+            (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) > 0
+            OR (
+              (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+              AND (r.x - a.x) * (b.x - a.x) + (r.y - a.y) * (b.y - a.y) > 0
+              AND (r.x - a.x) * (b.x - a.x) + (r.y - a.y) * (b.y - a.y)
+                  < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+            )
+          )
+      )
+    ),
+    hull AS (
+      SELECT e.flight_id,
+             COUNT(DISTINCT (e.ax, e.ay)) AS n_hull,
+             ABS(SUM(e.ax * e.by - e.bx * e.ay)) AS a2,
+             COUNT(*) AS n_edges
+      FROM edges e GROUP BY e.flight_id
+    )
+    SELECT n.flight_id,
+           n.n_points,
+           CAST(CASE WHEN c.np = 1 THEN 1 ELSE h.n_hull END AS INT)
+             AS n_hull_points,
+           CASE WHEN c.np <= 2 OR h.n_hull < 3 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(h.a2 AS DOUBLE) / 20000.0 END AS hull_area_deg2
+    FROM npt n
+    JOIN cnt c ON c.flight_id = n.flight_id
+    LEFT JOIN hull h ON h.flight_id = n.flight_id
+    ORDER BY n.flight_id
+    """
+
+
+@query("q291_convex_hull", oracle=_Q291_ORACLE)
 def q291_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-track convex hull (Andrew's monotone chain): hull vertex
     count and shoelace area in squared degrees — the tight
@@ -197,10 +270,11 @@ def q291_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     boxes (track.go's FullBoundingBox / AsContiguousBoxes, q22/
     boxes.py). The chain scan is sequential over the sorted point
     set, so it runs per flight in Arrow-batched applyInPandas over
-    the BOUNDED per-flight points — rows-only, with the hull pinned
-    against a direct Python run in tests (plus the containment
-    invariant: hull area <= bounding-box area, vertices <= distinct
-    points).
+    the BOUNDED per-flight points, entirely in EXACT integer
+    hundredth-degree units — which lets the SQL oracle recompute the
+    identical hull by the O(n^3-per-flight) extreme-edge
+    characterization and hash-match exactly (was rows-only before
+    r8; the containment invariants remain in tests).
 
     Plan: one flight-keyed shuffle; Python sees (flight_id, lat, lon)
     only."""
