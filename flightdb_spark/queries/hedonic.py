@@ -27,19 +27,30 @@ that broadcast-sized cell table. No windows over facts, no pair
 joins anywhere.
 
 Determinism: unit price in exact integer micro-cents
-(FLOOR(cents*1e4/qty + 0.5), the q666 money contract); y is LN of
-that integer quantized to BIGINT NANO-units via FLOOR(ln*1e9 + 0.5)
-— NOT ROUND(double, 9), whose shortest-decimal-repr semantics differ
-between Spark and DuckDB and flipped a handful of the ~6000
-accumulated terms at 1e-9 (this batch's own lesson; FLOOR of an
-identically-computed double is binary-exact on both engines). Every
-accumulated term (demeaned products, adjusted prices) is
-nano-quantized the same way and summed as exact integers; slopes,
-indices, and R^2 are terminal straight-line doubles emitted
-unrounded.
+(FLOOR(cents*1e4/qty + 0.5), the q666 money contract); y is a
+DETERMINISTIC SERIES log of that integer quantized to BIGINT
+NANO-units via FLOOR(lnhat*1e9 + 0.5). Engine LN() is NOT used on the
+load-bearing path (r8 rederivation, closing the DETERMINISM.md "LN
+1-ulp class" residual): measured on the real price domain, JVM LN and
+libm LN diverge by one ulp on ~0.45% of arguments while OTHER
+arguments land exactly on FLOOR boundaries — correctness held only
+because the two sets happened not to intersect. lnhat(p) instead
+computes ln(p) = k*ln2 + 2*atanh((m-1)/(m+1)) with k = exact bit
+length - 1, m = p/2^k in [1,2), and the atanh as a 10-term Horner
+polynomial of repr-inlined double literals: every operation is an
+IEEE-correctly-rounded +,-,*,/ with identical expression structure on
+both engines, so the result is bit-identical BY CONSTRUCTION (series
+truncation error < 1e-11 relative — economically indistinguishable
+from true ln; tests/test_hedonic_quantizer_bound.py asserts the
+cross-engine bit-equality mechanically). Every accumulated term
+(demeaned products, adjusted prices) is nano-quantized the same way
+and summed as exact integers; slopes, indices, and R^2 are terminal
+straight-line doubles emitted unrounded.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,22 +73,67 @@ def _nq(expr: str) -> str:
     return f"CAST(FLOOR(({expr}) * {NANO} + 0.5) AS BIGINT)"
 
 
+# Deterministic series log (the r8 rederivation — see module
+# docstring): ln(p) = kk*ln2 + 2*atanh((mm-1)/(mm+1)) with kk the
+# exact bit length - 1 and mm = p / 2^kk in [1, 2), so z < 1/3 and the
+# truncated atanh Horner polynomial is accurate to < 1e-11 relative.
+# Every constant is a repr-inlined double literal; every operation is
+# an IEEE correctly-rounded +,-,*,/ evaluated op-by-op on both engines
+# (no FMA fusion in either vectorized kernel or JVM codegen), so the
+# value is bit-identical by construction — engine LN() never runs.
+_LN2 = repr(math.log(2.0))
+_ATANH_COEFS = [repr(1.0 / k) for k in (3, 5, 7, 9, 11, 13, 15, 17, 19)]
+
+
+def _lnhat_expr() -> str:
+    """ln-hat over columns kk (BIGINT), z, z2 (DOUBLE)."""
+    horner = f"CAST({_ATANH_COEFS[-1]} AS DOUBLE)"
+    for c in reversed(_ATANH_COEFS[:-1]):
+        horner = f"(CAST({c} AS DOUBLE) + z2 * {horner})"
+    return (
+        f"CAST(kk AS DOUBLE) * CAST({_LN2} AS DOUBLE)"
+        f" + CAST(2 AS DOUBLE) * z * (CAST(1 AS DOUBLE) + z2 * {horner})"
+    )
+
+
 def _rows_cte() -> str:
     return f"""rows0 AS (
       SELECT brand, ptype, m, x, yn,
              CAST(yn AS DOUBLE) / {NANO} AS y
       FROM (
-        SELECT p.p_brand AS brand,
-               p.p_type AS ptype,
-               (year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1
-                 - {BASE_MONTH}) AS m,
-               CAST(p.p_size AS BIGINT) AS x,
-               {_nq('LN(CAST(FLOOR(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) '
-                    'AS BIGINT) * CAST(10000 AS DOUBLE) '
-                    '/ CAST(l.l_quantity AS BIGINT) + 0.5) AS BIGINT))')} AS yn
-        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE l.l_quantity > 0
-      ) z
+        SELECT brand, ptype, m, x,
+               {_nq(_lnhat_expr())} AS yn
+        FROM (
+          SELECT brand, ptype, m, x, kk, z, z * z AS z2
+          FROM (
+            SELECT brand, ptype, m, x, kk,
+                   (mm - CAST(1 AS DOUBLE)) / (mm + CAST(1 AS DOUBLE)) AS z
+            FROM (
+              SELECT brand, ptype, m, x, kk,
+                     CAST(up AS DOUBLE)
+                       / CAST((CAST(1 AS BIGINT) << kk) AS DOUBLE) AS mm
+              FROM (
+                SELECT brand, ptype, m, x, up,
+                       LENGTH(bin(up)) - 1 AS kk
+                FROM (
+                  SELECT p.p_brand AS brand,
+                         p.p_type AS ptype,
+                         (year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1
+                           - {BASE_MONTH}) AS m,
+                         CAST(p.p_size AS BIGINT) AS x,
+                         CAST(FLOOR(
+                           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * CAST(10000 AS DOUBLE)
+                           / CAST(l.l_quantity AS BIGINT) + 0.5) AS BIGINT)
+                           AS up
+                  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                  WHERE l.l_quantity > 0
+                ) z0
+              ) z1
+            ) z2t
+          ) z3
+        ) z4
+      ) z5
     )"""
 
 

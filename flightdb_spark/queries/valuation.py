@@ -207,16 +207,27 @@ def q397_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         term.cast("decimal(38,12)").alias("c"),
     )
-    w_suffix = (
-        W.partitionBy("query_id")
-        .orderBy("i")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    # suffix sum as partition total MINUS exclusive prefix: Spark's
+    # [currentRow, unboundedFollowing] frame is
+    # UnboundedFollowingWindowFunctionFrame, which RECOMPUTES the
+    # aggregate per row — O(n^2) per probe partition (22x wall on 10x
+    # data in the r8 sf1 rehearsal). Total and growing-prefix frames
+    # are both incremental O(n), and DECIMAL arithmetic keeps the
+    # subtraction exact, so the values are unchanged (the oracle keeps
+    # the textbook suffix window — DuckDB's segment tree is O(n log n)).
+    w_part = W.partitionBy("query_id")
+    w_prefix = (
+        w_part.orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("decimal(38,12)")
+    suffix = F.sum("c").over(w_part) - F.coalesce(
+        F.sum("c").over(w_prefix), zero
     )
     vals = terms.select(
         "query_id",
         "vec_id",
         F.col("ind").alias("same_label"),
-        F.round(F.sum("c").over(w_suffix).cast("double"), 9).alias("shapley"),
+        F.round(suffix.cast("double"), 9).alias("shapley"),
     )
     w_rk = W.partitionBy("query_id").orderBy(F.desc("shapley"), "vec_id")
     return (
