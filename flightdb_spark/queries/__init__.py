@@ -219,6 +219,8 @@ _MODULES = [
     "texttiling",
     "forgetting",
     "shrinkage",
+    "costalloc",
+    "ratings",
 ]
 
 
