@@ -221,6 +221,7 @@ _MODULES = [
     "shrinkage",
     "costalloc",
     "ratings",
+    "spc",
 ]
 
 

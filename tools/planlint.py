@@ -169,6 +169,23 @@ GLOBAL_WINDOW_ALLOWED = {
     "q557_benjamini_hochberg",
     "q559_fdr_threshold_sweep",
     "q560_family_structured_testing",
+    # cost-allocation batch: every global window (rank, Shapley prefix
+    # sum, core prefix) runs over the 25-row per-nation cost aggregate
+    # — bounded by the nation dim, never fact rows
+    "q962_airport_shapley",
+    "q963_shapley_vs_prorata",
+    "q966_core_check_prorata",
+    # Elo batch: the match-index window runs over the one-match-per-
+    # hour log (calendar-bounded, q339's class); the replay itself is
+    # a single bounded applyInPandas group
+    "q967_match_log",
+    "q968_elo_final",
+    "q969_elo_trajectory",
+    "q970_elo_k_sensitivity",
+    "q971_elo_winrate_concordance",
+    # SPC batch: runs-rule windows ride the one-row-per-hour subgroup
+    # aggregate — calendar-bounded (q339's class)
+    "q976_western_electric",
 }
 
 
