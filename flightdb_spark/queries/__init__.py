@@ -222,6 +222,7 @@ _MODULES = [
     "costalloc",
     "ratings",
     "spc",
+    "clearing",
 ]
 
 

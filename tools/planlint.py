@@ -186,6 +186,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # SPC batch: runs-rule windows ride the one-row-per-hour subgroup
     # aggregate — calendar-bounded (q339's class)
     "q976_western_electric",
+    # auction batch: the day-over-day lag rides the ~30-row daily
+    # uncross table — calendar-bounded (q339's class)
+    "q981_clearing_price_moves",
 }
 
 
