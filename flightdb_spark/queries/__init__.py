@@ -223,6 +223,7 @@ _MODULES = [
     "ratings",
     "spc",
     "clearing",
+    "revmgmt",
 ]
 
 

@@ -189,6 +189,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # auction batch: the day-over-day lag rides the ~30-row daily
     # uncross table — calendar-bounded (q339's class)
     "q981_clearing_price_moves",
+    # revenue management: the bid-price first difference lags over the
+    # 11-row LITERAL seat grid — bounded by construction
+    "q986_bid_price_curve",
 }
 
 
