@@ -355,6 +355,20 @@ HEADLINE = [
     # round 7: EB shrinkage
     "q958_stein_paradox",
     "q959_pooling_spectrum",
+    # round 8: cost allocation / Elo / SPC / auction clearing /
+    # revenue management / changepoints
+    "q962_airport_shapley",
+    "q965_shapley_shubik",
+    "q968_elo_final",
+    "q970_elo_k_sensitivity",
+    "q973_ewma_chart",
+    "q974_cusum_chart",
+    "q977_auction_uncross",
+    "q979_auction_surplus",
+    "q982_demand_profile",
+    "q985_overbooking_grid",
+    "q987_binary_split",
+    "q989_page_hinkley",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

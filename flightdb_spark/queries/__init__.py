@@ -224,6 +224,7 @@ _MODULES = [
     "spc",
     "clearing",
     "revmgmt",
+    "changepoint",
 ]
 
 

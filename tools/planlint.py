@@ -192,6 +192,18 @@ GLOBAL_WINDOW_ALLOWED = {
     # revenue management: the bid-price first difference lags over the
     # 11-row LITERAL seat grid — bounded by construction
     "q986_bid_price_curve",
+    # changepoint batch: every prefix/rank window rides the ~720-row
+    # hourly calendar aggregate (q339's class)
+    "q987_binary_split",
+    "q988_cusum_location",
+    "q989_page_hinkley",
+    "q990_shift_magnitude",
+    "q991_split_variance_ratio",
+    # revenue management: exact order-stat ranks over the (class, day)
+    # calendar aggregate
+    "q982_demand_profile",
+    "q983_littlewood_rule",
+    "q984_emsrb_protection",
 }
 
 
