@@ -225,6 +225,7 @@ _MODULES = [
     "clearing",
     "revmgmt",
     "changepoint",
+    "stringsim",
 ]
 
 
