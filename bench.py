@@ -369,6 +369,10 @@ HEADLINE = [
     "q985_overbooking_grid",
     "q987_binary_split",
     "q989_page_hinkley",
+    "q992_edit_distances",
+    "q994_trigram_jaccard",
+    "q998_decision_curve",
+    "q999_operating_point",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

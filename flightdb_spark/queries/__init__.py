@@ -226,6 +226,7 @@ _MODULES = [
     "revmgmt",
     "changepoint",
     "stringsim",
+    "decisioncurve",
 ]
 
 
