@@ -1,4 +1,4 @@
-"""Changepoint-detection batch 180 (q987-q991) — offline single-split
+"""Changepoint-detection batch 184 (q987-q991) — offline single-split
 detection over the hourly revenue series (binary segmentation's first
 step, Scott-Knott style; CUSUM location; Page-Hinkley) — the drift
 alarms a metrics platform runs on every KPI, and the split primitive

@@ -1,4 +1,4 @@
-"""Call-auction clearing batch 178 (q977-q981) — the daily batch
+"""Call-auction clearing batch 182 (q977-q981) — the daily batch
 auction (opening/closing cross): every exchange's open and close, and
 the allocation problem any matching engine solves. Events become
 limit orders: even event_ids buy, odd sell; price = value in exact

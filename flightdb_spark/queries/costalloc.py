@@ -1,4 +1,4 @@
-"""Cooperative cost-allocation batch 175 (q962-q966) — game-theoretic
+"""Cooperative cost-allocation batch 179 (q962-q966) — game-theoretic
 sharing of a joint cost over the 25 nations (the airport game,
 Littlechild-Owen 1973) and voting-power indices over the 5 regions
 (Banzhaf 1965; Shapley-Shubik 1954). The same math splits a shared

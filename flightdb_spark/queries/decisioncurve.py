@@ -1,4 +1,4 @@
-"""Decision-curve batch 182 (q997-q1001) — net-benefit analysis
+"""Decision-curve batch 186 (q997-q1001) — net-benefit analysis
 (Vickers-Elkin 2006) and threshold economics for a probabilistic
 classifier: the clinical/ops framework that answers "at which risk
 threshold is ACTING on the model better than treat-all or

@@ -1,4 +1,4 @@
-"""Sequential-rating batch 176 (q967-q971) — table-based Elo over a
+"""Sequential-rating batch 180 (q967-q971) — table-based Elo over a
 chronological match log (Elo 1978; the bucketed expected-score TABLE
 is how FIDE actually administers it, which is also what makes it
 exact-integer and therefore engine-exact). Matches derive from

@@ -1,4 +1,4 @@
-"""Revenue-management batch 179 (q982-q986) — the quantity-based RM
+"""Revenue-management batch 183 (q982-q986) — the quantity-based RM
 stack (Littlewood 1972; Belobaba's EMSR-b 1989; binomial overbooking):
 fare-class protection levels and overbooking pads from EMPIRICAL
 demand, the math airlines/hotels/clouds run to ration capacity.

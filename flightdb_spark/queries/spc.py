@@ -1,4 +1,4 @@
-"""Statistical-process-control batch 177 (q972-q976) — the Shewhart /
+"""Statistical-process-control batch 181 (q972-q976) — the Shewhart /
 EWMA / CUSUM chart family (Shewhart 1931; Roberts 1959; Page 1954)
 over the event stream's value column in exact cents: the monitoring
 layer a data-platform SLO or manufacturing line runs on every metric.

@@ -1,4 +1,4 @@
-"""String-similarity batch 181 (q992-q996) — character-level document
+"""String-similarity batch 185 (q992-q996) — character-level document
 comparison over a LINEAR pairing (each doc against the next doc_id in
 its source): edit distance, similarity ratios, trigram Jaccard, and
 common-prefix structure — the record-linkage feature block beside

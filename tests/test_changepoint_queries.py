@@ -1,4 +1,4 @@
-"""Semantic invariants for batch 180 (q987-q991, changepoint
+"""Semantic invariants for batch 184 (q987-q991, changepoint
 detection) beyond the oracle hash gate, on sf0.001."""
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Semantic invariants for batch 178 (q977-q981, call-auction
+"""Semantic invariants for batch 182 (q977-q981, call-auction
 clearing) beyond the oracle hash gate, on sf0.001."""
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Semantic invariants for batches 175-176 (q962-q971): cooperative
+"""Semantic invariants for batches 179-180 (q962-q971): cooperative
 cost allocation and sequential table-Elo — properties the DuckDB
 oracle hash cannot see (both engines could be wrong the same way),
 checked on sf0.001."""

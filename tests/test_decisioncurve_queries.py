@@ -1,4 +1,4 @@
-"""Semantic invariants for batch 182 (q997-q1001, decision curves)
+"""Semantic invariants for batch 186 (q997-q1001, decision curves)
 beyond the oracle hash gate, on sf0.001."""
 
 from __future__ import annotations

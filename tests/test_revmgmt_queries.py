@@ -1,4 +1,4 @@
-"""Semantic invariants for batch 179 (q982-q986, revenue management)
+"""Semantic invariants for batch 183 (q982-q986, revenue management)
 beyond the oracle hash gate, on sf0.001."""
 
 from __future__ import annotations

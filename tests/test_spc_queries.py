@@ -1,4 +1,4 @@
-"""Semantic invariants for batch 177 (q972-q976, SPC charts) beyond
+"""Semantic invariants for batch 181 (q972-q976, SPC charts) beyond
 the oracle hash gate, on sf0.001."""
 
 from __future__ import annotations

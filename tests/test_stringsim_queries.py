@@ -1,4 +1,4 @@
-"""Semantic invariants for batch 181 (q992-q996, string similarity)
+"""Semantic invariants for batch 185 (q992-q996, string similarity)
 beyond the oracle hash gate, on sf0.001."""
 
 from __future__ import annotations
