@@ -683,15 +683,59 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataF
     return deg
 
 
-@query("q234_kcore")  # rows-only: fixpoint round count is data-dependent
+def _q234_oracle() -> str:
+    """Fixed {KCORE_MAX_ROUNDS}-round unroll of the peeling loop (the
+    r8 q213-DTW unroll idea applied to a FIXPOINT): the Spark operator
+    itself caps at KCORE_MAX_ROUNDS, and peeling rounds past the
+    fixpoint delete nothing, so an unconditional 30-round chain
+    computes the identical edge set — the data-dependent round count
+    stops being an obstacle once both sides share the cap. Every round
+    is MATERIALIZED (multi-referenced; the q813 CTE-inlining
+    lesson)."""
+    rounds = []
+    for r in range(1, KCORE_MAX_ROUNDS + 1):
+        p = f"e{r - 1}"
+        rounds.append(f"""d{r} AS MATERIALIZED (
+      SELECT x, COUNT(*) AS deg FROM (
+        SELECT a AS x FROM {p} UNION ALL SELECT b AS x FROM {p}) u
+      GROUP BY x
+    ),
+    k{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE deg >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {p} e
+      JOIN k{r} ka ON ka.x = e.a
+      JOIN k{r} kb ON kb.x = e.b
+    )""")
+        chain = ",\n    ".join(rounds)
+    return f"""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM po a JOIN po b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {chain}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT a AS node FROM e{KCORE_MAX_ROUNDS}
+      UNION ALL
+      SELECT b AS node FROM e{KCORE_MAX_ROUNDS}) u
+    GROUP BY node
+    """
+
+
+@query("q234_kcore", oracle=_q234_oracle())
 def q234_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KCORE_K}-core of the co-purchase graph (q93's edge build):
     surviving parts with their in-core degree. Iterative peeling —
     degree aggregate + two semi-joins per round on a shrinking edge
-    list, the q51-family loop discipline. Rows-only by design (the
-    round count is a fixpoint, not SQL-expressible); the operator's
-    semantics are pinned against a pure-Python reference on hand-built
-    graphs in tests/test_mining3_queries.py."""
+    list, the q51-family loop discipline. HASH-VERIFIED since r8: the
+    operator caps at KCORE_MAX_ROUNDS rounds and post-fixpoint rounds
+    are no-ops, so the oracle unrolls exactly KCORE_MAX_ROUNDS peeling
+    rounds (textbook self-join edges) and must produce the identical
+    core; the pure-Python reference on hand-built graphs remains in
+    tests/test_mining3_queries.py."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
