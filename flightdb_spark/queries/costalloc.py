@@ -46,9 +46,6 @@ from flightdb_spark.tables import ensure_parallelism, load_table
 
 from . import query
 
-N_NATIONS_DIV = "(25 - rk + 1)"
-
-
 def _views(spark: SparkSession, sf_dir: str) -> None:
     for t in ("orders", "customer"):
         ensure_parallelism(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)

@@ -50,7 +50,7 @@ from . import query
 SUB_N = 5
 # Shewhart constants for n=5 (public SPC tables), repr-inlined
 A2 = 0.577
-D3 = 0.0
+D3 = 0.0  # n=5: LCL_R = D3*Rbar = 0, so no lower range limit is emitted
 D4 = 2.114
 D2 = 2.326
 EWMA_LAMBDA = 0.2
