@@ -227,6 +227,10 @@ _MODULES = [
     "changepoint",
     "stringsim",
     "decisioncurve",
+    "checkdigits",
+    "diversity",
+    "methodcomp",
+    "cpm",
 ]
 
 

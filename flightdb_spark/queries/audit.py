@@ -3,7 +3,8 @@ retrieval/graph operators — functional-dependency violation detection
 with majority-repair suggestions, weight-of-evidence / information-
 value binning (the credit-scoring feature audit), cross-table
 reconciliation drift (the double-entry ledger check), MMR-diversified
-retrieval (greedy reranking, rows-only with a numpy-parity pin), and
+retrieval (greedy reranking as a quantized-integer 10-round SQL
+unroll, hash-verified with a pure-Python replay pin), and
 hop-bounded weighted shortest paths over the co-purchase graph
 (Bellman-Ford rounds as relational min-plus, oracled by literally
 chained per-round CTEs).
@@ -18,14 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
-
 from flightdb_spark.tables import ensure_parallelism, load_table
 
 from . import query
@@ -239,75 +232,196 @@ def q257_reconciliation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q258 — MMR-diversified retrieval (rows-only; numpy-parity pinned)
+# q258 — MMR-diversified retrieval (hash-verified: quantized-integer
+# greedy; oracle = 10 unrolled selection rounds, the q213-DTW class)
 
+_MMR_K = 10
+_MMR_CANDS = 30
 
-_MMR_SCHEMA = StructType(
-    [
-        StructField("probe_id", LongType()),
-        StructField("rank", IntegerType()),
-        StructField("vec_id", LongType()),
-        StructField("mmr_score", DoubleType()),
-    ]
+_MMR_SCHEMA = (
+    "probe_id bigint, rank int, vec_id bigint, mmr_score double"
 )
 
 
-def _mmr_select(pdf, k: int = 10, lam: float = 0.7):
-    """Greedy maximal-marginal-relevance over one probe's candidate set
-    (bounded, ~30 rows). Ties break on vec_id. Pure function shared by
-    the query and its parity test."""
-    import numpy as np
+def _cos_u(va, vb) -> int:
+    """Cosine similarity quantized to integer micro-units with
+    half-away-from-zero rounding. The dot/norm accumulations are plain
+    left folds — the SAME IEEE operation sequence as Spark's
+    aggregate(zip_with(...)) kernel, so this is bit-identical to the
+    JVM value; the 6-dp agreement with DuckDB's
+    list_cosine_similarity is the pair q40/q41 hash-verify."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(va, vb):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    c = dot / (math.sqrt(na) * math.sqrt(nb))
+    scaled = c * 1000000.0
+    return int(math.floor(scaled + 0.5)) if scaled >= 0 else -int(
+        math.floor(-scaled + 0.5)
+    )
+
+
+def _mmr_select(pdf, k: int = _MMR_K):
+    """Quantized-integer MMR greedy over one probe's candidate frame
+    (columns probe_id, vec_id, rel_u, embedding; bounded, <=30 rows).
+    Scores are EXACT integers (score10u = 7*rel_u - 3*div_u at scale
+    1e7), ties break on vec_id — every comparison the SQL oracle's
+    unrolled rounds make, replayed in Python. Shared by the query and
+    its parity test."""
     import pandas as pd
 
     probe_id = int(pdf["probe_id"].iloc[0])
     cand = pdf.sort_values("vec_id").reset_index(drop=True)
-    V = np.stack(cand["embedding"].to_numpy())
-    norms = np.sqrt((V * V).sum(axis=1))
-    rel = cand["rel"].to_numpy()
-    sims = (V @ V.T) / np.outer(norms, norms)
+    vecs = {int(r.vec_id): list(r.embedding) for r in cand.itertuples()}
+    rel_u = {int(r.vec_id): int(r.rel_u) for r in cand.itertuples()}
+    sim_cache: dict[tuple[int, int], int] = {}
+
+    def sim(a: int, b: int) -> int:
+        key = (a, b) if a < b else (b, a)
+        if key not in sim_cache:
+            sim_cache[key] = _cos_u(vecs[key[0]], vecs[key[1]])
+        return sim_cache[key]
+
+    remaining = sorted(vecs)
     chosen: list[int] = []
     rows = []
-    remaining = list(range(len(cand)))
-    for rank in range(1, min(k, len(cand)) + 1):
-        best_i, best_score = None, None
-        for i in remaining:
-            div = max(sims[i][j] for j in chosen) if chosen else 0.0
-            score = lam * rel[i] - (1.0 - lam) * div
-            # strict > keeps the lowest vec_id on ties (remaining is
-            # vec_id-sorted)
-            if best_score is None or score > best_score + 1e-12:
-                best_i, best_score = i, score
-        chosen.append(best_i)
-        remaining.remove(best_i)
-        rows.append(
-            (probe_id, rank, int(cand["vec_id"].iloc[best_i]), round(best_score, 6))
-        )
+    for rank in range(1, min(k, len(remaining)) + 1):
+        best_v, best_s = None, None
+        for v in remaining:
+            div = max((sim(v, c) for c in chosen), default=0)
+            s = 7 * rel_u[v] - 3 * div
+            if best_s is None or s > best_s:
+                best_v, best_s = v, s
+        chosen.append(best_v)
+        remaining.remove(best_v)
+        rows.append((probe_id, rank, best_v, best_s / 1e7))
     return pd.DataFrame(rows, columns=["probe_id", "rank", "vec_id", "mmr_score"])
 
 
-@query("q258_mmr_rerank")  # rows-only: greedy selection is iterative
+def _q258_oracle() -> str:
+    """DuckDB oracle: the same greedy as ten unrolled selection-round
+    CTEs (pick_k = exact argmax of 7*rel_u - 3*max-sim-to-chosen,
+    vec_id tie-break) over quantized-integer similarities. DuckDB
+    handles repeated CTE references without plan explosion (Spark
+    would inline the chosen1..chosen10 chain exponentially, which is
+    why the Spark side runs the bounded greedy in applyInPandas
+    instead — same arithmetic, different engine-appropriate shape)."""
+    arr = "embedding::DOUBLE[]"
+
+    def cos(a: str, b: str) -> str:
+        return f"list_cosine_similarity({a}, {b})"
+
+    def q6(expr: str) -> str:
+        return f"CAST(ROUND({expr} * 1000000.0) AS BIGINT)"
+
+    rounds = []
+    for k in range(2, _MMR_K + 1):
+        prev = f"chosen{k - 1}"
+        rounds.append(
+            f"""div{k} AS MATERIALIZED (
+      SELECT s.probe_id, s.a_vec AS vec_id, MAX(s.sim_u) AS div_u
+      FROM sims s JOIN {prev} ch
+        ON ch.probe_id = s.probe_id AND ch.vec_id = s.b_vec
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} x
+        WHERE x.probe_id = s.probe_id AND x.vec_id = s.a_vec)
+      GROUP BY s.probe_id, s.a_vec
+    ),
+    pick{k} AS MATERIALIZED (
+      SELECT probe_id, vec_id, {k} AS rank, score10u FROM (
+        SELECT c.probe_id, c.vec_id,
+               7 * c.rel_u - 3 * d.div_u AS score10u,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.probe_id
+                 ORDER BY 7 * c.rel_u - 3 * d.div_u DESC, c.vec_id) AS rn
+        FROM cands c JOIN div{k} d
+          ON d.probe_id = c.probe_id AND d.vec_id = c.vec_id
+      ) t WHERE rn = 1
+    ),
+    chosen{k} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL
+      SELECT probe_id, vec_id, rank, score10u FROM pick{k}
+    )"""
+        )
+    unroll = ",\n    ".join(rounds)
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {arr} AS v FROM embeddings),
+    probes AS MATERIALIZED (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS MATERIALIZED (
+      SELECT p.probe_id, e.vec_id, {q6(cos("e.v", "p.pv"))} AS rel_u
+      FROM e JOIN probes p ON e.vec_id <> p.probe_id
+    ),
+    cands AS MATERIALIZED (
+      SELECT probe_id, vec_id, rel_u FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY probe_id ORDER BY rel_u DESC, vec_id) AS rn
+        FROM scored
+      ) t WHERE rn <= {_MMR_CANDS}
+    ),
+    cv AS MATERIALIZED (
+      SELECT c.probe_id, c.vec_id, e.v
+      FROM cands c JOIN e ON e.vec_id = c.vec_id
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.probe_id, a.vec_id AS a_vec, b.vec_id AS b_vec,
+             {q6(cos("a.v", "b.v"))} AS sim_u
+      FROM cv a JOIN cv b
+        ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+    ),
+    chosen1 AS MATERIALIZED (
+      SELECT probe_id, vec_id, 1 AS rank, score10u FROM (
+        SELECT probe_id, vec_id, 7 * rel_u AS score10u,
+               ROW_NUMBER() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY 7 * rel_u DESC, vec_id) AS rn
+        FROM cands
+      ) t WHERE rn = 1
+    ),
+    {unroll}
+    SELECT probe_id, rank, vec_id,
+           CAST(score10u AS DOUBLE) / 10000000.0 AS mmr_score
+    FROM chosen{_MMR_K}
+    ORDER BY probe_id, rank
+    """
+
+
+@query("q258_mmr_rerank", oracle=_q258_oracle())
 def q258_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified retrieval (Carbonell & Goldstein 1998): for each
-    probe, take its exact-cosine top-30 candidates, then greedily pick
-    10 maximizing lambda*relevance - (1-lambda)*max-similarity-to-
-    already-chosen — the reranker that trades relevance against
-    redundancy in RAG retrieval. Greedy selection is inherently
-    sequential, so it runs per probe in an Arrow-batched applyInPandas
-    over the BOUNDED candidate set (30 rows each) — the documented
-    pattern for per-key iterative algorithms (like q234's peeling);
-    semantics are pinned by a pure-numpy parity test instead of a SQL
-    oracle.
+    probe, take its cosine top-30 candidates, then greedily pick 10
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-chosen
+    — the reranker that trades relevance against redundancy in RAG
+    retrieval. Relevance and pairwise similarity are quantized to
+    integer micro-units (ROUND(cos,6)*1e6 — the cross-engine cosine
+    contract q40/q41 hash-verify), so with lambda=0.7 every greedy
+    comparison is exact bigint arithmetic (score10u = 7*rel_u -
+    3*div_u at scale 1e7): formerly rows-only, now hash-verified
+    against a DuckDB oracle that unrolls the ten selection rounds as
+    chained CTEs (the q213/q261 conversion class). The Spark side
+    keeps the greedy in an Arrow-batched applyInPandas over the
+    BOUNDED candidate set — Catalyst inlines repeated CTE references,
+    so a 10-round chosen-chain in one SQL would expand exponentially;
+    the Python left-fold cosine is bit-identical to the JVM
+    aggregate(zip_with) fold, so both shapes compute the same
+    integers. A pure-Python from-scratch replay additionally pins the
+    semantics in tests/test_audit_queries.py.
 
     Plan: candidate generation is the q40 economics (probes broadcast,
     per-partition partial top-k via WindowGroupLimit); only (probe x
     30) rows with their vectors reach Python."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
-    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    pairs = e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
     dot = F.aggregate(
-        F.zip_with("embedding", "probe_vec", lambda a, b: a * b),
+        F.zip_with("v", "pv", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -316,15 +430,17 @@ def q258_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    scored = pairs.withColumn(
-        "rel", dot / (norm(F.col("embedding")) * norm(F.col("probe_vec")))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), "vec_id")
+    rel_u = F.round(
+        (dot / (norm(F.col("v")) * norm(F.col("pv")))) * F.lit(1000000.0)
+    ).cast("bigint")
+    scored = pairs.withColumn("rel_u", rel_u)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("rel_u"), "vec_id")
     cands = (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 30)
-        .select("probe_id", "vec_id", "embedding", "rel")
+        .filter(F.col("rk") <= _MMR_CANDS)
+        .select("probe_id", "vec_id", F.col("v").alias("embedding"), "rel_u")
     )
+
     def _apply(pdf):
         return _mmr_select(pdf)
 

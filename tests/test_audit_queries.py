@@ -53,39 +53,46 @@ def test_reconciliation_counts(spark, sf_dir):
     assert (out.mean_abs_drift >= 0).all()
 
 
-def test_mmr_matches_numpy(spark, sf_dir):
-    """Recompute candidates + greedy selection fully in numpy and
-    compare with the distributed result — the semantic pin for the
-    rows-only query."""
+def test_mmr_matches_pure_python_replay(spark, sf_dir):
+    """Recompute candidates + the quantized-integer greedy from scratch
+    (left-fold cosine, ROUND(.,6)*1e6 micro-units, exact bigint scores)
+    and compare with the SQL unroll — the semantic pin for the
+    hash-verified query. Scores are exact integers / 1e7, so equality
+    is ==, not allclose."""
     out = REGISTRY["q258_mmr_rerank"].fn(spark, sf_dir).toPandas()
     emb = load_table(spark, sf_dir, "embeddings").toPandas()
-    V = np.stack(emb.embedding.to_numpy())
+    V = np.stack(emb.embedding.to_numpy()).astype("float64")
     ids = emb.vec_id.to_numpy()
-    norms = np.linalg.norm(V, axis=1)
+    import math
+
     import pandas as pd
+
+    def cos_u(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return int(round(round(dot / (math.sqrt(na) * math.sqrt(nb)), 6) * 1e6))
 
     for pid in range(5):
         pv = V[ids == pid][0]
-        rel = (V @ pv) / (norms * np.linalg.norm(pv))
-        mask = ids != pid
-        order = sorted(
-            np.where(mask)[0], key=lambda i: (-rel[i], ids[i])
-        )[:30]
+        rel_u = {int(ids[i]): cos_u(V[i], pv) for i in range(len(ids)) if ids[i] != pid}
+        order = sorted(rel_u, key=lambda v: (-rel_u[v], v))[:30]
         pdf = pd.DataFrame(
             {
                 "probe_id": pid,
-                "vec_id": ids[order],
-                "embedding": [V[i] for i in order],
-                "rel": rel[order],
+                "vec_id": order,
+                "rel_u": [rel_u[v] for v in order],
+                "embedding": [V[ids == v][0] for v in order],
             }
         )
         expect = _mmr_select(pdf)
         got = out[out.probe_id == pid].sort_values("rank").reset_index(drop=True)
         assert got.vec_id.tolist() == expect.vec_id.tolist()
-        np.testing.assert_allclose(got.mmr_score, expect.mmr_score, atol=1e-6)
-        # diversified: the chosen set's max pairwise similarity must not
-        # exceed the undiversified top-10's (sanity on the objective)
-        assert len(got) == 10
+        assert got.mmr_score.tolist() == expect.mmr_score.tolist()
+        # a diversified list never repeats an item
+        assert len(got) == 10 and got.vec_id.nunique() == 10
 
 
 def test_sssp_matches_python_bellman_ford(spark, sf_dir):

@@ -204,6 +204,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "q982_demand_profile",
     "q983_littlewood_rule",
     "q984_emsrb_protection",
+    # CPM batch: project-total window / WIP cumulative + LEAD over the
+    # LITERAL 10-activity network (<= 20 rows by construction)
+    "q1020_pert_estimates",
+    "q1021_resource_histogram",
 }
 
 
