@@ -373,6 +373,19 @@ HEADLINE = [
     "q994_trigram_jaccard",
     "q998_decision_curve",
     "q999_operating_point",
+    # round 9: check-digit grid sweep, diversity star joins, agreement
+    # moments, adoption curve + Bass replay, readability arithmetic,
+    # life table, tornado money base
+    "q1006_detection_power",
+    "q1007_simpson_concentration",
+    "q1010_morisita_horn",
+    "q1012_bland_altman",
+    "q1022_adoption_curve",
+    "q1023_bass_replay",
+    "q1028_flesch_scores",
+    "q1031_readability_length_corr",
+    "q1032_decrement_table",
+    "q1037_tornado_swings",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

@@ -231,6 +231,10 @@ _MODULES = [
     "diversity",
     "methodcomp",
     "cpm",
+    "diffusion2",
+    "readability",
+    "lifetable",
+    "tornado",
 ]
 
 

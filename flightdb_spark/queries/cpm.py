@@ -240,34 +240,51 @@ def q1018_cpm_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q1018_sql("spark"))
 
 
-def _q1019_sql(d: str) -> str:
+def _scen_values() -> str:
+    return ", ".join(["('baseline')"] + [f"('{a}')" for a, _, _, _ in ACTS])
+
+
+def _sdur_sedge_sql(d: str, durs: str, edges: str) -> tuple[str, str]:
+    """Scenario-crossed duration/edge tables (bounded 110/132 rows)."""
     intdiv = "div" if d == "spark" else "//"
-    scen = ", ".join(["('baseline')"] + [f"('{a}')" for a, _, _, _ in ACTS])
-    if d == "spark":
-        pre = "WITH "
-        durs = "cpm_durs"
-        edges = "cpm_edges"
-        mat = ""
-    else:
-        pre = _oracle_head() + "\n    "
-        durs = "actdur"
-        edges = "eg_d"
-        mat = "MATERIALIZED "
-    rounds = [
-        f"""sdur AS {mat}(
-      SELECT s.scen, a.act,
+    sdur = f"""
+      SELECT /*+ BROADCAST(s) */ s.scen, a.act,
              CASE WHEN s.scen = a.act
                THEN (a.dur * 3) {intdiv} 4 ELSE a.dur END AS dur
-      FROM scen s CROSS JOIN {durs} a
-    ),
-    sedge AS {mat}(
-      SELECT s.scen, e.src, e.dst, du.dur AS src_dur
+      FROM scen s CROSS JOIN {durs} a"""
+    sedge = f"""
+      SELECT /*+ BROADCAST(s) */ s.scen, e.src, e.dst, du.dur AS src_dur
       FROM scen s CROSS JOIN {edges} e
-      JOIN sdur du ON du.scen = s.scen AND du.act = e.src
+      JOIN sdur du ON du.scen = s.scen AND du.act = e.src"""
+    return sdur, sedge
+
+
+def _q1019_sql(d: str) -> str:
+    if d == "spark":
+        # sdur/sedge are pre-materialized temp views (cpm_sdur /
+        # cpm_sedge): the unrolled chain must reference leaves, not
+        # CTEs that re-inline per round (the q812 lesson one nesting
+        # level deeper)
+        pre = "WITH "
+        sdur_t, sedge_t = "cpm_sdur", "cpm_sedge"
+        mat = ""
+        rounds = [
+            f"""ses0 AS (SELECT scen, act AS node, CAST(0 AS BIGINT) AS es
+                  FROM {sdur_t})"""
+        ]
+    else:
+        pre = _oracle_head() + "\n    "
+        sdur_t, sedge_t = "sdur", "sedge"
+        mat = "MATERIALIZED "
+        sdur_sql, sedge_sql = _sdur_sedge_sql(d, "actdur", "eg_d")
+        rounds = [
+            f"""sdur AS {mat}({sdur_sql}
+    ),
+    sedge AS {mat}({sedge_sql}
     ),
     ses0 AS {mat}(SELECT scen, act AS node, CAST(0 AS BIGINT) AS es
                   FROM sdur)"""
-    ]
+        ]
     for k in range(1, ROUNDS + 1):
         rounds.append(
             f"""ses{k} AS {mat}(
@@ -275,22 +292,25 @@ def _q1019_sql(d: str) -> str:
         SELECT scen, node, es FROM ses{k - 1}
         UNION ALL
         SELECT e.scen, e.dst AS node, d.es + e.src_dur AS es
-        FROM ses{k - 1} d JOIN sedge e
+        FROM ses{k - 1} d JOIN {sedge_t} e
           ON e.scen = d.scen AND e.src = d.node
       ) t GROUP BY scen, node
     )"""
         )
     chain = ",\n    ".join(rounds)
+    scen_head = (
+        "" if d == "spark"
+        else f"scen(scen) AS (VALUES {_scen_values()}),\n    "
+    )
     return f"""
-    {pre}scen(scen) AS (VALUES {scen}),
-    {chain},
+    {pre}{scen_head}{chain},
     mk AS (
       SELECT f.scen, MAX(f.es + du.dur) AS makespan
-      FROM ses{ROUNDS} f JOIN sdur du
+      FROM ses{ROUNDS} f JOIN {sdur_t} du
         ON du.scen = f.scen AND du.act = f.node
       GROUP BY f.scen
     )
-    SELECT m.scen AS crashed_activity, m.makespan,
+    SELECT /*+ BROADCAST(b) */ m.scen AS crashed_activity, m.makespan,
            b.makespan AS baseline_makespan,
            b.makespan - m.makespan AS saved_hours
     FROM mk m CROSS JOIN (SELECT makespan FROM mk WHERE scen = 'baseline') b
@@ -306,7 +326,69 @@ def q1019_crash_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     activities save hours; the scenario key rides through the same six
     unrolled rounds (110 rows max)."""
     _prep(spark, sf_dir)
-    return spark.sql(_q1019_sql("spark"))
+    from pyspark.sql import functions as F
+
+    sdur_sql, sedge_sql = _sdur_sedge_sql("spark", "cpm_durs", "cpm_edges")
+    scen = f"scen(scen) AS (VALUES {_scen_values()})"
+    sdur = spark.sql(f"WITH {scen} {sdur_sql}").localCheckpoint(eager=True)
+    sdur.createOrReplaceTempView("cpm_sdur")
+    sedge = spark.sql(
+        f"WITH {scen}, sdur AS (SELECT * FROM cpm_sdur) {sedge_sql}"
+    ).localCheckpoint(eager=True)
+    # iterative max-plus rounds with per-round lineage truncation
+    # (q306/q312 lesson: a 6-deep union/join chain doubles the plan
+    # per round — 12 MiB task binaries — while checkpointed rounds
+    # stay constant-size)
+    es = sdur.select(
+        "scen", F.col("act").alias("node"),
+        F.lit(0).cast("long").alias("es"),
+    )
+    for _ in range(ROUNDS):
+        ext = (
+            es.alias("d")
+            .join(
+                F.broadcast(sedge.alias("e")),
+                (F.col("d.scen") == F.col("e.scen"))
+                & (F.col("d.node") == F.col("e.src")),
+            )
+            .select(
+                F.col("e.scen").alias("scen"),
+                F.col("e.dst").alias("node"),
+                (F.col("d.es") + F.col("e.src_dur")).alias("es"),
+            )
+        )
+        es = (
+            es.unionByName(ext)
+            .groupBy("scen", "node")
+            .agg(F.max("es").alias("es"))
+        )
+        if _ % 2 == 1:  # checkpoint every other round: plan stays
+            es = es.localCheckpoint(eager=True)  # small, half the jobs
+    mk = (
+        es.alias("f")
+        .join(
+            sdur.alias("du"),
+            (F.col("f.scen") == F.col("du.scen"))
+            & (F.col("f.node") == F.col("du.act")),
+        )
+        .groupBy(F.col("f.scen").alias("scen"))
+        .agg(F.max(F.col("f.es") + F.col("du.dur")).alias("makespan"))
+    )
+    base = mk.filter(F.col("scen") == "baseline").select(
+        F.col("makespan").alias("baseline_makespan")
+    )
+    return (
+        mk.crossJoin(F.broadcast(base))
+        .select(
+            F.col("scen").alias("crashed_activity"),
+            "makespan",
+            "baseline_makespan",
+            (F.col("baseline_makespan") - F.col("makespan")).alias(
+                "saved_hours"
+            ),
+        )
+        .orderBy("crashed_activity")
+    )
 
 
 def _q1020_sql(d: str) -> str:

@@ -208,6 +208,18 @@ GLOBAL_WINDOW_ALLOWED = {
     # LITERAL 10-activity network (<= 20 rows by construction)
     "q1020_pert_estimates",
     "q1021_resource_histogram",
+    # adoption cumulative over the ~350-row weekly calendar aggregate
+    # (q339 calendar-bounded class)
+    "q1022_adoption_curve",
+    # life-table suffix scans over the <= ~90-row lifetime-month
+    # census (calendar-bounded, q339 class)
+    "q1032_decrement_table",
+    "q1033_life_expectancy",
+    "q1034_discounted_lifetime",
+    # tornado batch: rank/LAG over <= 11-row LITERAL driver/step grids
+    "q1037_tornado_swings",
+    "q1040_scenario_waterfall",
+    "q1041_elasticity_ranking",
 }
 
 
