@@ -386,6 +386,7 @@ HEADLINE = [
     "q1031_readability_length_corr",
     "q1032_decrement_table",
     "q1037_tornado_swings",
+    "q1043_lead_time",
 ]
 
 # The 13 queries recorded in BENCH_r01.json (the driver's recorded baseline).

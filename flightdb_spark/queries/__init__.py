@@ -235,6 +235,7 @@ _MODULES = [
     "readability",
     "lifetable",
     "tornado",
+    "delivery",
 ]
 
 
