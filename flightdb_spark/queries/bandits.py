@@ -106,20 +106,92 @@ def _halving_ctes() -> str:
 
 
 _ARMS_VIEW = "bandits_arms_mv"
+_HALVING_VIEW = "bandits_halving_mv"
+
+
+def _halving_pandas(key, pdf):  # pragma: no cover - runs on executors
+    """The whole five-round halving ledger over the bounded 125-row
+    arm table in ONE in-process pass — the exact `_halving_ctes`
+    recurrence (cumulative-through-phase sums, inequality-count ranks
+    with name tie-breaks, KEEP cuts), emitted as a long
+    (tbl, round, b, c, rnk) table the chain CTEs select from. Exact
+    int64 cents; brand names are ASCII so Python `<` == SQL `<`."""
+    import pandas as pd
+
+    cents: dict[tuple[str, int], int] = {}
+    for b, ph, c in zip(pdf["b"], pdf["phase"], pdf["cents"]):
+        cents[(str(b), int(ph))] = cents.get((str(b), int(ph)), 0) + int(c)
+    surv = sorted({b for b, _ in cents})
+    rows = [("s", 0, b, 0, 0) for b in surv]
+    for r in range(1, N_PHASES + 1):
+        keep = _KEEPS[r - 1]
+        cum = {
+            b: sum(c for (bb, ph), c in cents.items() if bb == b and ph <= r)
+            for b in surv
+        }
+        rk = {
+            b: 1
+            + sum(
+                1
+                for z in surv
+                if cum[z] > cum[b] or (cum[z] == cum[b] and z < b)
+            )
+            for b in surv
+        }
+        rows.extend(("cum", r, b, cum[b], 0) for b in surv)
+        rows.extend(("rk", r, b, cum[b], rk[b]) for b in surv)
+        surv = [b for b in surv if rk[b] <= keep]
+        rows.extend(("s", r, b, 0, 0) for b in surv)
+    return pd.DataFrame(rows, columns=["tbl", "round", "b", "c", "rnk"])
 
 
 def _arms_view(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the 125-row arm table once (q812 lesson — the five
-    halving rounds reference it ~15 times via scalar subqueries)."""
+    halving rounds reference it ~15 times via scalar subqueries), and
+    the halving ledger over it in one Arrow pass (guide §4.2: the
+    chain CTEs re-expanded each other multiplicatively when inlined;
+    the per-round state is <= 25 rows, so the recurrence runs as a
+    single vectorized task and each former CTE becomes a filter on
+    the ledger view)."""
     _views(spark, sf_dir)
     df = spark.sql(f"WITH {_arms_cte()} SELECT * FROM arms")
     df.localCheckpoint(eager=True).createOrReplaceTempView(_ARMS_VIEW)
+    from pyspark.sql import functions as F
+
+    ledger = (
+        spark.table(_ARMS_VIEW)
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda key, pdf: _halving_pandas(key, pdf),
+            "tbl string, round int, b string, c bigint, rnk bigint",
+        )
+    )
+    ledger.localCheckpoint(eager=True).createOrReplaceTempView(_HALVING_VIEW)
 
 
 def _spark_chain(body: str) -> str:
-    """Spark side: halving chain over the materialized arms view."""
-    chain = _halving_ctes().replace("FROM arms", f"FROM {_ARMS_VIEW}")
-    return f"WITH arms AS (SELECT * FROM {_ARMS_VIEW}),\n    {chain}{body}"
+    """Spark side: the halving chain's CTE names, each a bounded
+    filter over the one-pass ledger view (same shapes/columns the
+    unrolled chain produced, so every tail body runs unchanged)."""
+    parts = [
+        f"arms AS (SELECT * FROM {_ARMS_VIEW})",
+        f"s0 AS (SELECT b FROM {_HALVING_VIEW} WHERE tbl = 's' AND round = 0)",
+    ]
+    for r in range(1, N_PHASES + 1):
+        parts.append(
+            f"cum{r} AS (SELECT b, c FROM {_HALVING_VIEW} "
+            f"WHERE tbl = 'cum' AND round = {r})"
+        )
+        parts.append(
+            f"rk{r} AS (SELECT b, c, rnk FROM {_HALVING_VIEW} "
+            f"WHERE tbl = 'rk' AND round = {r})"
+        )
+        parts.append(
+            f"s{r} AS (SELECT b FROM {_HALVING_VIEW} "
+            f"WHERE tbl = 's' AND round = {r})"
+        )
+    return "WITH " + ",\n    ".join(parts) + body
 
 
 def _oracle_chain(body: str) -> str:

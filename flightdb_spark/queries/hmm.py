@@ -117,51 +117,67 @@ def _dp_ctes(op: str) -> str:
     return ",\n    ".join(steps)
 
 
-def _viterbi_final(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max-plus Viterbi DP as a DataFrame loop: per-iteration state is
-    (user x 3 states), model tables broadcast, localCheckpoint per
-    round so lineage stays flat (the q306 iterative-fit lesson)."""
+def _emit_case(s: int, var: str, shift: int) -> str:
+    whens = " ".join(
+        f"WHEN {var} = '{ev}' THEN CAST({EMIT[s][ev] + shift} AS BIGINT)"
+        for ev in EVENTS
+    )
+    return f"(CASE {whens} END)"
+
+
+def _dp_fold_expr(op: str, forward: bool = False) -> str:
+    """The whole N_STEPS-step DP as ONE higher-order fold over a
+    user's ordered event array `evs` (guide §4.2/§2.4: the loop state
+    is 3 BIGINTs per user, so the five per-round shuffles + the five
+    re-derivations of the events window collapse into a single JVM
+    expression). Semantics are exactly `_dp_ctes`: v1 = init + emit,
+    v_k[j] = OP_i(v_{k-1}[i] + trans[i][j]) + emit[j], all BIGINT."""
+    se, st, si = (F_SHIFT_E, F_SHIFT_T, F_SHIFT_I) if forward else (0, 0, 0)
+    init = ", ".join(
+        f"CAST({INIT[s] + si} AS BIGINT) + {_emit_case(s, 'element_at(evs, 1)', se)}"
+        for s in STATES
+    )
+    steps = []
+    for j in STATES:
+        terms = [
+            f"(element_at(acc, {i + 1}) + CAST({TRANS[(i, j)] + st} AS BIGINT))"
+            for i in STATES
+        ]
+        combined = (
+            f"greatest({', '.join(terms)})" if op == "MAX" else " + ".join(terms)
+        )
+        steps.append(f"{combined} + {_emit_case(j, 'x', se)}")
+    return (
+        f"aggregate(slice(evs, 2, size(evs) - 1), array({init}), "
+        f"(acc, x) -> array({', '.join(steps)}))"
+    )
+
+
+def _user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered first-N_STEPS event array: one window pass +
+    one aggregation (array_sort on the unique step key makes the
+    collect_list order deterministic)."""
     _views(spark, sf_dir)
-    seq = spark.sql(f"WITH {_seq_cte()} SELECT * FROM capped")
-    emit = spark.createDataFrame(
-        [(s, ev, EMIT[s][ev]) for s in STATES for ev in EVENTS],
-        "state INT, event_type STRING, e INT",
+    seq = spark.sql(
+        f"WITH {_seq_cte()} SELECT user_id, event_type, step FROM capped"
     )
-    trans = spark.createDataFrame(
-        [(a, b, TRANS[(a, b)]) for a in STATES for b in STATES],
-        "s_from INT, s_to INT, t INT",
+    return seq.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(step, event_type))), "
+            "p -> p.event_type)"
+        ).alias("evs")
     )
-    init = spark.createDataFrame(list(INIT.items()), "state INT, i0 INT")
-    v = (
-        seq.filter(F.col("step") == 1)
-        .join(F.broadcast(emit), "event_type")
-        .join(F.broadcast(init), "state")
-        .select("user_id", "state", (F.col("i0") + F.col("e")).cast("bigint").alias("score"))
+
+
+def _viterbi_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-plus Viterbi DP per user as one higher-order fold (see
+    `_dp_fold_expr`) — same (user_id, state, score) table the old
+    5-round DataFrame loop produced, without the per-round shuffles."""
+    evs = _user_events(spark, sf_dir)
+    return evs.select(
+        "user_id",
+        F.posexplode(F.expr(_dp_fold_expr("MAX"))).alias("state", "score"),
     )
-    for i in range(2, N_STEPS + 1):
-        stepped = (
-            v.join(F.broadcast(trans), v.state == trans.s_from)
-            .groupBy("user_id", "s_to")
-            .agg(F.max(F.col("score") + F.col("t")).alias("best"))
-        )
-        step_ev = seq.filter(F.col("step") == i).select(
-            "user_id", F.col("event_type").alias("step_event")
-        )
-        v = (
-            stepped.join(step_ev, "user_id")
-            .join(
-                F.broadcast(emit),
-                (emit.state == stepped.s_to)
-                & (emit.event_type == F.col("step_event")),
-            )
-            .select(
-                "user_id",
-                F.col("s_to").alias("state"),
-                (F.col("best") + F.col("e")).cast("bigint").alias("score"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return v
 
 
 # ---------------------------------------------------------------------------
@@ -244,9 +260,28 @@ def q577_forward_path_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive integer weights: each user's total path mass (the exact
     unnormalized sequence likelihood, a BIGINT — no logs, no libm),
     users bucketed by mass digit count. Same unrolled-DP oracle
-    shape as q576 with MAX swapped for SUM."""
-    _views(spark, sf_dir)
-    return spark.sql(_forward_sql("spark"))
+    shape as q576 with MAX swapped for SUM; the Spark side runs the
+    same one-fold DP as q576 (see `_dp_fold_expr`)."""
+    evs = _user_events(spark, sf_dir)
+    mass = evs.select(
+        F.expr(
+            f"aggregate({_dp_fold_expr('SUM', forward=True)}, "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("path_mass")
+    )
+    return (
+        mass.groupBy(
+            F.length(F.col("path_mass").cast("string"))
+            .cast("bigint")
+            .alias("mass_digits")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("path_mass").cast("bigint").alias("min_mass"),
+            F.max("path_mass").cast("bigint").alias("max_mass"),
+        )
+        .orderBy("mass_digits")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,39 @@ def _sim_cte() -> str:
     )"""
 
 
+_UB_VIEW = "itemcf_ub_mv"
+_SIM_VIEW = "itemcf_sim_mv"
+
+
+def _sim_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the (customer, brand, count) spine once and the
+    300-row similarity table over it (guide §2.4): the shared CTE
+    chain referenced `ub` up to 5x per query (norms, both dot sides,
+    scoring, the ownership anti-join), and Spark inlines CTEs per
+    reference — so the lineitem x orders x part corpus aggregate
+    re-ran per reference. After the two checkpoints every re-reference
+    is a bounded scan; the oracle keeps the one-statement form."""
+    _views(spark, sf_dir)
+    ub = spark.sql(f"WITH {_spine_cte()} SELECT * FROM ub")
+    ub.localCheckpoint(eager=True).createOrReplaceTempView(_UB_VIEW)
+    sim_sql = _sim_cte().replace(
+        _spine_cte(), f"ub AS (SELECT * FROM {_UB_VIEW})", 1
+    )
+    sim = spark.sql(f"WITH {sim_sql} SELECT * FROM sim")
+    sim.localCheckpoint(eager=True).createOrReplaceTempView(_SIM_VIEW)
+
+
+def _spark_sql(full_sql: str) -> str:
+    """The shared SQL text with the spine/similarity chain swapped for
+    the materialized views."""
+    return full_sql.replace(
+        _sim_cte(),
+        f"ub AS (SELECT * FROM {_UB_VIEW}),\n"
+        f"    sim AS (SELECT * FROM {_SIM_VIEW})",
+        1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # q746 — co-occurrence + Jaccard
 
@@ -100,8 +133,8 @@ def q746_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-set overlap per brand pair: co-purchase user counts and
     Jaccard. The pair join runs on the (customer, brand) spine keyed by
     customer — fan-out bounded by the 25-brand catalog."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q746_SQL)
+    _sim_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q746_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -119,8 +152,8 @@ _Q747_SQL = f"""
 def q747_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine similarity between brand purchase-count vectors: exact
     BIGINT dot products and norms, one terminal double division."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q747_SQL)
+    _sim_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q747_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -149,8 +182,8 @@ _Q748_SQL = f"""
 def q748_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar brands per brand: symmetrized pair table,
     brand-partitioned rank over <= 24 rows (ties by neighbor name)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q748_SQL)
+    _sim_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q748_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -196,8 +229,8 @@ def q749_user_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands of cosine x count, 9dp-quantized DECIMAL accumulation),
     ties by brand name. The anti-join and scoring both key on the
     bounded per-customer brand set."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q749_SQL)
+    _sim_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q749_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -231,5 +264,5 @@ def q750_recommendation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation counts/shares and catalog coverage (distinct
     recommended brands over the 25-brand catalog) — the popularity-
     bias audit a recsys team reads before shipping."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q750_SQL)
+    _sim_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q750_SQL))

@@ -164,6 +164,113 @@ def _ds_sql(dialect: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# staged Spark side of the 2-round hard EM (guide §2.4): the
+# single-statement chain re-expanded `annotations` ~6x and `label1` 3x
+# under Spark CTE inlining — each expansion re-ran the corpus explode,
+# the majority-vote window, and the E-step joins. Each stage now
+# materializes once (localCheckpoint view); the stage SQL below is the
+# exact `_ds_sql` fragment text with `{src}` swapped for the view name,
+# so both engines compute identical rationals/roundings. The oracle
+# keeps the one-statement form (DuckDB materializes CTEs natively).
+
+_ANN_VIEW = "labelmodel_ann_mv"
+_MV_VIEW = "labelmodel_mv_mv"
+_TH1_VIEW = "labelmodel_theta1_mv"
+_L1_VIEW = "labelmodel_label1_mv"
+_TH2_VIEW = "labelmodel_theta2_mv"
+_L2_VIEW = "labelmodel_label2_mv"
+
+
+def _theta_stage_sql(src: str) -> str:
+    return f"""
+    WITH joined AS (
+      SELECT s.doc_id, s.est, ann.annotator, ann.label
+      FROM {src} s JOIN {_ANN_VIEW} ann ON ann.doc_id = s.doc_id
+    ),
+    conf AS (
+      SELECT annotator, est, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM joined GROUP BY annotator, est, label
+    ),
+    conf_tot AS (
+      SELECT annotator, est, CAST(SUM(c) AS BIGINT) AS ct
+      FROM conf GROUP BY annotator, est
+    )
+    SELECT g.a AS annotator, g.est, g.label,
+           (COALESCE(cf.c, 0) + CAST(0.5 AS DOUBLE))
+           / (COALESCE(t.ct, 0) + CAST(2.5 AS DOUBLE)) AS th
+    FROM (SELECT aa.a, ce.c AS est, cl.c AS label
+          FROM (SELECT annotator AS a FROM conf GROUP BY annotator) aa
+          CROSS JOIN {_classes("spark")} ce
+          CROSS JOIN {_classes("spark")} cl) g
+    LEFT JOIN conf cf ON cf.annotator = g.a AND cf.est = g.est
+                      AND cf.label = g.label
+    LEFT JOIN conf_tot t ON t.annotator = g.a AND t.est = g.est
+    """
+
+
+def _label_stage_sql(theta: str, src: str) -> str:
+    return f"""
+    WITH scores AS (
+      SELECT ann.doc_id, th.est AS c,
+             CAST(SUM(CAST(ROUND(LN(th.th), 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS lsum
+      FROM {_ANN_VIEW} ann
+      JOIN {theta} th ON th.annotator = ann.annotator
+                      AND th.label = ann.label
+      GROUP BY ann.doc_id, th.est
+    ),
+    prior AS (
+      SELECT est, (CAST(COUNT(*) AS BIGINT) + CAST(0.5 AS DOUBLE)) AS pn
+      FROM {src} GROUP BY est
+    ),
+    prior_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {src}),
+    ranked AS (
+      SELECT s.doc_id, s.c,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.doc_id
+               ORDER BY ROUND(s.lsum + LN(p.pn / (n.n + CAST(2.5 AS DOUBLE))), 6)
+                        DESC, s.c) AS rn
+      FROM scores s
+      JOIN prior p ON p.est = s.c
+      CROSS JOIN prior_n n
+    )
+    SELECT doc_id, c AS est FROM ranked WHERE rn = 1
+    """
+
+
+def _ds_views(spark: SparkSession, sf_dir: str) -> None:
+    _docs_view(spark, sf_dir)
+    ann = spark.sql(
+        f"WITH {_ann_sql('spark')} "
+        "SELECT doc_id, lang, annotator, label FROM annotations"
+    )
+    ann.localCheckpoint(eager=True).createOrReplaceTempView(_ANN_VIEW)
+    mv = spark.sql(
+        f"""
+    WITH counts AS (
+      SELECT doc_id, lang, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {_ANN_VIEW} GROUP BY doc_id, lang, label
+    )
+    SELECT doc_id, lang, label AS est
+    FROM (SELECT doc_id, lang, label,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, label) AS rn
+          FROM counts) z
+    WHERE rn = 1
+    """
+    )
+    mv.localCheckpoint(eager=True).createOrReplaceTempView(_MV_VIEW)
+    for theta_view, src, lbl_view in (
+        (_TH1_VIEW, _MV_VIEW, _L1_VIEW),
+        (_TH2_VIEW, _L1_VIEW, _L2_VIEW),
+    ):
+        th = spark.sql(_theta_stage_sql(src))
+        th.localCheckpoint(eager=True).createOrReplaceTempView(theta_view)
+        lbl = spark.sql(_label_stage_sql(theta_view, src))
+        lbl.localCheckpoint(eager=True).createOrReplaceTempView(lbl_view)
+
+
+# ---------------------------------------------------------------------------
 # q481 — Dawid-Skene annotator quality
 
 
@@ -191,8 +298,19 @@ def q481_dawid_skene_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-dp-rounded ln-confusion sums (no exp, no softmax, rule 5);
     M-step tables are 125-cell aggregates. Two keyed shuffles per
     round at any corpus size."""
-    _docs_view(spark, sf_dir)
-    return spark.sql(_dsq_sql("spark"))
+    _ds_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+    SELECT ann.annotator,
+           CAST(COUNT(*) AS BIGINT) AS n_annotations,
+           ROUND(CAST(SUM(CASE WHEN ann.label = l2.est THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS ds_agreement,
+           ROUND(CAST(SUM(CASE WHEN ann.label = ann.lang THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS true_accuracy
+    FROM {_ANN_VIEW} ann JOIN {_L2_VIEW} l2 ON l2.doc_id = ann.doc_id
+    GROUP BY ann.annotator
+    """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -223,8 +341,21 @@ def q482_label_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     when quality varies (here planted 90%..50%). Same bounded EM
     pipeline as q481; the comparison is one co-keyed join of the two
     label tables."""
-    _docs_view(spark, sf_dir)
-    return spark.sql(_cmp_sql("spark"))
+    _ds_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CASE WHEN m.est = m.lang THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS mv_accuracy,
+           ROUND(CAST(SUM(CASE WHEN l2.est = m.lang THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS ds_accuracy,
+           CAST(SUM(CASE WHEN l2.est = m.lang AND m.est <> m.lang
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_improved,
+           CAST(SUM(CASE WHEN l2.est <> m.lang AND m.est = m.lang
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_degraded
+    FROM {_MV_VIEW} m JOIN {_L2_VIEW} l2 ON l2.doc_id = m.doc_id
+    """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -362,5 +493,35 @@ def q485_confusion_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     label model learned who the weak rater confuses with whom. All
     rates are exact rationals (the DS side carries its 0.5/2.5
     smoothing by construction)."""
-    _docs_view(spark, sf_dir)
-    return spark.sql(_recovery_sql("spark"))
+    _ds_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+    WITH emp AS (
+      SELECT lang AS true_c, label,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {_ANN_VIEW} WHERE annotator = {N_ANN}
+      GROUP BY lang, label
+    ),
+    emp_tot AS (SELECT true_c, CAST(SUM(c) AS BIGINT) AS ct
+                FROM emp GROUP BY true_c),
+    grid AS (
+      SELECT ce.c AS true_c, cl.c AS label
+      FROM {_classes("spark")} ce CROSS JOIN {_classes("spark")} cl
+    ),
+    cells AS (
+      SELECT g.true_c, g.label,
+             CAST(COALESCE(e.c, 0) AS DOUBLE) / t.ct AS emp_rate,
+             th.th AS ds_rate
+      FROM grid g
+      LEFT JOIN emp e ON e.true_c = g.true_c AND e.label = g.label
+      JOIN emp_tot t ON t.true_c = g.true_c
+      JOIN {_TH2_VIEW} th ON th.annotator = {N_ANN} AND th.est = g.true_c
+                     AND th.label = g.label
+    )
+    SELECT true_c, label,
+           ROUND(emp_rate, 6) AS empirical_rate,
+           ROUND(ds_rate, 6) AS ds_estimated_rate,
+           ROUND(ABS(emp_rate - ds_rate), 6) AS abs_gap
+    FROM cells
+    """
+    )

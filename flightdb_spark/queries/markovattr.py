@@ -192,16 +192,77 @@ def _chain_spark(dialect: str) -> str:
 
 
 _ABSORB_VIEW = "markov_absorb_mv"
+_A12_VIEW = "markov_a12_mv"
+
+
+def _a12_pandas(key, pdf):  # pragma: no cover - runs on executors
+    """All five variants' K_ITERS backward-absorption rounds over the
+    bounded (<= 42 row) transition matrix in ONE in-process pass —
+    the exact `_iter_ctes` recurrence: a_{k+1}(s) = (pconv_n * NANO +
+    sum_t p_n(s,t) * a_k(t) + NANO/2) div NANO, with a missing a_k(t)
+    contributing nothing (the SQL LEFT JOIN + SUM-ignores-NULL). All
+    arithmetic in exact Python ints (operands non-negative, so // ==
+    SQL div)."""
+    import pandas as pd
+
+    pmat = [
+        (str(f), str(t), int(p))
+        for f, t, p in zip(pdf["from_st"], pdf["to_st"], pdf["p_n"])
+    ]
+    states = sorted({f for f, _, _ in pmat})
+    pconv = {s: 0 for s in states}
+    for f, t, p in pmat:
+        if t == "CONV":
+            pconv[f] = p
+    rows = []
+    for v in ["none", *CHANNELS]:
+        vstates = [s for s in states if s != v]
+        trans = [
+            (f, t, p)
+            for f, t, p in pmat
+            if t not in ("CONV", "NULL") and t != v and f != v
+        ]
+        a = {s: 0 for s in vstates}
+        for _ in range(K_ITERS):
+            prev = a
+            a = {
+                s: (
+                    pconv[s] * NANO
+                    + sum(p * prev[t] for f, t, p in trans if f == s and t in prev)
+                    + NANO // 2
+                )
+                // NANO
+                for s in vstates
+            }
+        rows.extend((v, s, a[s]) for s in vstates)
+    return pd.DataFrame(rows, columns=["dropped", "s", "av_n"])
+
+
+def _a12_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the full (variant, state, a_K) table: the 12
+    unrolled CTE rounds over tiny state were 12 joins of planning and
+    scheduling overhead per referencing query (guide §4.2 — bounded
+    state, so the whole iteration is one vectorized task over the
+    checkpointed pmat view)."""
+    _pmat_view(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    a12 = (
+        spark.table(_PMAT_VIEW)
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_a12_pandas, "dropped string, s string, av_n bigint")
+    )
+    a12.localCheckpoint(eager=True).createOrReplaceTempView(_A12_VIEW)
 
 
 def _absorb_view(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the 5-row (variant, START-absorption) result: the
     downstream attribution queries reference it several times, and
     each reference re-expands the 12-round chain in the Spark plan."""
-    _pmat_view(spark, sf_dir)
+    _a12_view(spark, sf_dir)
     df = spark.sql(
-        f"WITH {_chain_spark('spark')} "
-        f"SELECT dropped, av_n FROM {_LAST} WHERE s = 'START'"
+        f"SELECT dropped, av_n FROM {_A12_VIEW} WHERE s = 'START'"
     )
     df.localCheckpoint(eager=True).createOrReplaceTempView(_ABSORB_VIEW)
 
@@ -253,8 +314,17 @@ def q812_absorption_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, for the full chain and each channel-removed variant
     in one 25-row iteration (a `variant` column, not five unrolls).
     Removing a channel can only lower it (test-asserted)."""
-    _pmat_view(spark, sf_dir)
-    return spark.sql(_q812_sql("spark"))
+    _a12_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+    SELECT a.dropped AS variant,
+           CAST(a.av_n AS DOUBLE) / {NANO} AS p_convert_from_start,
+           CAST({K_ITERS} AS BIGINT) AS iterations
+    FROM {_A12_VIEW} a
+    WHERE a.s = 'START'
+    ORDER BY a.dropped
+    """
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -293,12 +293,43 @@ def _cc_round_sql(prev: str, ev2: str) -> str:
     """
 
 
+def _cc_rounds_pandas(key, nodes, edge_rows):  # pragma: no cover - runs on executors
+    """CC_ROUNDS synchronous min-label rounds for ONE (st, k) variant —
+    the exact `_cc_round_sql` recurrence (lbl' = LEAST(own, MIN over
+    out-neighbors)), run in-process over the bounded (<= 25 node)
+    group instead of as CC_ROUNDS separate Spark jobs. Brand labels
+    are ASCII strings, so Python `min` == Spark LEAST byte order."""
+    import pandas as pd
+
+    lbl = {b: b for b in nodes["b"]}
+    nbrs: dict[str, list[str]] = {}
+    for x, y in zip(edge_rows["x"], edge_rows["y"]):
+        nbrs.setdefault(x, []).append(y)
+    for _ in range(CC_ROUNDS):
+        cur = lbl
+        lbl = {
+            b: min([cur[b]] + [cur[y] for y in nbrs.get(b, ())])
+            for b in cur
+        }
+    return pd.DataFrame(
+        {
+            "st": key[0],
+            "k": key[1],
+            "b": list(lbl.keys()),
+            "lbl": list(lbl.values()),
+        }
+    )
+
+
 def _perc_summary_view(spark: SparkSession, sf_dir: str) -> None:
-    """Spark side of the percolation: an unrolled-SQL chain would
-    reference each round's labels twice (own + neighbor), doubling the
-    plan per round — so the 12 min-label rounds run as a DataFrame
-    loop with a localCheckpoint per round (the house iterative-op
-    idiom), each round one bounded SQL over materialized views."""
+    """Spark side of the percolation. The 12 min-label rounds used to
+    run as a DataFrame loop with a localCheckpoint per round — 12
+    Spark jobs of pure scheduling/materialization overhead, since the
+    iteration state is <= 600 bounded (variant, node) rows. They now
+    run as ONE cogrouped-Arrow pass per (st, k) variant (guide §4.2:
+    bounded state -> single vectorized task; §2.4: removes 12 rounds
+    of shuffles), with the same synchronous integer/byte-order
+    fixpoint the unrolled oracle rounds compute."""
     _views(spark, sf_dir)
     edges = spark.sql(f"WITH {_graph_cte()} SELECT x, y FROM edges")
     edges.localCheckpoint(eager=True).createOrReplaceTempView(_PERC_VIEWS[0])
@@ -308,17 +339,16 @@ def _perc_summary_view(spark: SparkSession, sf_dir: str) -> None:
         f"WITH {_variant_ctes(*_PERC_VIEWS)} "
         "SELECT st, k, x, y FROM ev2"
     )
-    base.localCheckpoint(eager=True).createOrReplaceTempView("netrobust_ev2_mv")
-    lbl = spark.sql(
+    alive = spark.sql(
         f"WITH {_variant_ctes(*_PERC_VIEWS)} "
-        "SELECT st, k, b, b AS lbl FROM alive"
-    ).localCheckpoint(eager=True)
-    lbl.createOrReplaceTempView("netrobust_lbl_mv")
-    for _ in range(CC_ROUNDS):
-        lbl = spark.sql(
-            _cc_round_sql("netrobust_lbl_mv", "netrobust_ev2_mv")
-        ).localCheckpoint(eager=True)
-        lbl.createOrReplaceTempView("netrobust_lbl_mv")
+        "SELECT st, k, b FROM alive"
+    )
+    lbl = (
+        alive.groupBy("st", "k")
+        .cogroup(base.groupBy("st", "k"))
+        .applyInPandas(_cc_rounds_pandas, "st string, k int, b string, lbl string")
+    )
+    lbl.localCheckpoint(eager=True).createOrReplaceTempView("netrobust_lbl_mv")
     spark.sql(
         """SELECT st, k,
                CAST(MAX(sz) AS BIGINT) AS largest_component,
