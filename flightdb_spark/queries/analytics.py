@@ -972,30 +972,43 @@ def q191_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    v = None  # fixed-point state (j, vu); None = constant v0 = 1.0
-    for _ in range(3):
-        if v is None:
-            w = cov.groupBy("i").agg(
-                F.sum(F.col("cu") * F.lit(_PCA_SCALE)).alias("w")
-            )
-        else:
-            w = (
-                cov.join(F.broadcast(v), "j")
-                .groupBy("i")
-                .agg(F.sum(F.col("cu") * F.col("vu")).alias("w"))
-            )
-        d = w.agg(
-            (
-                F.expr(f"max(abs(w)) div {_PCA_SCALE}") + F.lit(1)
-            ).alias("d")
+    # The 3 fixed-point iterations over the bounded d x d table ran as
+    # a DataFrame loop whose lineage doubled per round (w referenced in
+    # both the rescale aggregate and the vector); with d² = 4096 rows
+    # the whole iteration is ONE in-process pass (guide §4.2) — the
+    # exact same integer recurrence (Python ints; the green oracle
+    # proves the BIGINT chain never overflows, so values agree).
+    def _power_pandas(key, pdf):  # pragma: no cover - runs on executors
+        import pandas as pd
+
+        cells = [
+            (int(i), int(j), int(cu))
+            for i, j, cu in zip(pdf["i"], pdf["j"], pdf["cu"])
+        ]
+        dims_ = sorted({i for i, _, _ in cells})
+        vv = None
+        for _ in range(3):
+            w = dict.fromkeys(dims_, 0)
+            if vv is None:
+                for i, _j, cu in cells:
+                    w[i] += cu * _PCA_SCALE
+            else:
+                for i, j, cu in cells:
+                    if j in vv:
+                        w[i] += cu * vv[j]
+            dd = max(abs(x) for x in w.values()) // _PCA_SCALE + 1
+            vv = {
+                i: (-1 if w[i] < 0 else 1) * (abs(w[i]) // dd) for i in dims_
+            }
+        return pd.DataFrame(
+            {"j": list(vv.keys()), "vu": list(vv.values())}
         )
-        v = w.join(F.broadcast(d)).select(
-            F.col("i").alias("j"),
-            (
-                F.when(F.col("w") < 0, -1).otherwise(1)
-                * F.expr("abs(w) div d")
-            ).alias("vu"),
-        )
+
+    v = (
+        cov.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_power_pandas, "j int, vu long")
+    )
     vnorm_int = v.agg(F.sum(F.col("vu") * F.col("vu")).alias("s2"))
     load = v.join(F.broadcast(vnorm_int)).select(
         F.col("j").alias("dim"),

@@ -135,12 +135,54 @@ def q437_dup_substring_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring census (the Lee 2021 exact-substring dedup
     question without a suffix array): per doc, the widest ladder width
     (8/16/32/64 tokens) at which one of its n-grams also occurs in a
-    DIFFERENT doc, rolled up per (source, band). Each ladder step is a
-    hashed n-gram equi-join against grams seen in >1 doc — log-many
-    bounded passes instead of suffix construction; band 0 docs are
-    clean at every width. Integer counting throughout."""
+    DIFFERENT doc, rolled up per (source, band); band 0 docs are clean
+    at every width. Integer counting throughout.
+
+    Spark plan (guide §2.3/§2.4, rewritten r9): ONE corpus scan emits
+    per-doc DISTINCT (width, gram-hash) pairs for all four widths via
+    transform-before-explode — the old per-width CTEs re-tokenized the
+    corpus 8x and carried the full token array through every exploded
+    row (O(len²) bytes per doc). A (width, gram)-partitioned count
+    window finds grams in >1 doc (per-doc pairs are already distinct,
+    so COUNT(*) == COUNT(DISTINCT doc_id)), and the per-doc max width
+    joins back to the doc spine. The oracle keeps the textbook
+    per-width equi-join form, so two formulations must agree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     _docs_view(spark, sf_dir)
-    return spark.sql(_dupband_sql("spark"))
+    tok = spark.sql(
+        "SELECT doc_id, source, split(text, ' ') AS toks FROM documents"
+    ).localCheckpoint(eager=False)
+    width_arrays = ", ".join(
+        f"CASE WHEN size(toks) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size(toks) - {n}), "
+        f"i -> named_struct('n', {n}, 'g', "
+        f"md5(array_join(slice(toks, i + 1, {n}), ' '))))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END"
+        for n in LADDER
+    )
+    pairs = tok.select(
+        "doc_id",
+        F.explode(F.expr(f"flatten(array({width_arrays}))")).alias("p"),
+    ).select("doc_id", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    shared = (
+        pairs.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("n", "g"))
+        )
+        .filter(F.col("nd") > 1)
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("band"))
+    )
+    banded = tok.select("doc_id", "source").join(shared, "doc_id", "left")
+    return (
+        banded.groupBy(
+            "source",
+            F.coalesce(F.col("band"), F.lit(0)).cast("int").alias("dup_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "dup_band")
+    )
 
 
 # ---------------------------------------------------------------------------
