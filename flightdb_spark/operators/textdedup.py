@@ -42,18 +42,29 @@ def minhash_mask(seed: int) -> int:
 
 
 _SHINGLE_TMPL = (
-    "CASE WHEN size(split({col}, ' ')) < {n} THEN array() "
-    "ELSE transform(sequence(1, size(split({col}, ' ')) - {nm1}), "
-    "i -> concat_ws(' ', slice(split({col}, ' '), i, {n}))) END"
+    "CASE WHEN size({col}) < {n} THEN array() "
+    "ELSE transform(sequence(1, size({col}) - {nm1}), "
+    "i -> concat_ws(' ', slice({col}, i, {n}))) END"
 )
 
 
 def shingles(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
-    """Word n-gram shingles, one row per (doc, shingle occurrence)."""
-    expr = _SHINGLE_TMPL.format(col=text_col, n=n, nm1=n - 1)
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("sh")
+    """Word n-gram shingles, one row per (doc, shingle occurrence).
+
+    Tokenizes ONCE into an array column and shingles over that: with
+    the split() inlined in the transform lambda, Spark re-evaluated it
+    per element (no loop-invariant hoisting inside higher-order
+    functions), re-tokenizing each doc once per shingle — O(len²)
+    characters per doc (guide §4.1). The multi-referenced non-cheap
+    alias is not collapsed back by CollapseProject."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    expr = _SHINGLE_TMPL.format(col="_w", n=n, nm1=n - 1)
+    return toks.select(
+        "doc_id", F.explode(F.expr(expr)).alias("sh")
     )
 
 
@@ -164,7 +175,12 @@ def connected_components(
     every surviving edge strictly decreases its endpoint-id sum, and
     max_rounds backstops pathological inputs.
     """
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the pair list once: `p` feeds the node union (two
+    # references) AND the edge list, and Spark re-executes the full
+    # upstream lineage (for q51: the whole shingle/minhash/LSH chain)
+    # per reference (guide §2.4). After the checkpoint each consumer
+    # is a bounded scan of the candidate pairs.
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     # nodes come from ALL pairs — a self-loop (a, a) contributes an
     # isolated node that must still appear in the output as its own
     # singleton component (q143's grid graph encodes lone cells that

@@ -280,12 +280,14 @@ def q323_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines cut the same boundary."""
     docs = load_table(spark, sf_dir, "documents")
     ts = F.split(F.col("text"), " ")
-    bigrams = docs.select(
+    # tokenize once: element_at(split(...)) inside the lambda was
+    # re-evaluated per bigram (O(len²) characters per doc)
+    bigrams = docs.select(ts.alias("_w")).select(
         F.explode(
             F.expr(
-                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                "transform(slice(_w, 1, size(_w) - 1),"
                 " (w, i) -> struct(w AS w1,"
-                " element_at(split(text, ' '), i + 2) AS w2))"
+                " element_at(_w, i + 2) AS w2))"
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")

@@ -51,11 +51,13 @@ def _shingles(d: str, src: str = "documents") -> str:
     times), so the GT machinery runs on TRIGRAM types — the unit
     language models actually smooth, with a genuine hapax tail."""
     if d == "spark":
+        # tokenize once into `_w` — split() inlined in the lambda is
+        # re-evaluated per trigram (O(len²) characters per doc)
         return (
             f"SELECT doc_id, explode(transform("
-            f"sequence(1, greatest(0, size(split(text, ' ')) - 2)), "
-            f"i -> array_join(slice(split(text, ' '), i, 3), ' '))) AS tok "
-            f"FROM {src}"
+            f"sequence(1, greatest(0, size(_w) - 2)), "
+            f"i -> array_join(slice(_w, i, 3), ' '))) AS tok "
+            f"FROM (SELECT doc_id, split(text, ' ') AS _w FROM {src})"
         )
     return (
         f"SELECT doc_id, arr[i:i+2] AS tok3, array_to_string(arr[i:i+2], ' ') AS tok "

@@ -273,26 +273,39 @@ def q387_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed min aggregate against a localCheckpointed label table —
     the bounded-rounds pattern (vs q51's run-to-convergence CC)."""
     e = _edges(spark, sf_dir).localCheckpoint()
-    und = _und(e)
+    # The edge list is the only big table here; the label vector is
+    # node-count-sized (the q312 hub/authority precedent). Partition
+    # the symmetric edge list by the aggregate key ONCE and checkpoint
+    # it, then each round: broadcast the labels onto the edges (map-side
+    # lookup, no edge shuffle) and aggregate the neighbor-min WITHOUT
+    # an Exchange (the checkpoint preserves the hash partitioning on
+    # u). The previous loop re-shuffled edge-sized rows twice per
+    # round (guide §2.1/§3.1).
+    und = _und(e).repartition("u").localCheckpoint()
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint()
     for _ in range(LP_ROUNDS):
         nbr_min = (
             und.join(
-                labels.select(F.col("node").alias("v"), F.col("lbl").alias("nl")),
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("v"), F.col("lbl").alias("nl")
+                    )
+                ),
                 "v",
             )
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("nl").alias("nl"))
         )
+        # inner join is exact here: every node appears as `u` in the
+        # symmetric edge list, so nbr_min covers every labeled node
+        # and COALESCE(nl, lbl) can never see a NULL.
         labels = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(nbr_min, "node")
             .select(
                 "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
-                ).alias("lbl"),
+                F.least(F.col("lbl"), F.col("nl")).alias("lbl"),
             )
             .localCheckpoint()
         )

@@ -67,8 +67,13 @@ def _nq(expr: str) -> str:
 
 def _toks_cte(dialect: str) -> str:
     if dialect == "spark":
+        # tokenize once into `_w` before the shingle transform: the
+        # split() inlined in the lambda re-tokenized per bigram
+        # (no loop-invariant hoisting in HOFs — O(len²) per doc)
+        bigrams_w = _BIGRAMS_SPARK.replace("split(text, ' ')", "_w")
         return f"""toks AS (
-      SELECT doc_id, lang, explode({_BIGRAMS_SPARK}) AS tok FROM documents
+      SELECT doc_id, lang, explode({bigrams_w}) AS tok
+      FROM (SELECT doc_id, lang, split(text, ' ') AS _w FROM documents)
     )"""
     return f"""toks AS (
       SELECT doc_id, lang, unnest({_BIGRAMS_DUCK}) AS tok FROM documents

@@ -94,22 +94,26 @@ def q284_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.when(bucket < 52429, "train").otherwise("test").alias("part"),
     )
-    toks = F.split("text", " ")
-    grams = (
-        split.filter(F.size(toks) >= NGRAM_N)
-        .select(
-            "doc_id",
-            "part",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(toks, i, NGRAM_N))
-                    ),
-                )
-            ).alias("g"),
-        )
-    )
+    # tokenize once into a materialized array column: the split()
+    # inlined in the transform lambda re-tokenized the doc per gram
+    # (no loop-invariant hoisting inside HOFs — O(len²) per doc)
+    tokd = split.select(
+        "doc_id", "part", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= NGRAM_N)
+    grams = tokd.select(
+        "doc_id",
+        "part",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (NGRAM_N - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("w"), i, NGRAM_N))
+                ),
+            )
+        ).alias("g"),
+    # one corpus pass: the train-gram build and the test-side probe
+    # both read this checkpoint instead of re-running the explode
+    ).localCheckpoint()
     train_grams = (
         grams.filter(F.col("part") == "train").select("g").distinct()
         .withColumn("seen", F.lit(1))

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..tables import ensure_parallelism, load_table
 from . import query
-from .textops import _SHINGLES_DUCK, _SHINGLES_SPARK
+from .textops import _SHINGLES_DUCK, _shingle_exploded
 
 # --- q91: prefix-filtered exact Jaccard self-join ----------------------------------
 J_NUM, J_DEN = 7, 10  # threshold t = 0.7 as an exact rational
@@ -35,10 +35,7 @@ JACCARD_BCAST_DOCS = 500_000  # per-doc shingle-set table broadcast gate
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
-        .distinct()
-    )
+    return _shingle_exploded(docs, "doc_id").distinct()
 
 
 @query(

@@ -40,6 +40,23 @@ _SHINGLES_SPARK = (
     "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
 )
 
+# Same shingle ladder over a pre-tokenized array column `_w`: inlining
+# split() into the transform lambda re-tokenizes the doc once PER
+# SHINGLE (Spark has no loop-invariant hoisting inside higher-order
+# functions) — O(len²) characters per doc. Queries tokenize once into
+# `_w` via _shingle_exploded and shingle over the array (guide §4.1).
+_SHINGLES_W_SPARK = (
+    "CASE WHEN size(_w) < 3 THEN array() "
+    "ELSE transform(sequence(1, size(_w) - 2), "
+    "i -> concat_ws(' ', slice(_w, i, 3))) END"
+)
+
+
+def _shingle_exploded(docs: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., sh) rows — one tokenize pass, then the shingle explode."""
+    toks = docs.select(*keep, F.split("text", " ").alias("_w"))
+    return toks.select(*keep, F.explode(F.expr(_SHINGLES_W_SPARK)).alias("sh"))
+
 _MINHASH_SEEDS = [0, 1, 2, 3]
 
 _NORMALIZE_DUCK = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
@@ -194,9 +211,7 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-overlap near-dup detection. The join is shingle-keyed (inverted
     index), never a doc×doc cross join."""
     docs = _docs(spark, sf_dir)
-    shingled = docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
-    ).distinct()
+    shingled = _shingle_exploded(docs, "doc_id").distinct()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     probes = shingled.filter(F.col("doc_id") % 100 == 0).withColumnRenamed(
         "doc_id", "probe_id"
@@ -504,12 +519,15 @@ def q52_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dist"),
         )
     )
+    # tokenize once (split-in-lambda re-split the doc per bigram)
     bigram = (
-        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"
+        "CASE WHEN size(_w) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_w) - 1), "
+        "i -> concat_ws(' ', slice(_w, i, 2))) END"
     )
-    bgs = docs.select("doc_id", F.explode(F.expr(bigram)).alias("bg"))
+    bgs = docs.select("doc_id", F.split("text", " ").alias("_w")).select(
+        "doc_id", F.explode(F.expr(bigram)).alias("bg")
+    )
     ba = (
         bgs.groupBy("doc_id", "bg").count()
         .groupBy("doc_id")
@@ -620,9 +638,12 @@ def q55_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join against the exploded corpus, so the corpus never shuffles;
     per-doc aggregate is the single shuffle."""
     docs = _docs(spark, sf_dir)
-    sh = F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
-    bench = docs.filter(F.col("doc_id") < 5).select(sh).distinct()
-    shingled = docs.filter(F.col("doc_id") >= 5).select("doc_id", sh)
+    bench = (
+        _shingle_exploded(docs.filter(F.col("doc_id") < 5), "doc_id")
+        .select("sh")
+        .distinct()
+    )
+    shingled = _shingle_exploded(docs.filter(F.col("doc_id") >= 5), "doc_id")
     joined = shingled.join(
         F.broadcast(bench.withColumn("hit", F.lit(1))), "sh", "left"
     )
@@ -1376,8 +1397,14 @@ def q99_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification (q91's shape)."""
     docs = _docs(spark, sf_dir)
     shingled = textdedup.shingles(docs)
-    sh_dist = shingled.select("doc_id", "sh").distinct()
-    sigs = textdedup.minhash_signatures(shingled, seeds=tuple(_MINHASH_SEEDS))
+    # ONE corpus explode: the distinct (doc, shingle) table feeds the
+    # signatures, both verification joins and the size aggregate (it
+    # was re-derived from the raw explode per consumer — 4 corpus
+    # passes). MinHash is a MIN aggregate, so computing it over the
+    # DISTINCT shingle set is exact (the oracle's shingled CTE is
+    # DISTINCT already); guide §2.4.
+    sh_dist = shingled.select("doc_id", "sh").distinct().localCheckpoint()
+    sigs = textdedup.minhash_signatures(sh_dist, seeds=tuple(_MINHASH_SEEDS))
     bands = textdedup.lsh_bands(sigs, seeds=tuple(_MINHASH_SEEDS))
     cand = textdedup.lsh_candidate_pairs(bands).select("doc_a", "doc_b")
     sp = docs.select("doc_id", textprep.split_col().alias("split"))

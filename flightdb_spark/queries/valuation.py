@@ -492,24 +492,31 @@ def q400_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source contaminated-doc counts and collision mass."""
     docs = _docs(spark, sf_dir)
     n = CONTAM_NGRAM
-    toks = F.split("text", " ")
+    # materialize the token ARRAY as a column first: inlining the
+    # split() expression into the per-gram lambda re-tokenized the
+    # document once per gram (O(len²) work per doc); a column
+    # reference is evaluated once per row (guide §4.1)
+    tokd = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
     # sequence(0, -1) would DESCEND in Spark — emit no grams for docs
     # shorter than the n-gram width instead
     idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    # one corpus tokenize+hash pass: both the eval-gram build and the
+    # train-side probe scan this checkpoint instead of re-running the
+    # explode lineage each (guide §2.4)
+    grams = tokd.select(
         "doc_id",
         "source",
         F.explode(
             F.transform(
                 idx,
                 lambda i: F.md5(
-                    F.array_join(F.slice(toks, i + 1, n), " ")
+                    F.array_join(F.slice(F.col("w"), i + 1, n), " ")
                 ),
             )
         ).alias("g"),
-    )
+    ).localCheckpoint()
     eval_grams = (
         grams.filter(F.col("source") == "src0").select("g").distinct()
     )
