@@ -293,12 +293,17 @@ def q312_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge list): broadcast them into each edge join so the edge list
     # never shuffles for the join (only the per-node aggregate moves
     # data), and checkpoint per iteration so each broadcast build is a
-    # one-step plan instead of the whole preceding chain.
+    # one-step plan instead of the whole preceding chain. The RAW
+    # aggregate is checkpointed too: the normalizer z and the
+    # normalized vector both consume it, and without the checkpoint
+    # each half-step ran the edge-sized join+aggregate TWICE (once for
+    # the broadcast build of z, once for the vector) — guide §2.4.
     for _ in range(3):
         araw = (
             bip.join(F.broadcast(h.select(F.col("c"), F.col("score"))), "c")
             .groupBy("s")
             .agg(F.sum("score").alias("raw"))
+            .localCheckpoint()
         )
         az = araw.agg(F.sum("raw").alias("z"))
         a = (
@@ -318,6 +323,7 @@ def q312_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             bip.join(F.broadcast(a.select("s", "score")), "s")
             .groupBy("c")
             .agg(F.sum("score").alias("raw"))
+            .localCheckpoint()
         )
         hz = hraw.agg(F.sum("raw").alias("z"))
         h = (

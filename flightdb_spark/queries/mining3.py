@@ -92,26 +92,45 @@ def q229_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
 
-    def dranks(col: str, out: str) -> DataFrame:
-        dist = li.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        cum = bucketed_cumsum(dist, col, ["t"])
-        return cum.select(
-            col,
-            (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias(out),
-        )
-
-    ranked = li.join(F.broadcast(dranks("x", "drx")), "x").join(
-        dranks("y", "dry"), "y"
+    # x-rank table: ~50 distinct quantities, broadcastable.
+    xdist = li.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    xc = bucketed_cumsum(xdist, "x", ["t"]).select(
+        "x", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("drx")
     )
-    dx = F.col("drx").cast(_DEC)
+
+    # Collapse to the DISTINCT-y grain in ONE map-side-partial
+    # aggregate, carrying the x-rank partial sums along: the cross
+    # moment factors as sum_rows(drx*dry) = sum_y(dry * sum_{rows@y}
+    # drx) because dry is constant within a y group, and likewise for
+    # every other moment. This replaces the row-level shuffle join of
+    # the full lineitem against the near-unique y rank table (the
+    # query's dominant shuffle) with a single groupBy(y) whose partial
+    # aggregation shrinks the shuffle to the distinct-y grain
+    # (guide §2.3/§2.4). All partial sums stay exact DECIMAL(38,0).
+    dxr = F.col("drx").cast(_DEC)
+    ycells = (
+        li.join(F.broadcast(xc), "x")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+            F.sum(dxr).alias("sdrx"),
+            F.sum(dxr * dxr).alias("sdrx2"),
+        )
+    )
+    ycum = bucketed_cumsum(ycells, "y", ["t"])
+    ranked = ycum.select(
+        "t", "sdrx", "sdrx2",
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("dry"),
+    )
     dy = F.col("dry").cast(_DEC)
+    tt = F.col("t").cast(_DEC)
     mom = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(dx).alias("sx"),
-        F.sum(dy).alias("sy"),
-        F.sum(dx * dx).alias("sxx"),
-        F.sum(dy * dy).alias("syy"),
-        F.sum(dx * dy).alias("sxy"),
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum("sdrx").alias("sx"),
+        F.sum(tt * dy).alias("sy"),
+        F.sum("sdrx2").alias("sxx"),
+        F.sum(tt * dy * dy).alias("syy"),
+        F.sum(dy * F.col("sdrx")).alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     rho = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(

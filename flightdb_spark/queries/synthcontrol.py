@@ -60,6 +60,32 @@ def _grid_values() -> str:
     )
 
 
+def _spine_views(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the 135-row dense (region x quarter) spine ONCE per
+    query (localCheckpoint -> temp view): every CTE reference to
+    `dense`/`regions`/`quarters` otherwise re-expands the 4-table
+    corpus aggregate under CTE inlining (q613 re-ran it ~6x — the P3
+    pattern, guide §2.4). The ORACLE keeps the original single-statement
+    text; only the Spark-side plan is staged."""
+    _views(spark, sf_dir)
+    dense = spark.sql(
+        f"WITH {_series_cte()} SELECT region, qidx, cents FROM dense"
+    ).localCheckpoint(eager=True)
+    dense.createOrReplaceTempView("sc_dense")
+
+
+# Spark-side replacement for _series_cte(): the same three CTE names,
+# each a bounded scan of the materialized spine.
+_SPINE_CTE = """rev AS (
+      SELECT region, qidx, cents FROM sc_dense
+    ),
+    quarters AS (SELECT DISTINCT qidx FROM sc_dense),
+    regions AS (SELECT DISTINCT region FROM sc_dense),
+    dense AS (
+      SELECT region, qidx, cents FROM sc_dense
+    )"""
+
+
 def _series_cte() -> str:
     """Dense (region x quarter) revenue cents; qidx = year*4 + (q-1)."""
     return """rev AS (
@@ -85,11 +111,11 @@ def _series_cte() -> str:
     )"""
 
 
-def _fit_ctes() -> str:
+def _fit_ctes(series: str | None = None) -> str:
     """Grid SSE over the pre-period + LIMIT-1 argmin for the fixed
     treated unit. Donor slots via a bounded triangle join (no
     window)."""
-    return f"""{_series_cte()},
+    return f"""{series or _series_cte()},
     grid(gid, w1, w2, w3, w4) AS (VALUES {_grid_values()}),
     donors AS (
       SELECT /*+ BROADCAST(b) */ a.region, CAST(COUNT(*) AS BIGINT) AS slot
@@ -130,8 +156,9 @@ def _fit_ctes() -> str:
 # ---------------------------------------------------------------------------
 # q611 — fit
 
-_FIT_SQL = f"""
-    WITH {_fit_ctes()},
+def _fit_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_fit_ctes(series)},
     npre AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n
       FROM quarters WHERE qidx < {TREAT_QIDX}
@@ -145,25 +172,25 @@ _FIT_SQL = f"""
     """
 
 
-@query("q611_synthetic_control_fit", oracle=_FIT_SQL)
+@query("q611_synthetic_control_fit", oracle=_fit_sql())
 def q611_synthetic_control_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic-control fit: simplex weights (integer tenths)
     over the four donor regions minimizing exact pre-period SSE
     (DECIMAL(38,0)), argmin as TakeOrdered with a full weight
     tie-break. sqrt is the single terminal transcendental on an
     identical double."""
-    _views(spark, sf_dir)
-    return spark.sql(_FIT_SQL)
+    _spine_views(spark, sf_dir)
+    return spark.sql(_fit_sql(_SPINE_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q612 — post-period effect
 
 
-def _effect_sql(dialect: str) -> str:
+def _effect_sql(dialect: str, series: str | None = None) -> str:
     yr = "(t.qidx div 4)" if dialect == "spark" else "(t.qidx // 4)"
     return f"""
-    WITH {_fit_ctes()},
+    WITH {_fit_ctes(series)},
     bsynth AS (
       SELECT s.qidx, s.synth10 FROM synth s JOIN best b ON b.gid = s.gid
     )
@@ -185,15 +212,16 @@ def q612_synthetic_control_effect(spark: SparkSession, sf_dir: str) -> DataFrame
     average treated-minus-synthetic revenue gap in dollars (exact
     BIGINT gap sums, one terminal division). The best-weight
     synthetic series is re-derived by the same TakeOrdered argmin."""
-    _views(spark, sf_dir)
-    return spark.sql(_effect_sql("spark"))
+    _spine_views(spark, sf_dir)
+    return spark.sql(_effect_sql("spark", _SPINE_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q613 — placebo tests
 
-_PLACEBO_SQL = f"""
-    WITH {_series_cte()},
+def _placebo_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _series_cte()},
     grid(gid, w1, w2, w3, w4) AS (VALUES {_grid_values()}),
     units AS (SELECT region AS treated_u FROM regions),
     donors AS (
@@ -247,25 +275,25 @@ _PLACEBO_SQL = f"""
     """
 
 
-@query("q613_placebo_tests", oracle=_PLACEBO_SQL)
+@query("q613_placebo_tests", oracle=_placebo_sql())
 def q613_placebo_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Placebo inference: the full fit-and-gap pipeline run with every
     region as pseudo-treated (5 independent 286-point grid argmins in
     ONE plan — the per-unit rank window partitions by unit). If the
     true unit's post-period |gap| is not extreme among placebos, the
     'effect' is noise. All exact until the terminal division."""
-    _views(spark, sf_dir)
-    return spark.sql(_PLACEBO_SQL)
+    _spine_views(spark, sf_dir)
+    return spark.sql(_placebo_sql(_SPINE_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q614 — pre-trend match
 
 
-def _pretrend_sql(dialect: str) -> str:
+def _pretrend_sql(dialect: str, series: str | None = None) -> str:
     yr = "(t.qidx div 4)" if dialect == "spark" else "(t.qidx // 4)"
     return f"""
-    WITH {_fit_ctes()},
+    WITH {_fit_ctes(series)},
     bsynth AS (
       SELECT s.qidx, s.synth10 FROM synth s JOIN best b ON b.gid = s.gid
     )
@@ -288,15 +316,16 @@ def q614_pretrend_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRE-period — the table that justifies (or indicts) the synthetic
     control before anyone reads the effect. Exact BIGINT gap sums,
     one terminal division per cell."""
-    _views(spark, sf_dir)
-    return spark.sql(_pretrend_sql("spark"))
+    _spine_views(spark, sf_dir)
+    return spark.sql(_pretrend_sql("spark", _SPINE_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q615 — donor importance (leave-one-donor-out)
 
-_LODO_SQL = f"""
-    WITH {_fit_ctes()},
+def _lodo_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_fit_ctes(series)},
     lodo AS (
       SELECT /*+ BROADCAST(e) */ e.excl_region, MIN(s.pre_sse) AS best_restricted_sse
       FROM sse s
@@ -320,11 +349,11 @@ _LODO_SQL = f"""
     """
 
 
-@query("q615_donor_importance", oracle=_LODO_SQL)
+@query("q615_donor_importance", oracle=_lodo_sql())
 def q615_donor_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-donor-out: refit with each donor's weight pinned to 0
     (a FILTER of the same grid — no new search space) and report the
     SSE inflation its removal causes, next to the donor's weight in
     the full fit. Inflation 1.0 = the donor never mattered."""
-    _views(spark, sf_dir)
-    return spark.sql(_LODO_SQL)
+    _spine_views(spark, sf_dir)
+    return spark.sql(_lodo_sql(_SPINE_CTE))
