@@ -137,9 +137,53 @@ def _rows_cte() -> str:
     )"""
 
 
-def _demeaned_cte() -> str:
+_ROWS_VIEW = "hedonic_rows_mv"
+# Spark-side replacement for _rows_cte(): a bounded scan of the
+# materialized row table (see _rows_view).
+_ROWS_VIEW_CTE = f"""rows0 AS (
+      SELECT brand, ptype, m, x, yn, y FROM {_ROWS_VIEW}
+    )"""
+
+
+def _rows_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize rows0 — the lineitem x part corpus pass with the
+    10-term deterministic-log polynomial — ONCE per query
+    (localCheckpoint -> temp view). Under CTE inlining every
+    rows0/dm/adj reference re-ran that pass (q762 expanded it ~6x;
+    plans/r09/q762_hedonic_index_before.txt shows 180 Exchanges — the
+    P3 pattern, guide §2.4). The ORACLE keeps the original
+    single-statement text."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_rows_cte()} SELECT brand, ptype, m, x, yn, y FROM rows0"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_ROWS_VIEW)
+
+
+_ADJ_VIEW = "hedonic_adj_mv"
+
+
+def _adj_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the size-adjusted rows (yan = y - pooled_b * x,
+    nano-quantized) once: q762/q763 reference `adj` three times each
+    (per-group aggregate, grand total, re-join), and every reference
+    re-expanded pooled -> dm -> rows0 even with rows0 materialized."""
+    _rows_view(spark, sf_dir)
+    df = spark.sql(
+        f"""WITH {_pooled_cte(_ROWS_VIEW_CTE)},
+    adjall AS (
+      SELECT r.brand, r.ptype, r.m,
+             {_nq('r.y - p.b * r.x')} AS yan
+      FROM rows0 r CROSS JOIN pooled p
+    )
+    SELECT brand, ptype, m, yan FROM adjall"""
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_ADJ_VIEW)
+
+
+def _demeaned_cte(series: str | None = None) -> str:
     """Within-(brand, month) demeaned x and y; products in nano-units."""
-    return f"""{_rows_cte()},
+    return f"""{series or _rows_cte()},
     cells AS (
       SELECT brand, m,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -159,8 +203,8 @@ def _demeaned_cte() -> str:
     )""".replace("NANOLIT", NANO)
 
 
-def _pooled_cte() -> str:
-    return f"""{_demeaned_cte()},
+def _pooled_cte(series: str | None = None) -> str:
+    return f"""{_demeaned_cte(series)},
     pooled AS (
       SELECT CAST(SUM(xy) AS DOUBLE) / CAST(SUM(xx) AS DOUBLE) AS b
       FROM dm
@@ -170,8 +214,9 @@ def _pooled_cte() -> str:
 # ---------------------------------------------------------------------------
 # q761 — the size premium
 
-_Q761_SQL = f"""
-    WITH {_demeaned_cte()},
+def _q761_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_demeaned_cte(series)},
     per_brand AS (
       SELECT brand,
              CAST(SUM(xy) AS BIGINT) AS sxy,
@@ -194,27 +239,36 @@ _Q761_SQL = f"""
     """
 
 
-@query("q761_size_premium", oracle=_Q761_SQL)
+@query("q761_size_premium", oracle=_q761_sql())
 def q761_size_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hedonic size slope of log unit price, within-(brand, month)
     demeaned (Frisch-Waugh): per-brand slopes beside the pooled slope.
     Cell means are exact integer ratios; demeaned products are
     FLOOR-nano-quantized and summed as exact BIGINTs."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q761_SQL)
+    _rows_view(spark, sf_dir)
+    return spark.sql(_q761_sql(_ROWS_VIEW_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q762 — quality-adjusted price index
 
-_Q762_SQL = f"""
-    WITH {_pooled_cte()},
+def _q762_sql(series: str | None = None, adj_src: str | None = None) -> str:
+    if adj_src is not None:
+        head = f"""
+    WITH adj AS (
+      SELECT brand, m, yan FROM {adj_src}
+    ),
+    brand_eff AS ("""
+    else:
+        head = f"""
+    WITH {_pooled_cte(series)},
     adj AS (
       SELECT r.brand, r.m,
              {_nq('r.y - p.b * r.x')} AS yan
       FROM rows0 r CROSS JOIN pooled p
     ),
-    brand_eff AS (
+    brand_eff AS ("""
+    return head + f"""
       SELECT brand,
              CAST(SUM(yan) AS BIGINT) AS s,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -252,28 +306,37 @@ _Q762_SQL = f"""
     """.replace("NANOLIT", NANO)
 
 
-@query("q762_hedonic_index", oracle=_Q762_SQL)
+@query("q762_hedonic_index", oracle=_q762_sql())
 def q762_hedonic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-adjusted monthly price index: log unit price minus the
     pooled size effect, minus the brand shift (sequential adjustment,
     all in exact nano-units), averaged per month and exponentiated
     against the first month. Composition changes in size and brand no
     longer move the index."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q762_SQL)
+    _adj_view(spark, sf_dir)
+    return spark.sql(_q762_sql(adj_src=_ADJ_VIEW))
 
 
 # ---------------------------------------------------------------------------
 # q763 — attribute premium by type
 
-_Q763_SQL = f"""
-    WITH {_pooled_cte()},
+def _q763_sql(series: str | None = None, adj_src: str | None = None) -> str:
+    if adj_src is not None:
+        head = f"""
+    WITH adj AS (
+      SELECT ptype, yan FROM {adj_src}
+    ),
+    per_type AS ("""
+    else:
+        head = f"""
+    WITH {_pooled_cte(series)},
     adj AS (
       SELECT r.ptype,
              {_nq('r.y - p.b * r.x')} AS yan
       FROM rows0 r CROSS JOIN pooled p
     ),
-    per_type AS (
+    per_type AS ("""
+    return head + f"""
       SELECT ptype,
              CAST(SUM(yan) AS BIGINT) AS s,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -296,20 +359,21 @@ _Q763_SQL = f"""
     """
 
 
-@query("q763_type_premium", oracle=_Q763_SQL)
+@query("q763_type_premium", oracle=_q763_sql())
 def q763_type_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-adjusted price premium by part type: mean adjusted log
     price per type against the grand mean, in log points and percent.
     One aggregate over the nano-quantized adjusted rows."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q763_SQL)
+    _adj_view(spark, sf_dir)
+    return spark.sql(_q763_sql(adj_src=_ADJ_VIEW))
 
 
 # ---------------------------------------------------------------------------
 # q764 — variance decomposition
 
-_Q764_SQL = f"""
-    WITH {_demeaned_cte()},
+def _q764_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_demeaned_cte(series)},
     within AS (
       SELECT CAST(SUM(xy) AS BIGINT) AS sxy,
              CAST(SUM(xx) AS BIGINT) AS sxx,
@@ -341,22 +405,23 @@ _Q764_SQL = f"""
     """
 
 
-@query("q764_variance_decomposition", oracle=_Q764_SQL)
+@query("q764_variance_decomposition", oracle=_q764_sql())
 def q764_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where log unit-price variance lives: between (brand, month)
     cells vs within, and how much of the within part the size slope
     explains (b^2 Sxx / Syy). Sum-of-squares identities over the same
     nano-quantized terms the slope uses, so the shares are internally
     consistent."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q764_SQL)
+    _rows_view(spark, sf_dir)
+    return spark.sql(_q764_sql(_ROWS_VIEW_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q765 — monthly slope stability
 
-_Q765_SQL = f"""
-    WITH {_demeaned_cte()},
+def _q765_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_demeaned_cte(series)},
     per_month AS (
       SELECT m,
              CAST(SUM(xy) AS BIGINT) AS sxy,
@@ -381,11 +446,11 @@ _Q765_SQL = f"""
     """
 
 
-@query("q765_slope_stability", oracle=_Q765_SQL)
+@query("q765_slope_stability", oracle=_q765_sql())
 def q765_slope_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hedonic slope re-estimated per month against the pooled
     slope — the drift diagnostic that says whether one quality
     adjustment can serve the whole window. Bounded by months; exact
     integer sums throughout."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q765_SQL)
+    _rows_view(spark, sf_dir)
+    return spark.sql(_q765_sql(_ROWS_VIEW_CTE))

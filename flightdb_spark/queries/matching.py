@@ -50,9 +50,9 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
         ensure_parallelism(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)
 
 
-def _market_cte() -> str:
-    """25-cell revenue table with both sides' preference ranks."""
-    return f"""br AS (
+def _br_cte() -> str:
+    """The one corpus pass: (brand, region) revenue cents."""
+    return """br AS (
       SELECT p.p_brand AS b, r.r_name AS r,
              CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
@@ -63,8 +63,12 @@ def _market_cte() -> str:
       JOIN region r ON r.r_regionkey = n.n_regionkey
       JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_brand, r.r_name
-    ),
-    top5 AS (
+    )"""
+
+
+def _market_rest() -> str:
+    """top5 -> ... -> pref on any relation named br."""
+    return f"""top5 AS (
       SELECT b FROM (
         SELECT b, CAST(SUM(cents) AS BIGINT) AS tot FROM br GROUP BY b
       ) g ORDER BY tot DESC, b ASC LIMIT {N}
@@ -110,10 +114,43 @@ def _market_cte() -> str:
     )"""
 
 
-def _stable_tail(pref: str) -> str:
+def _market_cte() -> str:
+    """25-cell revenue table with both sides' preference ranks."""
+    return f"""{_br_cte()},
+    {_market_rest()}"""
+
+
+def _stable_tail(pref: str, matched_src: str | None = None) -> str:
     """dig -> perms -> assign -> matched -> blocking -> stable, built on
     any relation named `pref` (the CTE chain for the oracle, a
-    materialized 25-row view on the Spark side)."""
+    materialized 25-row view on the Spark side). With `matched_src`,
+    the 600-row matched table is read from a materialized view instead
+    of rebuilding the dig->perms->assign chain — Spark re-expanded that
+    chain (5-way unpivot x 4 broadcast joins each) at every one of the
+    3-4 `matched` references per query (the P3 pattern, guide §2.4);
+    the ORACLE keeps the full single-statement chain."""
+    if matched_src is not None:
+        return f"""matched AS (
+      SELECT pid, b, r, cents, brk, rrk FROM {matched_src}
+    ),
+    blocking AS (
+      SELECT m_b.pid,
+             CAST(SUM(CASE WHEN c.brk < m_b.brk AND c.rrk < m_r.rrk
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocking
+      FROM {pref} c
+      JOIN matched m_b ON m_b.b = c.b
+      JOIN matched m_r ON m_r.pid = m_b.pid AND m_r.r = c.r
+      GROUP BY m_b.pid
+    ),
+    stable AS (
+      SELECT b2.pid,
+             CAST(SUM(m.brk) AS BIGINT) AS brand_rank_sum,
+             CAST(SUM(m.rrk) AS BIGINT) AS region_rank_sum,
+             CAST(SUM(m.cents) AS BIGINT) AS total_cents
+      FROM blocking b2 JOIN matched m ON m.pid = b2.pid
+      WHERE b2.n_blocking = 0
+      GROUP BY b2.pid
+    )"""
     digits = ", ".join(f"({d})" for d in range(1, N + 1))
     unpivot = "\n      UNION ALL\n      ".join(
         f"SELECT pid, CAST({i} AS BIGINT) AS i, a{i} AS j FROM perms"
@@ -167,6 +204,8 @@ def _stable_sql(tail_and_select: str, pref: str, with_market: bool) -> str:
 
 
 _PREF_VIEW = "matching_pref_mv"
+_MATCHED_VIEW = "matching_matched_mv"
+_BR_VIEW = "matching_br_mv"
 
 
 def _pref_view(spark: SparkSession, sf_dir: str) -> None:
@@ -176,8 +215,45 @@ def _pref_view(spark: SparkSession, sf_dir: str) -> None:
     SF). localCheckpoint truncates the lineage; DuckDB materializes
     CTEs natively so the oracle keeps the one-statement form."""
     _views(spark, sf_dir)
-    df = spark.sql(f"WITH {_market_cte()} SELECT * FROM pref")
+    # ONE corpus pass: `br` (25 rows) is referenced by top5, regions
+    # AND cells — inlined, the 6-table join+aggregate ran three times
+    # per pref build (guide §2.4). Materialize it first.
+    br = spark.sql(f"WITH {_br_cte()} SELECT b, r, cents FROM br")
+    br.localCheckpoint(eager=True).createOrReplaceTempView(_BR_VIEW)
+    df = spark.sql(
+        f"WITH br AS (SELECT b, r, cents FROM {_BR_VIEW}),\n"
+        f"    {_market_rest()} SELECT * FROM pref"
+    )
     df.localCheckpoint(eager=True).createOrReplaceTempView(_PREF_VIEW)
+
+
+def _assign_values() -> str:
+    """The 600-row (pid, i, j) assignment unpivot as literal VALUES:
+    5! = 120 permutations of (1..5), pid exactly as the oracle's
+    base-5 encoding d1*625 + d2*125 + d3*25 + d4*5 + d5. A constant
+    table — evaluating it through the dig->perms chain cost ~20
+    sequential BroadcastExchanges per build."""
+    from itertools import permutations
+
+    rows = []
+    for perm in permutations(range(1, N + 1)):
+        pid = sum(v * 5 ** (N - 1 - k) for k, v in enumerate(perm))
+        rows.extend(f"({pid}, {i}, {j})" for i, j in enumerate(perm, 1))
+    return ", ".join(rows)
+
+
+def _matched_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the 600-row (pid x 5 pairs) matched table once per
+    query on top of the pref view (see _stable_tail: avoids the
+    per-reference re-expansion of the dig->perms->assign chain)."""
+    _pref_view(spark, sf_dir)
+    df = spark.sql(
+        f"""SELECT CAST(a.pid AS BIGINT) AS pid, p.b, p.r, p.cents,
+                   p.brk, p.rrk
+            FROM (VALUES {_assign_values()}) AS a(pid, i, j)
+            JOIN {_PREF_VIEW} p ON p.i = a.i AND p.j = a.j"""
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_MATCHED_VIEW)
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +282,8 @@ def q796_matching_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q797 — the brand-optimal stable matching
 
-def _q797_tail() -> str:
-    return _stable_tail("{pref}") + """,
+def _q797_tail(pref: str = "{pref}", matched_src: str | None = None) -> str:
+    return _stable_tail(pref, matched_src) + """,
     best AS (
       SELECT pid FROM stable ORDER BY brand_rank_sum ASC, pid ASC LIMIT 1
     )
@@ -228,15 +304,15 @@ def q797_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minimal brand-rank sum (unique by pointwise minimality). Its
     blocking-pair count is zero by membership in the stable set —
     re-verified independently by the test."""
-    _pref_view(spark, sf_dir)
-    return spark.sql("WITH " + _q797_tail().format(pref=_PREF_VIEW))
+    _matched_view(spark, sf_dir)
+    return spark.sql("WITH " + _q797_tail(_PREF_VIEW, _MATCHED_VIEW))
 
 
 # ---------------------------------------------------------------------------
 # q798 — stable-set census
 
-def _q798_tail() -> str:
-    return _stable_tail("{pref}") + """
+def _q798_tail(pref: str = "{pref}", matched_src: str | None = None) -> str:
+    return _stable_tail(pref, matched_src) + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_stable,
            CAST(MIN(brand_rank_sum) AS BIGINT) AS brand_optimal_rank_sum,
            CAST(MIN(region_rank_sum) AS BIGINT) AS region_optimal_rank_sum,
@@ -254,8 +330,8 @@ def q798_stable_set_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stable lattice summarized: how many of the 120 assignments
     are stable (>= 1 always, by Gale-Shapley existence), the two ends'
     rank sums, and whether the market has a unique stable outcome."""
-    _pref_view(spark, sf_dir)
-    return spark.sql("WITH " + _q798_tail().format(pref=_PREF_VIEW))
+    _matched_view(spark, sf_dir)
+    return spark.sql("WITH " + _q798_tail(_PREF_VIEW, _MATCHED_VIEW))
 
 
 # ---------------------------------------------------------------------------
@@ -324,8 +400,8 @@ def q799_greedy_instability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q800 — price of stability
 
-def _q800_tail() -> str:
-    return _stable_tail("{pref}") + """,
+def _q800_tail(pref: str = "{pref}", matched_src: str | None = None) -> str:
+    return _stable_tail(pref, matched_src) + """,
     opt AS (
       SELECT m.pid, CAST(SUM(m.cents) AS BIGINT) AS total_cents
       FROM matched m GROUP BY m.pid
@@ -357,5 +433,5 @@ def q800_price_of_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the revenue-maximal assignment (the assignment problem solved
     exactly over the 120 permutations): the price of requiring
     stability, with efficiency <= 1 (test-asserted)."""
-    _pref_view(spark, sf_dir)
-    return spark.sql("WITH " + _q800_tail().format(pref=_PREF_VIEW))
+    _matched_view(spark, sf_dir)
+    return spark.sql("WITH " + _q800_tail(_PREF_VIEW, _MATCHED_VIEW))

@@ -175,10 +175,16 @@ def q224_trajectory_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction rounds on a pair-sized edge list)."""
     from flightdb_spark.operators.trajectory import symmetric_hausdorff_grid
 
+    # The 12-flight point set is referenced FIVE times downstream
+    # (grid-pair a/b sides, both distance point sides, singles) — each
+    # re-ran the events scan + round-robin repartition without the
+    # checkpoint (guide §2.4). It is bounded (12 flights' points), so
+    # pin it once.
     tp = (
         synth_trackpoints(spark, sf_dir)
         .filter(F.col("flight_id") < TRAJ_MAX_FLIGHT)
         .select("flight_id", "lat", "lon")
+        .localCheckpoint()
     )
     h = symmetric_hausdorff_grid(tp)
     edges = h.filter(
@@ -327,10 +333,15 @@ def q225_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs²; verification is bit_count(xor) on four ints. All JVM-side
     column arithmetic — no Python, no floats anywhere."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # (doc_id, 4-int bands) is referenced four times below (both sides
+    # of the band self-join via bb, then ha/hb for verification) — each
+    # re-ran the O(L)-per-doc hash expression over the corpus without
+    # the checkpoint (guide §2.4): 4 hash passes -> 1.
     hashed = (
         docs.select("doc_id", F.expr(_NTEXT_SPARK).alias("ntext"))
         .filter(F.length("ntext") >= AHASH_MIN_LEN)
         .select("doc_id", F.expr(_ahash_bands_spark()).alias("bands"))
+        .localCheckpoint()
     )
     bb = hashed.select(
         "doc_id", F.posexplode("bands").alias("b", "bval")

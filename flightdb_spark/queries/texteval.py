@@ -34,6 +34,7 @@ shuffle (the q52 economics); clipping joins are co-partitioned on
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flightdb_spark.tables import ensure_parallelism, load_table
 
@@ -282,9 +283,57 @@ def q473_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MT metric that survives tokenizer differences). Totals are
     exact integers from one full-outer co-partitioned join of the
     two (doc, gram) count tables; the F-score is one straight-line
-    terminal expression."""
+    terminal expression.
+
+    Spark plan (oracle unchanged): the hypothesis STRING is bound
+    once in a projection — inlining it into the char-ngram transform
+    lambda re-ran the whole split/substitute/drop/concat pipeline per
+    gram position, O(len^2) per doc (guide §2.3; the r9 tokenize-once
+    lesson) — and both gram multisets explode in ONE corpus pass as
+    (g, hc, rc) side-count structs, so the per-(doc, gram) table
+    aggregates directly: no second scan, no FULL OUTER join. The
+    summed (hc, rc) cells are exactly the COALESCE'd join cells."""
     _views(spark, sf_dir)
-    return spark.sql(_chrf_sql("spark"))
+    docs = spark.table("documents")
+    bound = docs.select(
+        "doc_id",
+        F.expr(_join_str("spark", _hyp("spark"))).alias("h"),
+        "text",
+    )
+    hside = (
+        f"transform({_char_ngrams('spark', 'h', 3)}, "
+        "g -> struct(g AS g, 1 AS hc, 0 AS rc))"
+    )
+    rside = (
+        f"transform({_char_ngrams('spark', 'text', 3)}, "
+        "g -> struct(g AS g, 0 AS hc, 1 AS rc))"
+    )
+    j = (
+        bound.select(
+            "doc_id",
+            F.explode(F.expr(f"concat({hside}, {rside})")).alias("p"),
+        )
+        .groupBy("doc_id", F.col("p.g").alias("g"))
+        .agg(
+            F.sum("p.hc").cast("bigint").alias("hc"),
+            F.sum("p.rc").cast("bigint").alias("rc"),
+        )
+    )
+    tot = j.agg(
+        F.sum(F.least("hc", "rc")).cast("bigint").alias("ov"),
+        F.sum("hc").cast("bigint").alias("htot"),
+        F.sum("rc").cast("bigint").alias("rtot"),
+    )
+    return tot.select(
+        F.expr("ROUND(CAST(ov AS DOUBLE) / htot, 6)").alias("chr_precision"),
+        F.expr("ROUND(CAST(ov AS DOUBLE) / rtot, 6)").alias("chr_recall"),
+        F.expr(
+            "ROUND(CAST(5.0 AS DOUBLE) * (CAST(ov AS DOUBLE) / htot)"
+            " * (CAST(ov AS DOUBLE) / rtot)"
+            " / (CAST(4.0 AS DOUBLE) * (CAST(ov AS DOUBLE) / htot)"
+            " + (CAST(ov AS DOUBLE) / rtot)), 6)"
+        ).alias("chrf2"),
+    )
 
 
 # ---------------------------------------------------------------------------
