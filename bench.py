@@ -527,6 +527,22 @@ def main() -> None:
             continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Inter-query isolation (OUTSIDE the timed region): release the
+        # localCheckpoint blocks this query pinned in the BlockManager.
+        # Every query rebuilds its temp views from scratch on call, so
+        # nothing later reads them — but left in place they accumulate
+        # across the ~300-query session (the r9 checkpoint-based
+        # optimizations made this visible: pinned shingle/gram blocks
+        # from the text family evicted and GC-thrashed later queries,
+        # inflating untouched queries up to 10x late in the run;
+        # standalone timings were unaffected). Each query still pays
+        # its OWN materialization cost inside its timed region.
+        try:
+            for prdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                prdd.unpersist()
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# post-{name} release failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -96,6 +96,15 @@ def main() -> int:
             f"count={count_s:.3f}s rows={cnt} exch={n_exch} py={n_py}"
         )
         spark.sparkContext.setJobDescription(None)
+        # Same inter-query isolation as bench.py: release this query's
+        # localCheckpoint blocks so multi-query measurement sessions
+        # don't accumulate pinned state.
+        try:
+            for prdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                prdd.unpersist()
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# post-{name} release failed: {exc}")
     return 0
 
 

@@ -173,6 +173,16 @@ def run_child(names: list[str]) -> None:
                 flagged.append(name)
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+        # Same inter-query isolation as bench.py: drop the
+        # localCheckpoint blocks this query pinned (queries rebuild
+        # their views per call) so one query's materialized state
+        # doesn't skew the next ratios within the 30-query batch.
+        try:
+            for prdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                prdd.unpersist()
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# post-{name} release failed: {exc}", file=sys.stderr)
 
     # MERGE into the existing artifact: a batch run must not clobber
     # earlier rehearsal rows, flags, or plan notes.
