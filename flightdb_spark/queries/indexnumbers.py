@@ -58,9 +58,31 @@ def _py_cte() -> str:
     )"""
 
 
-def _lp_terms() -> str:
+_PY_VIEW = "idxnum_py_mv"
+
+# Spark-side replacement for _py_cte(): same CTE name, a bounded scan of
+# the materialized (part, year) table. Every index query references `py`
+# 2-3x (self-joins across years), and Catalyst inlining re-ran the
+# lineitem aggregate per reference (P3 pattern, guide §2.4); the oracle
+# keeps the single-statement text (DuckDB materializes CTEs).
+_PY_MV_CTE = f"""py AS (
+      SELECT partkey, yr, cents, qty, unit_value FROM {_PY_VIEW}
+    )"""
+
+
+def _py_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE lineitem aggregate -> checkpointed (part, year) unit-value
+    table; every cross-year join runs on the bounded part dimension."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_py_cte()} SELECT partkey, yr, cents, qty, unit_value FROM py"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_PY_VIEW)
+
+
+def _lp_terms(series: str | None = None) -> str:
     """Common-parts join + the four DECIMAL-accumulated index sums."""
-    return f"""{_py_cte()},
+    return f"""{series or _py_cte()},
     matched AS (
       SELECT b.partkey,
              b.unit_value AS p0, b.qty AS q0,
@@ -81,8 +103,9 @@ def _lp_terms() -> str:
 # ---------------------------------------------------------------------------
 # q656 — Laspeyres & Paasche
 
-_LP_SQL = f"""
-    WITH {_lp_terms()}
+def _lp_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_lp_terms(series)}
     SELECT n_parts,
            ROUND(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6)
              AS laspeyres,
@@ -95,6 +118,9 @@ _LP_SQL = f"""
     """
 
 
+_LP_SQL = _lp_sql()
+
+
 @query("q656_laspeyres_paasche", oracle=_LP_SQL)
 def q656_laspeyres_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres (base-weighted) and Paasche (current-weighted) price
@@ -102,15 +128,16 @@ def q656_laspeyres_paasche(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part unit values rounded once at 4 dp, index sums accumulated
     in DECIMAL(38,4), each index ONE terminal division. The spread is
     the substitution-bias signature."""
-    _views(spark, sf_dir)
-    return spark.sql(_LP_SQL)
+    _py_view(spark, sf_dir)
+    return spark.sql(_lp_sql(_PY_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q657 — Fisher ideal
 
-_FISHER_SQL = f"""
-    WITH {_lp_terms()}
+def _fisher_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_lp_terms(series)}
     SELECT n_parts,
            ROUND(sqrt((CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE))
                       * (CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE))), 6)
@@ -122,23 +149,26 @@ _FISHER_SQL = f"""
     """
 
 
+_FISHER_SQL = _fisher_sql()
+
+
 @query("q657_fisher_index", oracle=_FISHER_SQL)
 def q657_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Fisher ideal index sqrt(Laspeyres * Paasche) — the
     geometric mean that passes the time-reversal test. One terminal
     sqrt on an identical double; everything upstream is the q656
     DECIMAL machinery."""
-    _views(spark, sf_dir)
-    return spark.sql(_FISHER_SQL)
+    _py_view(spark, sf_dir)
+    return spark.sql(_fisher_sql(_PY_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q658 — chained Laspeyres
 
 
-def _chain_sql(dialect: str) -> str:
+def _chain_sql(dialect: str, series: str | None = None) -> str:
     return f"""
-    WITH {_py_cte()},
+    WITH {series or _py_cte()},
     links AS (
       SELECT b.yr AS from_yr, b.yr + 1 AS to_yr,
              CAST(COUNT(*) AS BIGINT) AS n_parts,
@@ -174,15 +204,16 @@ def q658_chained_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln-contract sum over the bounded link table — products of doubles
     are order-sensitive, sums of 9 dp-rounded logs are not). Each
     link joins adjacent years on the part dimension."""
-    _views(spark, sf_dir)
-    return spark.sql(_chain_sql("spark"))
+    _py_view(spark, sf_dir)
+    return spark.sql(_chain_sql("spark", _PY_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q659 — value decomposition
 
-_DECOMP_SQL = f"""
-    WITH {_lp_terms()}
+def _decomp_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_lp_terms(series)}
     SELECT n_parts,
            ROUND(CAST(p1q1 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6)
              AS value_ratio,
@@ -200,21 +231,25 @@ _DECOMP_SQL = f"""
     """
 
 
+_DECOMP_SQL = _decomp_sql()
+
+
 @query("q659_value_decomposition", oracle=_DECOMP_SQL)
 def q659_value_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-number identity: value ratio = Laspeyres price index
     x Paasche quantity index, emitted with its residual (which must
     print 0.0 — the identity is exact before display rounding). The
     standard decomposition of revenue change into price and volume."""
-    _views(spark, sf_dir)
-    return spark.sql(_DECOMP_SQL)
+    _py_view(spark, sf_dir)
+    return spark.sql(_decomp_sql(_PY_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q660 — unit-value mix effect
 
-_MIX_SQL = f"""
-    WITH {_py_cte()},
+def _mix_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _py_cte()},
     branded AS (
       SELECT p.p_brand AS brand, y.yr,
              CAST(SUM(y.cents) AS BIGINT) AS cents,
@@ -240,6 +275,9 @@ _MIX_SQL = f"""
     """
 
 
+_MIX_SQL = _mix_sql()
+
+
 @query("q660_unit_value_mix", oracle=_MIX_SQL)
 def q660_unit_value_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand-level unit-value indexes 1996->2000: the unit-value
@@ -247,5 +285,5 @@ def q660_unit_value_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly why q656 matches parts first — the divergence
     between this table and q656's Laspeyres is the composition
     effect, visible brand by brand."""
-    _views(spark, sf_dir)
-    return spark.sql(_MIX_SQL)
+    _py_view(spark, sf_dir)
+    return spark.sql(_mix_sql(_PY_MV_CTE))

@@ -85,16 +85,78 @@ def _pairs_cte() -> str:
     )"""
 
 
+# --- Spark-side staging (oracle keeps the single-statement CTE text) --------
+#
+# `yearly` (the orders aggregate) is referenced TWICE in `paired` (the
+# 1996 and 2000 left joins) and `matrix`/`rows_` re-expand the whole
+# chain again per reference, so Catalyst inlining re-ran the corpus
+# pass 2-4x per query (P3 pattern, guide §2.4). Materialize yearly once
+# (customer x 2 years grain), then the 36-cell matrix.
+
+_YEARLY_VIEW = "mobility_yearly_mv"
+_MATRIX_VIEW = "mobility_matrix_mv"
+
+_PAIRS_MV_CTE = f"""yearly AS (
+      SELECT ck, yr, cents FROM {_YEARLY_VIEW}
+    ),
+    paired AS (
+      SELECT c.c_custkey AS ck, c.c_mktsegment AS seg,
+             {_band_expr("a.cents")} AS band_from,
+             {_band_expr("b.cents")} AS band_to
+      FROM customer c
+      LEFT JOIN yearly a ON a.ck = c.c_custkey AND a.yr = {Y_FROM}
+      LEFT JOIN yearly b ON b.ck = c.c_custkey AND b.yr = {Y_TO}
+    ),
+    matrix AS (
+      SELECT band_from, band_to, CAST(COUNT(*) AS BIGINT) AS n
+      FROM paired GROUP BY band_from, band_to
+    ),
+    rows_ AS (
+      SELECT band_from, CAST(SUM(n) AS BIGINT) AS rowtot
+      FROM matrix GROUP BY band_from
+    )"""
+
+_MATRIX_MV_CTE = f"""matrix AS (
+      SELECT band_from, band_to, n FROM {_MATRIX_VIEW}
+    ),
+    rows_ AS (
+      SELECT band_from, CAST(SUM(n) AS BIGINT) AS rowtot
+      FROM matrix GROUP BY band_from
+    )"""
+
+
+def _yearly_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE orders aggregate -> checkpointed (customer, year, cents)."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_pairs_cte()} SELECT ck, yr, cents FROM yearly")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_YEARLY_VIEW)
+
+
+def _matrix_view(spark: SparkSession, sf_dir: str) -> None:
+    """The 36-cell band matrix, checkpointed; every matrix statistic
+    (q701-q703, q705) runs on this bounded table."""
+    _yearly_view(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_PAIRS_MV_CTE} SELECT band_from, band_to, n FROM matrix"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_MATRIX_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q701 — the mobility matrix
 
-_MATRIX_SQL = f"""
-    WITH {_pairs_cte()}
+
+def _matrix_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _pairs_cte()}
     SELECT m.band_from, m.band_to, m.n,
            CAST(m.n AS DOUBLE) / CAST(r.rowtot AS DOUBLE) AS row_share
     FROM matrix m JOIN rows_ r ON r.band_from = m.band_from
     ORDER BY m.band_from, m.band_to
     """
+
+
+_MATRIX_SQL = _matrix_sql()
 
 
 @query("q701_mobility_matrix", oracle=_MATRIX_SQL)
@@ -103,15 +165,16 @@ def q701_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers (band 0 = inactive): counts and row-stochastic shares.
     Fixed literal band edges make the banding a map-side CASE — no
     quantile rank over the growing customer dimension."""
-    _views(spark, sf_dir)
-    return spark.sql(_MATRIX_SQL)
+    _matrix_view(spark, sf_dir)
+    return spark.sql(_matrix_sql(_MATRIX_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q702 — Shorrocks index
 
-_SHORROCKS_SQL = f"""
-    WITH {_pairs_cte()},
+def _shorrocks_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _pairs_cte()},
     diag AS (
       SELECT m.band_from,
              CAST(m.n AS DOUBLE) / CAST(r.rowtot AS DOUBLE) AS p_stay
@@ -129,6 +192,9 @@ _SHORROCKS_SQL = f"""
     """
 
 
+_SHORROCKS_SQL = _shorrocks_sql()
+
+
 @query("q702_shorrocks_index", oracle=_SHORROCKS_SQL)
 def q702_shorrocks_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shorrocks' mobility index M = (m - trace(P)) / (m - 1) over
@@ -136,15 +202,16 @@ def q702_shorrocks_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing as if origin didn't matter. The six diagonal rationals
     accumulate via ROUND(p,12) -> DECIMAL (different denominators —
     a raw double SUM would be partial-agg order-sensitive)."""
-    _views(spark, sf_dir)
-    return spark.sql(_SHORROCKS_SQL)
+    _matrix_view(spark, sf_dir)
+    return spark.sql(_shorrocks_sql(_MATRIX_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q703 — Bartholomew index
 
-_BARTHOLOMEW_SQL = f"""
-    WITH {_pairs_cte()},
+def _bartholomew_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _pairs_cte()},
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM matrix)
     SELECT /*+ BROADCAST(t) */
            CAST(SUM(m.n * ABS(m.band_from - m.band_to)) AS BIGINT)
@@ -157,20 +224,24 @@ _BARTHOLOMEW_SQL = f"""
     """
 
 
+_BARTHOLOMEW_SQL = _bartholomew_sql()
+
+
 @query("q703_bartholomew_index", oracle=_BARTHOLOMEW_SQL)
 def q703_bartholomew_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bartholomew's mobility index: the average number of bands a
     customer moved — an exact integer numerator (sum of n * |i - j|)
     over the customer count, emitted as an unrounded rational."""
-    _views(spark, sf_dir)
-    return spark.sql(_BARTHOLOMEW_SQL)
+    _matrix_view(spark, sf_dir)
+    return spark.sql(_bartholomew_sql(_MATRIX_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q704 — persistence by segment
 
-_SEGMENT_SQL = f"""
-    WITH {_pairs_cte()}
+def _segment_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _pairs_cte()}
     SELECT seg AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(CASE WHEN band_to = band_from THEN 1 ELSE 0 END)
@@ -185,20 +256,24 @@ _SEGMENT_SQL = f"""
     """
 
 
+_SEGMENT_SQL = _segment_sql()
+
+
 @query("q704_segment_persistence", oracle=_SEGMENT_SQL)
 def q704_segment_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band persistence by market segment: the share of customers who
     stayed, moved up, or moved down between 1996 and 2000. The three
     shares partition 1 exactly (integer counts over one denominator)."""
-    _views(spark, sf_dir)
-    return spark.sql(_SEGMENT_SQL)
+    _yearly_view(spark, sf_dir)
+    return spark.sql(_segment_sql(_PAIRS_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q705 — origin -> destiny
 
-_DESTINY_SQL = f"""
-    WITH {_pairs_cte()}
+def _destiny_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _pairs_cte()}
     SELECT m.band_from,
            r.rowtot AS n_customers,
            CAST(SUM(m.n * m.band_to) AS DOUBLE) / CAST(r.rowtot AS DOUBLE)
@@ -212,11 +287,14 @@ _DESTINY_SQL = f"""
     """
 
 
+_DESTINY_SQL = _destiny_sql()
+
+
 @query("q705_origin_destiny", oracle=_DESTINY_SQL)
 def q705_origin_destiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin -> destiny: the expected 2000 band conditional on the
     1996 band (an exact integer-weighted mean per row) with each
     origin's stay share — low origins drifting up and high origins
     drifting down is regression to the middle made visible."""
-    _views(spark, sf_dir)
-    return spark.sql(_DESTINY_SQL)
+    _matrix_view(spark, sf_dir)
+    return spark.sql(_destiny_sql(_MATRIX_MV_CTE))

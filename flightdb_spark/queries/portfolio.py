@@ -117,9 +117,41 @@ def q731_brand_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q732 — top-5 pairwise covariance / correlation
 
-def _pair_cte() -> str:
+_REV_VIEW = "portfolio_rev_mv"
+
+# Spark-side replacement for _rev_cte(): the same three CTE names over
+# the materialized (brand, month, cents) spine. The pair queries
+# reference `rev` via top5 AND twice via the tret self-join, so Catalyst
+# inlining re-ran the lineitem x part corpus aggregate ~3x per query
+# (P3 pattern, guide §2.4); the oracle keeps the single-statement text.
+_REV_MV_CTE = f"""rev AS (
+      SELECT brand, m, cents FROM {_REV_VIEW}
+    ),
+    lagged AS (
+      SELECT brand, m, cents,
+             LAG(cents) OVER (PARTITION BY brand ORDER BY m) AS prev,
+             LAG(m) OVER (PARTITION BY brand ORDER BY m) AS prev_m
+      FROM rev
+    ),
+    ret AS (
+      SELECT brand, m,
+             0.0 + ROUND(CAST(cents AS DOUBLE) / prev - 1, 9) AS r
+      FROM lagged
+      WHERE prev IS NOT NULL AND prev > 0 AND m = prev_m + 1
+    )"""
+
+
+def _rev_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE fact pass -> checkpointed (brand, month, cents) spine
+    (<= 25 brands x ~80 months)."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_rev_cte()} SELECT brand, m, cents FROM rev")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_REV_VIEW)
+
+
+def _pair_cte(series: str | None = None) -> str:
     """Joint moments for top-5 brand pairs over common months."""
-    return f"""{_rev_cte()},
+    return f"""{series or _rev_cte()},
     top5 AS (
       SELECT brand FROM (
         SELECT brand, CAST(SUM(cents) AS BIGINT) AS tot
@@ -146,8 +178,9 @@ def _pair_cte() -> str:
     )"""
 
 
-_Q732_SQL = f"""
-    WITH {_pair_cte()}
+def _q732_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_pair_cte(series)}
     SELECT brand_a, brand_b, n AS n_common_months,
            (sab - sa * sb / n) / (n - 1) AS covariance,
            (sab - sa * sb / n)
@@ -159,20 +192,24 @@ _Q732_SQL = f"""
     """
 
 
+_Q732_SQL = _q732_sql()
+
+
 @query("q732_return_covariance", oracle=_Q732_SQL)
 def q732_return_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance/correlation matrix for the top-5
     revenue brands' return series, joined on common months. The pair
     join runs on the bounded (5 brands x months) spine, never facts."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q732_SQL)
+    _rev_view(spark, sf_dir)
+    return spark.sql(_q732_sql(_REV_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q733 — minimum-variance two-asset weights
 
-_Q733_SQL = f"""
-    WITH {_pair_cte()},
+def _q733_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {_pair_cte(series)},
     stats AS (
       SELECT brand_a, brand_b, n,
              (saa - sa * sa / n) / (n - 1) AS va,
@@ -192,6 +229,9 @@ _Q733_SQL = f"""
     """
 
 
+_Q733_SQL = _q733_sql()
+
+
 @query("q733_min_variance_weights", oracle=_Q733_SQL)
 def q733_min_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form minimum-variance weights for each top-5 brand pair
@@ -199,8 +239,8 @@ def q733_min_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     portfolio variance (va*vb - cov^2)/(va + vb - 2 cov), and the
     reduction vs holding the less-volatile brand alone. Pure terminal
     arithmetic on q732's exact moment sums."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q733_SQL)
+    _rev_view(spark, sf_dir)
+    return spark.sql(_q733_sql(_REV_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +271,9 @@ def q734_sharpe_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q735 — max drawdown on the cumulative revenue index
 
-_Q735_SQL = f"""
-    WITH {_rev_cte()},
+def _q735_sql(series: str | None = None) -> str:
+    return f"""
+    WITH {series or _rev_cte()},
     peaked AS (
       SELECT brand, m, cents,
              MAX(cents) OVER (PARTITION BY brand ORDER BY m
@@ -264,6 +305,9 @@ _Q735_SQL = f"""
     """
 
 
+_Q735_SQL = _q735_sql()
+
+
 @query("q735_max_drawdown", oracle=_Q735_SQL)
 def q735_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deepest peak-to-trough drawdown of each brand's monthly revenue
@@ -272,5 +316,5 @@ def q735_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EARLIEST month; both reported columns come from that ONE
     tie-broken row (MIN month + MIN_BY gap on month — double equality
     of identically-computed values is engine-stable)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q735_SQL)
+    _rev_view(spark, sf_dir)
+    return spark.sql(_q735_sql(_REV_MV_CTE))

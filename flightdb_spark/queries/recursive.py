@@ -51,6 +51,33 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         ensure_parallelism(load_table(spark, sf_dir, n)).createOrReplaceTempView(n)
 
 
+LOOP_BCAST_ROWS = 3_000_000  # ~48 MB of (long, double) — well under the cap
+
+
+def _loop_side_view(
+    spark: SparkSession, sf_dir: str, table: str, cols: list[str]
+) -> str:
+    """Materialize the recursion's STATIC side once (narrow projection +
+    localCheckpoint), registered under the table's own name so the
+    recursive SQL text is unchanged. Spark's UnionLoop re-executes the
+    loop body every iteration, so without this each of the <=24 rounds
+    re-scans the parquet table AND re-runs ensure_parallelism's
+    round-robin repartition (guide §2.4/§5: q516's before plan shows
+    Repartition(32) inside the loop —
+    plans/r09/q516_hierarchy_depths_before.txt). After the checkpoint
+    each round joins a narrow in-memory table.
+
+    Returns the join hint for the recursive member: when the static
+    side fits (plan-shaping eager count over the checkpoint — the q93
+    gate pattern), broadcasting it lets every round run a broadcast
+    hash join with the exchange reused across iterations (measured 2.7
+    -> 2.1 s warm / 6.0 -> 2.4 s cold on q516's shape at sf0.1);
+    above the gate the rounds keep the shuffle join."""
+    df = load_table(spark, sf_dir, table).select(*cols).localCheckpoint(eager=True)
+    df.createOrReplaceTempView(table)
+    return "/*+ BROADCAST(c) */ " if df.count() <= LOOP_BCAST_ROWS else ""
+
+
 def _idiv(dialect: str, a: str, b: str) -> str:
     return f"({a} div {b})" if dialect == "spark" else f"({a} // {b})"
 
@@ -59,12 +86,12 @@ def _idiv(dialect: str, a: str, b: str) -> str:
 # q516 — hierarchy depths
 
 
-def _depths_sql(dialect: str) -> str:
+def _depths_sql(dialect: str, hint: str = "") -> str:
     return f"""
     WITH RECURSIVE tree(node, depth) AS (
       SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
       UNION ALL
-      SELECT c.c_custkey, t.depth + 1
+      SELECT {hint}c.c_custkey, t.depth + 1
       FROM customer c JOIN tree t
         ON {_idiv(dialect, "c.c_custkey", "2")} = t.node
        AND c.c_custkey > 1
@@ -83,22 +110,23 @@ def q516_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, hash-checked against DuckDB's. Each level is one
     equi-join on the computed parent key; the tree depth (~log2 N)
     bounds the iterations, with an explicit depth guard."""
-    _views(spark, sf_dir, "customer")
-    return spark.sql(_depths_sql("spark"))
+    hint = _loop_side_view(spark, sf_dir, "customer", ["c_custkey"])
+    return spark.sql(_depths_sql("spark", hint))
 
 
 # ---------------------------------------------------------------------------
 # q517 — BOM rollup
 
 
-def _bom_sql(dialect: str) -> str:
+def _bom_sql(dialect: str, hint: str = "") -> str:
     cents = "CAST(FLOOR(p.p_retailprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    hint = hint.replace("BROADCAST(c)", "BROADCAST(p)")
     return f"""
     WITH RECURSIVE bom(node, root, depth) AS (
       SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
       FROM part WHERE p_partkey <= 3
       UNION ALL
-      SELECT CAST(p.p_partkey AS BIGINT), b.root, b.depth + 1
+      SELECT {hint}CAST(p.p_partkey AS BIGINT), b.root, b.depth + 1
       FROM part p JOIN bom b
         ON {_idiv(dialect, "p.p_partkey", "4")} = b.node
        AND p.p_partkey > 3
@@ -121,27 +149,41 @@ def q517_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, depth, and total retail price in exact integer cents.
     The assembly-cost query every manufacturing schema runs, as a
     recursive CTE both engines execute identically."""
-    _views(spark, sf_dir, "part")
-    return spark.sql(_bom_sql("spark"))
+    hint = _loop_side_view(spark, sf_dir, "part", ["p_partkey", "p_retailprice"])
+    return spark.sql(_bom_sql("spark", hint))
 
 
 # ---------------------------------------------------------------------------
 # q518 — bounded BFS reachability
 
 
+_BFS_EDGES_VIEW = "rec_bfs_edges_mv"
+
+
 def _bfs_sql(dialect: str) -> str:
-    return f"""
-    WITH RECURSIVE
+    """`edges_src` names the edge source: the oracle keeps the full
+    e0/edges CTE chain; the Spark side reads the checkpointed edge view
+    (the loop body re-evaluates its static side per iteration, so the
+    un-materialized form re-ran the DISTINCT lineitem aggregate every
+    BFS round)."""
+    if dialect == "spark":
+        edges_src = _BFS_EDGES_VIEW
+        pre = "WITH RECURSIVE"
+    else:
+        edges_src = "edges"
+        pre = f"""WITH RECURSIVE
     e0 AS (
       SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM lineitem
     ),
-    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),"""
+    return f"""
+    {pre}
     bfs(node, depth) AS (
       SELECT CAST(2 AS BIGINT), 0
       UNION ALL
       SELECT DISTINCT e.dst, b.depth + 1
-      FROM edges e JOIN bfs b ON e.src = b.node
+      FROM {edges_src} e JOIN bfs b ON e.src = b.node
       WHERE b.depth < {BFS_DEPTH}
     ),
     firsts AS (
@@ -153,6 +195,20 @@ def _bfs_sql(dialect: str) -> str:
     """
 
 
+def _bfs_edges_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE DISTINCT lineitem aggregate -> checkpointed symmetric edge
+    list for the recursive BFS."""
+    _views(spark, sf_dir, "lineitem")
+    edges = spark.sql(
+        """WITH e0 AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    )
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0"""
+    )
+    edges.localCheckpoint(eager=True).createOrReplaceTempView(_BFS_EDGES_VIEW)
+
+
 @query("q518_bounded_reachability", oracle=_bfs_sql("duck"))
 def q518_bounded_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-hop BFS from part #1 through the part<->supplier graph as a
@@ -161,7 +217,7 @@ def q518_bounded_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL twin of q198's iterative DataFrame BFS. Depth-capped by the
     WHERE guard; at true scale the checkpointed iterative loop (q198)
     is the production shape — this is the parity proof."""
-    _views(spark, sf_dir, "lineitem")
+    _bfs_edges_view(spark, sf_dir)
     return spark.sql(_bfs_sql("spark"))
 
 
@@ -217,13 +273,13 @@ def q519_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q520 — materialized paths
 
 
-def _paths_sql(dialect: str) -> str:
+def _paths_sql(dialect: str, hint: str = "") -> str:
     str_t = "STRING" if dialect == "spark" else "VARCHAR"
     return f"""
     WITH RECURSIVE paths(node, path, depth) AS (
       SELECT CAST(1 AS BIGINT), CAST('1' AS {str_t}), 0
       UNION ALL
-      SELECT c.c_custkey,
+      SELECT {hint}c.c_custkey,
              p.path || '/' || CAST(c.c_custkey AS {str_t}),
              p.depth + 1
       FROM customer c JOIN paths p
@@ -244,5 +300,5 @@ def q520_materialized_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters want, built by recursive string concatenation (identical
     on both engines). The depth guard bounds recursion; the final
     filter prunes to a 20-row sample."""
-    _views(spark, sf_dir, "customer")
-    return spark.sql(_paths_sql("spark"))
+    hint = _loop_side_view(spark, sf_dir, "customer", ["c_custkey"])
+    return spark.sql(_paths_sql("spark", hint))
