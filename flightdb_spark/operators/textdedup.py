@@ -266,7 +266,15 @@ def dup_span_fraction(
     corpus (intra- or inter-document) — the hashed-n-gram approximation
     of exact-substring dedup (Lee et al. 2021). Used by registry query
     q81 and the pipeline span gate; one definition so they cannot
-    drift. Two shuffles (gram hash, doc id), no n² anywhere."""
+    drift. Two shuffles (gram hash, doc id), no n² anywhere.
+
+    Round-9 note: a gram-partitioned window (COUNT(*) OVER (PARTITION
+    BY g)) would reach one tokenize pass instead of two, but measured
+    WORSE on the real compute (noop sink 5.4 s -> 10.7 s at sf0.1):
+    WindowExec must SORT the full exploded gram stream by the md5 key,
+    which costs more than the second tokenize+explode the hash
+    aggregate + join-back form pays. Measured, rejected, kept the
+    aggregate+join shape (guide §1.1 first-principles vs empirical)."""
     toks_expr = NORM_TOKENS_SPARK.format(c=text_col)
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), F.expr(toks_expr).alias("w"))

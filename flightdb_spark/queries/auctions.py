@@ -125,8 +125,33 @@ def q666_vickrey_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q667 — reserve-price grid (forward auction)
 
-_RESERVE_SQL = f"""
-    WITH {_top2_cte("DESC")},
+# --- Spark-side staging (oracle keeps the single-statement CTE form) --------
+#
+# q667 references `top2` twice (the mean-anchor aggregate AND the
+# revenue sweep), so the corpus bid aggregate + rank window re-ran per
+# reference under Catalyst inlining (P3 pattern, guide §2.4). The
+# part-grain top2 table is materialized once; anchor/grid/sweep run on
+# the checkpoint.
+
+_TOP2D_VIEW = "auctions_top2d_mv"
+_TOP2D_MV_CTE = f"""top2 AS (
+      SELECT partkey, n_bidders, best, second FROM {_TOP2D_VIEW}
+    )"""
+
+
+def _top2d_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE bids pass + rank window -> checkpointed per-part top2."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_top2_cte('DESC')} "
+        "SELECT partkey, n_bidders, best, second FROM top2"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_TOP2D_VIEW)
+
+
+def _reserve_sql(top2: str | None = None) -> str:
+    return f"""
+    WITH {top2 or _top2_cte("DESC")},
     anchor AS (
       SELECT CAST(FLOOR(CAST(SUM(best) AS DOUBLE)
                         / CAST(COUNT(*) AS DOUBLE)
@@ -157,6 +182,9 @@ _RESERVE_SQL = f"""
     """
 
 
+_RESERVE_SQL = _reserve_sql()
+
+
 @query("q667_reserve_price_grid", oracle=_RESERVE_SQL)
 def q667_reserve_price_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward second-price auction revenue under five reserve prices
@@ -166,8 +194,8 @@ def q667_reserve_price_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The revenue curve's interior maximum is Myerson's
     exclusion principle in the data. Grid join is a 5-row broadcast
     BNLJ."""
-    _views(spark, sf_dir)
-    return spark.sql(_RESERVE_SQL)
+    _top2d_view(spark, sf_dir)
+    return spark.sql(_reserve_sql(_TOP2D_MV_CTE))
 
 
 # ---------------------------------------------------------------------------

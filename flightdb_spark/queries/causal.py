@@ -301,10 +301,19 @@ def q309_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     buyers = orders.select("o_custkey").distinct()
-    pop = cust.groupBy(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("segment"),
-    ).agg(F.count(F.lit(1)).alias("pop_n"))
+    # Checkpoint both corpus aggregates: the raking loop's lineage
+    # references `cells` once per round plus twice inside each w level,
+    # so Catalyst re-expanded the customer x orders semi-join ~16x
+    # (496 Exchanges in the before plan; P3 pattern, guide §2.4). The
+    # 125-cell cross-tab and marginal targets are bounded at any scale.
+    pop = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("pop_n"))
+        .localCheckpoint(eager=True)
+    )
     cells = (
         cust.join(buyers, cust.c_custkey == buyers.o_custkey, "left_semi")
         .groupBy(
@@ -312,6 +321,7 @@ def q309_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     tn = pop.groupBy("nation").agg(
         F.sum("pop_n").cast("double").alias("t_nation")

@@ -103,9 +103,32 @@ def _panel_cte() -> str:
     )"""
 
 
-def _matrix_cte() -> str:
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form) -----------------------------------------------------------------------
+#
+# `cells` (the lineitem x part corpus aggregate) is referenced by top5
+# AND panel0, panel0 by bmeans AND panel, and the xmom pair join
+# references panel twice (q844's symmetry join twice more) — Catalyst
+# inlining compounded to ~8 corpus passes per query (92 Exchanges in
+# q842's before plan). Materialize the <= 5-brand x month panel once
+# per query (P3 pattern, guide §2.4).
+
+_PANEL_VIEW = "crossprice_panel_mv"
+_PANEL_MV_CTE = f"""panel AS (
+      SELECT b, m, dlq, dlp FROM {_PANEL_VIEW}
+    )"""
+
+
+def _panel_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE corpus pass -> checkpointed demeaned monthly panel."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_panel_cte()} SELECT b, m, dlq, dlp FROM panel")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_PANEL_VIEW)
+
+
+def _matrix_cte(staged: bool = False) -> str:
     """All 25 ordered-pair OLS slopes over common months."""
-    return f"""{_panel_cte()},
+    return f"""{_PANEL_MV_CTE if staged else _panel_cte()},
     xmom AS (
       SELECT a.b AS qb, c.b AS pb,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -150,8 +173,9 @@ def q841_price_qty_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q842 — the elasticity matrix
 
-_Q842_SQL = f"""
-    WITH {_matrix_cte()}
+def _q842_sql(staged: bool = False) -> str:
+    return f"""
+    WITH {_matrix_cte(staged)}
     SELECT qb AS quantity_brand, pb AS price_brand, n AS n_months,
            slope AS elasticity,
            CASE WHEN qb = pb THEN CAST(1 AS BIGINT)
@@ -161,6 +185,9 @@ _Q842_SQL = f"""
     """
 
 
+_Q842_SQL = _q842_sql()
+
+
 @query("q842_elasticity_matrix", oracle=_Q842_SQL)
 def q842_elasticity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 5x5 demand matrix: OLS slope of each brand's demeaned log
@@ -168,15 +195,16 @@ def q842_elasticity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     own-price on the diagonal, cross-price off it. Micro-quantized
     demeaned values keep every moment product under 2^53 (exact
     BIGINT sums — the q804 lesson)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q842_SQL)
+    _panel_view(spark, sf_dir)
+    return spark.sql(_q842_sql(staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q843 — substitution census
 
-_Q843_SQL = f"""
-    WITH {_matrix_cte()}
+def _q843_sql(staged: bool = False) -> str:
+    return f"""
+    WITH {_matrix_cte(staged)}
     SELECT CASE WHEN slope > CAST({SUB_THRESHOLD} AS DOUBLE)
                 THEN 'substitute'
                 WHEN slope < -CAST({SUB_THRESHOLD} AS DOUBLE)
@@ -196,20 +224,24 @@ _Q843_SQL = f"""
     """
 
 
+_Q843_SQL = _q843_sql()
+
+
 @query("q843_substitution_census", oracle=_Q843_SQL)
 def q843_substitution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 20 off-diagonal cells classified substitute / complement /
     neutral at the +-0.1 threshold, with micro-quantized mean
     elasticity per class (order-free sums)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q843_SQL)
+    _panel_view(spark, sf_dir)
+    return spark.sql(_q843_sql(staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q844 — symmetry audit
 
-_Q844_SQL = f"""
-    WITH {_matrix_cte()}
+def _q844_sql(staged: bool = False) -> str:
+    return f"""
+    WITH {_matrix_cte(staged)}
     SELECT a.qb AS brand_a, a.pb AS brand_b,
            a.slope AS slope_ab,
            z.slope AS slope_ba,
@@ -222,21 +254,25 @@ _Q844_SQL = f"""
     """
 
 
+_Q844_SQL = _q844_sql()
+
+
 @query("q844_slutsky_symmetry", oracle=_Q844_SQL)
 def q844_slutsky_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-effect symmetry: slope(A on B's price) beside slope(B on
     A's price) per unordered pair — Slutsky symmetry says compensated
     effects match; the asymmetry column measures how far these
     uncompensated estimates drift."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q844_SQL)
+    _panel_view(spark, sf_dir)
+    return spark.sql(_q844_sql(staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q845 — Lerner markup table
 
-_Q845_SQL = f"""
-    WITH {_matrix_cte()}
+def _q845_sql(staged: bool = False) -> str:
+    return f"""
+    WITH {_matrix_cte(staged)}
     SELECT qb AS brand,
            slope AS own_elasticity,
            CASE WHEN ABS(slope) > 1
@@ -250,11 +286,14 @@ _Q845_SQL = f"""
     """
 
 
+_Q845_SQL = _q845_sql()
+
+
 @query("q845_lerner_markup", oracle=_Q845_SQL)
 def q845_lerner_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverse-elasticity pricing rule per brand: Lerner index
     1/|e| where demand is elastic, NULL with an explicit flag where
     |e| <= 1 (the monopoly rule has no interior solution there —
     surfaced, not hidden)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q845_SQL)
+    _panel_view(spark, sf_dir)
+    return spark.sql(_q845_sql(staged=True))

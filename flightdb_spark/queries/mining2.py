@@ -76,9 +76,16 @@ def q223_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the daily table is calendar-bounded, so the pair join and
     the distinct-slope ECDF never scale with corpus rows."""
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit(EPOCH_DAY0)).alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # checkpoint the calendar-bounded daily table: the orders corpus
+    # aggregate was re-run per reference (both pair-join sides + the
+    # n_days count — P3 pattern, guide §2.4)
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(EPOCH_DAY0)).alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     b = daily.select(F.col("d").alias("d_b"), F.col("n").alias("n_b"))
     pairs = daily.join(b, F.col("d_b") > F.col("d")).select(
         (
@@ -86,9 +93,16 @@ def q223_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("d_b") - F.col("d")).cast("double")
         ).alias("slope")
     )
+    # dist stays LAZY: checkpointing the ~np-row distinct-slope table
+    # was measured slower (materializing ~3M rows costs more than the
+    # 4 parallel re-runs of the broadcast pair join over the 2.4k-row
+    # checkpointed daily table it would save — the joins are bounded by
+    # calendar days at ANY corpus size, so re-running them is scale-safe)
     dist = pairs.groupBy("slope").agg(F.count(F.lit(1)).alias("c"))
     cum = bucketed_cumsum(dist, "slope", ["c"])
-    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    # np = SUM of the per-slope counts == the pair count, exactly —
+    # no second pair pass
+    tot = dist.agg(F.sum("c").cast("bigint").alias("np"))
     med = (
         cum.join(F.broadcast(tot))
         .filter(F.col("cum_c") >= F.expr("(np + 1) div 2"))

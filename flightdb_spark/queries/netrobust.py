@@ -110,11 +110,68 @@ def _comm_cte() -> str:
     )"""
 
 
+# --- Spark-side staging for the graph census (q816-q818) --------------------
+#
+# Catalyst inlines CTEs per reference, and q816-q818 reference
+# edges/deg/med/nodes 3-6x each — every reference re-ran the whole
+# ub -> pairs -> wrank -> med chain from the 3-table corpus join
+# (666-786 Exchanges in the before plans). Staging (guide §2.4):
+# ONE corpus pass checkpoints the (customer, brand) spine and the
+# <= 300-row pair table; edges / deg / med stay LAZY CTEs over the
+# pairs checkpoint (re-expansion is then a 300-row triangle per
+# reference — two checkpoint jobs total, not five: each eager
+# materialization is a synchronous job whose fixed overhead exceeded
+# the bounded recompute it saved when this first shipped as five
+# views; guide §1 measure-first).
+
+_COMM_VIEW = "netrobust_gcomm_mv"
+
+_COMM_MV_CTE = f"""comm AS (
+      SELECT b, c FROM {_COMM_VIEW}
+    )"""
+
+
+def _graph_mv_cte() -> str:
+    """The pcnt->wrank->med->edges->nodes->deg tail of _graph_cte,
+    rebased onto the two checkpoints (text reused verbatim)."""
+    head, sep, tail = _graph_cte().partition("),\n    pairs AS (")
+    assert sep, "graph CTE marker drifted"
+    pairs_head, sep2, tail2 = tail.partition("),\n    pcnt AS (")
+    assert sep2, "pairs CTE marker drifted"
+    return (
+        "ub AS (SELECT u, b FROM netrobust_ub_mv),\n"
+        "    pairs AS (SELECT x, y, w FROM netrobust_pairs_mv"
+        + sep2  # restores pairs' closing paren + ",\n    pcnt AS ("
+        + tail2
+    )
+
+
+def _graph_views(spark: SparkSession, sf_dir: str, comm: bool = False) -> None:
+    """ONE corpus pass -> ub spine ckpt -> 300-row pairs ckpt."""
+    _views(spark, sf_dir)
+    head, sep, tail = _graph_cte().partition("),\n    pairs AS (")
+    assert sep, "graph CTE marker drifted"
+    pairs_head, sep2, _ = tail.partition("),\n    pcnt AS (")
+    assert sep2, "pairs CTE marker drifted"
+    ub = spark.sql(f"WITH {head}) SELECT u, b FROM ub")
+    ub.localCheckpoint(eager=True).createOrReplaceTempView("netrobust_ub_mv")
+    pairs = spark.sql(
+        "WITH ub AS (SELECT u, b FROM netrobust_ub_mv),\n    pairs AS ("
+        + pairs_head
+        + ") SELECT x, y, w FROM pairs"
+    )
+    pairs.localCheckpoint(eager=True).createOrReplaceTempView("netrobust_pairs_mv")
+    if comm:
+        df = spark.sql(f"WITH {_comm_cte()} SELECT b, c FROM comm")
+        df.localCheckpoint(eager=True).createOrReplaceTempView(_COMM_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q816 — graph census
 
-_Q816_SQL = f"""
-    WITH {_graph_cte()}
+def _q816_sql(head: str | None = None) -> str:
+    return f"""
+    WITH {head or _graph_cte()}
     SELECT d.b AS brand, d.d AS degree,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
            (SELECT m.thr FROM med m) AS edge_threshold,
@@ -126,22 +183,26 @@ _Q816_SQL = f"""
     """
 
 
+_Q816_SQL = _q816_sql()
+
+
 @query("q816_copurchase_graph", oracle=_Q816_SQL)
 def q816_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The brand co-purchase graph at the median-pair threshold:
     per-brand degree, edge count, and density. The only corpus work is
     the q746-shape spine; the threshold is an exact median via a
     bounded 300-pair rank test."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q816_SQL)
+    _graph_views(spark, sf_dir)
+    return spark.sql(_q816_sql(_graph_mv_cte()))
 
 
 # ---------------------------------------------------------------------------
 # q817 — modularity
 
-_Q817_SQL = f"""
-    WITH {_graph_cte()},
-    {_comm_cte()},
+def _q817_sql(head: str | None = None, comm: str | None = None) -> str:
+    return f"""
+    WITH {head or _graph_cte()},
+    {comm or _comm_cte()},
     m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
     within AS (
       SELECT ca.c, CAST(COUNT(*) AS BIGINT) AS e_c
@@ -169,21 +230,25 @@ _Q817_SQL = f"""
     """
 
 
+_Q817_SQL = _q817_sql()
+
+
 @query("q817_modularity", oracle=_Q817_SQL)
 def q817_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the part-type communities, one exact term
     per community (sum = Q in [-0.5, 1], test-asserted): within-edge
     counts and degree volumes are integers; the term is terminal."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q817_SQL)
+    _graph_views(spark, sf_dir, comm=True)
+    return spark.sql(_q817_sql(_graph_mv_cte(), _COMM_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q818 — conductance
 
-_Q818_SQL = f"""
-    WITH {_graph_cte()},
-    {_comm_cte()},
+def _q818_sql(head: str | None = None, comm: str | None = None) -> str:
+    return f"""
+    WITH {head or _graph_cte()},
+    {comm or _comm_cte()},
     m2 AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_all FROM edges),
     cuts AS (
       SELECT ca.c, CAST(SUM(CASE WHEN ca.c <> cb.c THEN 1 ELSE 0 END)
@@ -225,13 +290,16 @@ _Q818_SQL = f"""
     """
 
 
+_Q818_SQL = _q818_sql()
+
+
 @query("q818_conductance", oracle=_Q818_SQL)
 def q818_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance cut/min(vol, 2m - vol) — low values
     mean the part-type grouping is a real cluster, values near 1 mean
     it's arbitrary. Exact integer cut and volume counts."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q818_SQL)
+    _graph_views(spark, sf_dir, comm=True)
+    return spark.sql(_q818_sql(_graph_mv_cte(), _COMM_MV_CTE))
 
 
 # ---------------------------------------------------------------------------

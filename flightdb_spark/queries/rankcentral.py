@@ -83,7 +83,37 @@ def _toks(dialect: str) -> str:
 # q501 — TextRank keywords
 
 
-def _textrank_sql(dialect: str) -> str:
+# --- Spark-side staging for q501 (oracle keeps the single statement) --------
+#
+# Every unrolled TextRank iteration references `ew`, and ew's lineage
+# (bigram explode -> e0 -> edges x2 -> strength join) re-expanded the
+# corpus pass per reference under Catalyst inlining (138 Exchanges).
+# ONE corpus pass materializes the vocab-bounded weighted edge table;
+# strength and nn are exact derivations of it (ew = edges JOIN strength
+# ON src, so DISTINCT (src, s) over ew IS strength).
+
+_EW_VIEW = "rankcentral_ew_mv"
+
+_TR_STAGED_HEAD = f"""ew AS (
+      SELECT src, dst, w, s FROM {_EW_VIEW}
+    ),
+    strength AS (
+      SELECT DISTINCT src, s FROM ew
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM strength)"""
+
+
+def _ew_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE bigram corpus pass -> checkpointed (src, dst, w, s)."""
+    _views(spark, sf_dir, "documents")
+    full = _textrank_sql("spark")
+    head, sep, _ = full.partition("),\n    nn AS (")
+    assert sep, "textrank CTE marker drifted"
+    df = spark.sql(head + ") SELECT src, dst, w, s FROM ew")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_EW_VIEW)
+
+
+def _textrank_sql(dialect: str, staged: bool = False) -> str:
     if dialect == "duck":
         bigrams = (
             f"list_transform(range(1, len({_toks(dialect)})), "
@@ -110,7 +140,12 @@ def _textrank_sql(dialect: str) -> str:
       GROUP BY ew.dst, nn.n
     )""")
         prev = f"tr{i}"
-    return f"""
+    if staged:
+        head = f"""
+    WITH {_TR_STAGED_HEAD},
+    tr0 AS ("""
+    else:
+        head = f"""
     WITH bg AS (
       SELECT {unn}({bigrams}) AS b FROM documents
     ),
@@ -119,12 +154,12 @@ def _textrank_sql(dialect: str) -> str:
              CAST(COUNT(*) AS BIGINT) AS w
       FROM bg GROUP BY 1, 2
     ) """.replace(
-        "string_split(b, ' ')[1]",
-        "split(b, ' ')[0]" if dialect == "spark" else "string_split(b, ' ')[1]",
-    ).replace(
-        "string_split(b, ' ')[2]",
-        "split(b, ' ')[1]" if dialect == "spark" else "string_split(b, ' ')[2]",
-    ) + f""",
+            "string_split(b, ' ')[1]",
+            "split(b, ' ')[0]" if dialect == "spark" else "string_split(b, ' ')[1]",
+        ).replace(
+            "string_split(b, ' ')[2]",
+            "split(b, ' ')[1]" if dialect == "spark" else "string_split(b, ' ')[2]",
+        ) + f""",
     edges AS (
       SELECT src, dst, w FROM e0 WHERE src <> dst
       UNION ALL
@@ -138,7 +173,10 @@ def _textrank_sql(dialect: str) -> str:
       FROM edges e JOIN strength st ON st.src = e.src
     ),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM strength),
-    tr0 AS (
+    tr0 AS ("""
+    return (
+        head
+        + f"""
       SELECT src AS w, {_idiv(dialect, f"CAST({TR_TOTAL} AS BIGINT)", "nn.n")} AS r
       FROM strength CROSS JOIN nn
     ),{",".join(iters)}
@@ -146,6 +184,7 @@ def _textrank_sql(dialect: str) -> str:
     FROM tr{TR_ITERS}
     ORDER BY rank_mass DESC, keyword LIMIT {TR_TOP}
     """
+    )
 
 
 @query("q501_textrank_keywords", oracle=_textrank_sql("duck"))
@@ -157,8 +196,8 @@ def q501_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     max edge weight stays far under 2^63). Each iteration = one
     vocab-bounded equi-join + aggregate. Top-20 via orderBy+limit
     (TakeOrdered)."""
-    _views(spark, sf_dir, "documents")
-    return spark.sql(_textrank_sql("spark"))
+    _ew_view(spark, sf_dir)
+    return spark.sql(_textrank_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------

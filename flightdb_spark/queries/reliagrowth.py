@@ -55,19 +55,14 @@ def _nq(expr: str) -> str:
     return f"CAST(FLOOR(({expr}) * {MICRO} + 0.5) AS BIGINT)"
 
 
-def _points_cte(dialect: str, by_type: bool = False) -> str:
-    """Cumulative failure counts at N_CUTS span fractions, one pass."""
+def _wide_cte(dialect: str, by_type: bool = False) -> str:
+    """fails -> bounds -> rel -> 1-row-per-type wide counter table."""
     key = "event_type AS et," if by_type else "'error' AS et,"
-    grp = "event_type" if by_type else "'error'"
     flt = "" if by_type else "WHERE event_type = 'error'"
     counters = ",\n             ".join(
         f"CAST(SUM(CASE WHEN rel_us * {N_CUTS} <= span_us * {k} "
         f"THEN 1 ELSE 0 END) AS BIGINT) AS n{k}"
         for k in range(1, N_CUTS + 1)
-    )
-    unpivot = "\n      UNION ALL\n      ".join(
-        f"SELECT et, CAST({k} AS BIGINT) AS cut, span_us, n{k} AS n "
-        f"FROM wide" for k in range(1, N_CUTS + 1)
     )
     return f"""fails AS (
       SELECT {key}
@@ -87,15 +82,52 @@ def _points_cte(dialect: str, by_type: bool = False) -> str:
       SELECT et, CAST(MAX(span_us) AS BIGINT) AS span_us,
              {counters}
       FROM rel GROUP BY et
-    ),
+    )"""
+
+
+def _points_cte(dialect: str, by_type: bool = False, staged: bool = False) -> str:
+    """Cumulative failure counts at N_CUTS span fractions, one pass.
+
+    The pts unpivot references `wide` once per cutoff, so Catalyst
+    inlining re-ran the whole corpus pass N_CUTS times (and q805's
+    lpts+fit pair doubled that — 206 Exchanges before). staged=True
+    reads the checkpointed 1-row-per-type wide view instead (P3
+    pattern, guide §2.4); the oracle keeps the single statement."""
+    unpivot = "\n      UNION ALL\n      ".join(
+        f"SELECT et, CAST({k} AS BIGINT) AS cut, span_us, n{k} AS n "
+        f"FROM wide" for k in range(1, N_CUTS + 1)
+    )
+    if staged:
+        cols = ", ".join(f"n{k}" for k in range(1, N_CUTS + 1))
+        head = f"""wide AS (
+      SELECT et, span_us, {cols} FROM {_wide_view_name(by_type)}
+    )"""
+    else:
+        head = _wide_cte(dialect, by_type)
+    return f"""{head},
     pts AS (
       {unpivot}
     )"""
 
 
-def _fit_cte(dialect: str, by_type: bool = False) -> str:
+def _wide_view_name(by_type: bool) -> str:
+    return "reliagrowth_widet_mv" if by_type else "reliagrowth_wide_mv"
+
+
+def _wide_view(spark: SparkSession, sf_dir: str, by_type: bool = False) -> None:
+    """ONE corpus pass -> checkpointed wide counter table."""
+    _views(spark, sf_dir)
+    cols = ", ".join(f"n{k}" for k in range(1, N_CUTS + 1))
+    df = spark.sql(
+        f"WITH {_wide_cte('spark', by_type)} "
+        f"SELECT et, span_us, {cols} FROM wide"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_wide_view_name(by_type))
+
+
+def _fit_cte(dialect: str, by_type: bool = False, staged: bool = False) -> str:
     """Log-log OLS moments over the cutoff points (t in hours)."""
-    return f"""{_points_cte(dialect, by_type)},
+    return f"""{_points_cte(dialect, by_type, staged)},
     lpts AS (
       SELECT et, cut, n,
              {_nq(f'LN(CAST(span_us AS DOUBLE) * cut / {N_CUTS} / 3.6e9)')}
@@ -130,9 +162,9 @@ def _fit_cte(dialect: str, by_type: bool = False) -> str:
 # ---------------------------------------------------------------------------
 # q801 — Duane plot points
 
-def _q801_sql(dialect: str) -> str:
+def _q801_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_points_cte(dialect)}
+    WITH {_points_cte(dialect, staged=staged)}
     SELECT cut AS cutoff_idx,
            CAST(span_us AS DOUBLE) * cut / {N_CUTS} / 3.6e9 AS t_hours,
            n AS cum_failures,
@@ -148,16 +180,16 @@ def q801_duane_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Duane plot: cumulative error count and cumulative MTBF at
     10 span fractions, from ONE aggregate with CASE counters (the
     cutoff grid folds into the pass — no rescan, no window)."""
-    _views(spark, sf_dir)
-    return spark.sql(_q801_sql("spark"))
+    _wide_view(spark, sf_dir, by_type=False)
+    return spark.sql(_q801_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q802 — power-law fit
 
-def _q802_sql(dialect: str) -> str:
+def _q802_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_fit_cte(dialect)}
+    WITH {_fit_cte(dialect, staged=staged)}
     SELECT k AS n_points,
            beta,
            0.0 + ROUND(EXP(ln_lambda_q), 6) AS lambda_per_hour_pow,
@@ -174,16 +206,16 @@ def q802_crow_amsaa_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth exponent beta (the verdict column reads it), and the scale
     lambda (display-rounded EXP). A homogeneous Poisson stream fits
     beta ~ 1 — the test asserts a sane band."""
-    _views(spark, sf_dir)
-    return spark.sql(_q802_sql("spark"))
+    _wide_view(spark, sf_dir, by_type=False)
+    return spark.sql(_q802_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q803 — cumulative vs instantaneous MTBF
 
-def _q803_sql(dialect: str) -> str:
+def _q803_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_fit_cte(dialect)},
+    WITH {_fit_cte(dialect, staged=staged)},
     endpt AS (
       SELECT et, span_us, n FROM pts WHERE cut = {N_CUTS}
     )
@@ -202,16 +234,16 @@ def q803_mtbf_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-of-test MTBF two ways: the naive cumulative T/N and the
     Crow-AMSAA instantaneous (T/N)/beta — the number that actually
     predicts the NEXT failure gap under the power law."""
-    _views(spark, sf_dir)
-    return spark.sql(_q803_sql("spark"))
+    _wide_view(spark, sf_dir, by_type=False)
+    return spark.sql(_q803_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q804 — per-type growth comparison
 
-def _q804_sql(dialect: str) -> str:
+def _q804_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_fit_cte(dialect, by_type=True)}
+    WITH {_fit_cte(dialect, by_type=True, staged=staged)}
     SELECT et AS event_type, k AS n_points, beta,
            CASE WHEN beta < 1 THEN 'improving'
                 WHEN beta > 1 THEN 'deteriorating'
@@ -226,16 +258,16 @@ def q804_per_type_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event type fitted as its own failure mode — the
     comparison table that says which stream's arrival intensity is
     accelerating. Same one-pass cutoff machinery, keyed by type."""
-    _views(spark, sf_dir)
-    return spark.sql(_q804_sql("spark"))
+    _wide_view(spark, sf_dir, by_type=True)
+    return spark.sql(_q804_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q805 — fit diagnostics
 
-def _q805_sql(dialect: str) -> str:
+def _q805_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_fit_cte(dialect)}
+    WITH {_fit_cte(dialect, staged=staged)}
     SELECT l.cut AS cutoff_idx,
            CAST(l.yn AS DOUBLE) / {MICRO} AS ln_observed,
            f.ln_lambda_q + f.beta * l.xn / CAST({MICRO} AS DOUBLE)
@@ -254,5 +286,5 @@ def q805_duane_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     check that says whether one beta describes the whole test or the
     process changed mid-way. OLS residuals sum to ~0 over the fitted
     points (test-asserted)."""
-    _views(spark, sf_dir)
-    return spark.sql(_q805_sql("spark"))
+    _wide_view(spark, sf_dir, by_type=False)
+    return spark.sql(_q805_sql("spark", staged=True))

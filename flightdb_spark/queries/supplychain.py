@@ -66,22 +66,41 @@ def _fact_cte() -> str:
     )"""
 
 
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form; DuckDB materializes CTEs natively) -----------------------------------
+#
+# q751 references `fact` twice (order-month and ship-month series) and
+# q755 twice (daily demand moments and line-grain lead-time moments),
+# so the 3-table corpus join re-ran per reference under Catalyst
+# inlining (P3 pattern, guide §2.4). ONE corpus pass reduces fact to
+# the (brand, od, sd) cell grain — bounded by brands x calendar days x
+# the ship-lag spread, never by corpus rows — carrying SUM(qty) and the
+# line count; every monthly/daily/line-grain moment is an exact BIGINT
+# re-aggregation of the cells (sums of sums; lead_days is constant
+# within a cell, so line-grain lead moments are nl-weighted cell sums).
+
+_CELLS_VIEW = "supplychain_cells_mv"
+
+
+def _cells_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE fact pass -> checkpointed (brand, od, sd, q, nl) cells."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"""
+    WITH {_fact_cte()}
+    SELECT brand, od, sd,
+           CAST(SUM(qty) AS BIGINT) AS q,
+           CAST(COUNT(*) AS BIGINT) AS nl
+    FROM fact GROUP BY brand, od, sd
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_CELLS_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q751 — bullwhip index
 
-_Q751_SQL = f"""
-    WITH {_fact_cte()},
-    om AS (
-      SELECT brand, (year(od) * 12 + month(od)) AS m,
-             CAST(SUM(qty) AS BIGINT) AS q
-      FROM fact GROUP BY brand, (year(od) * 12 + month(od))
-    ),
-    sm AS (
-      SELECT brand, (year(sd) * 12 + month(sd)) AS m,
-             CAST(SUM(qty) AS BIGINT) AS q
-      FROM fact GROUP BY brand, (year(sd) * 12 + month(sd))
-    ),
-    omom AS (
+_Q751_TAIL = """omom AS (
       SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(q) AS BIGINT) AS s1,
              CAST(SUM(q * q) AS BIGINT) AS s2
@@ -111,6 +130,35 @@ _Q751_SQL = f"""
     ORDER BY o.brand
     """
 
+_Q751_SQL = f"""
+    WITH {_fact_cte()},
+    om AS (
+      SELECT brand, (year(od) * 12 + month(od)) AS m,
+             CAST(SUM(qty) AS BIGINT) AS q
+      FROM fact GROUP BY brand, (year(od) * 12 + month(od))
+    ),
+    sm AS (
+      SELECT brand, (year(sd) * 12 + month(sd)) AS m,
+             CAST(SUM(qty) AS BIGINT) AS q
+      FROM fact GROUP BY brand, (year(sd) * 12 + month(sd))
+    ),
+    {_Q751_TAIL}"""
+
+# same monthly series re-aggregated from the checkpointed cells
+# (SUM of per-(od,sd)-cell sums == SUM over fact rows, exact BIGINT)
+_Q751_MV_SQL = f"""
+    WITH om AS (
+      SELECT brand, (year(od) * 12 + month(od)) AS m,
+             CAST(SUM(q) AS BIGINT) AS q
+      FROM {_CELLS_VIEW} GROUP BY brand, (year(od) * 12 + month(od))
+    ),
+    sm AS (
+      SELECT brand, (year(sd) * 12 + month(sd)) AS m,
+             CAST(SUM(q) AS BIGINT) AS q
+      FROM {_CELLS_VIEW} GROUP BY brand, (year(sd) * 12 + month(sd))
+    ),
+    {_Q751_TAIL}"""
+
 
 @query("q751_bullwhip_index", oracle=_Q751_SQL)
 def q751_bullwhip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,8 +166,8 @@ def q751_bullwhip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     clock per brand: n-scaled CV^2 (n*S2 - S1^2)/S1^2 on both monthly
     series (exact integer moments, one terminal division each) and
     their ratio. An index > 1 is the bullwhip."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q751_SQL)
+    _cells_view(spark, sf_dir)
+    return spark.sql(_Q751_MV_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -250,18 +298,7 @@ def q754_service_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q755 — lead-time-demand moments
 
-def _q755_sql(dialect: str) -> str:
-    lead = _days(dialect, "od", "sd")
-    return f"""
-    WITH {_daily_mom()},
-    ltmom AS (
-      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST({lead} AS BIGINT)) AS BIGINT) AS s1,
-             CAST(SUM(CAST({lead} AS BIGINT) * CAST({lead} AS BIGINT))
-                  AS BIGINT) AS s2
-      FROM fact GROUP BY brand
-    )
-    SELECT d.brand,
+_Q755_FINAL = """SELECT d.brand,
            CAST(d.s1 AS DOUBLE) / d.n AS mean_daily_demand,
            (CAST(d.n AS DOUBLE) * d.s2 - CAST(d.s1 AS DOUBLE) * d.s1)
              / (CAST(d.n AS DOUBLE) * d.n) AS var_daily_demand,
@@ -282,6 +319,47 @@ def _q755_sql(dialect: str) -> str:
     """
 
 
+def _q755_sql(dialect: str) -> str:
+    lead = _days(dialect, "od", "sd")
+    return f"""
+    WITH {_daily_mom()},
+    ltmom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST({lead} AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST({lead} AS BIGINT) * CAST({lead} AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM fact GROUP BY brand
+    )
+    {_Q755_FINAL}"""
+
+
+def _q755_mv_sql() -> str:
+    # daily demand re-aggregated from the checkpointed cells (sum of
+    # per-(od,sd)-cell sums == the per-(brand,sd) daily sum); line-grain
+    # lead-time moments as nl-weighted cell sums (lead_days is constant
+    # within a cell) — both exact BIGINT identities.
+    lead = _days("spark", "od", "sd")
+    return f"""
+    WITH daily AS (
+      SELECT brand, sd, CAST(SUM(q) AS BIGINT) AS q
+      FROM {_CELLS_VIEW} GROUP BY brand, sd
+    ),
+    mom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM daily GROUP BY brand
+    ),
+    ltmom AS (
+      SELECT brand, CAST(SUM(nl) AS BIGINT) AS n,
+             CAST(SUM(CAST({lead} AS BIGINT) * nl) AS BIGINT) AS s1,
+             CAST(SUM(CAST({lead} AS BIGINT) * CAST({lead} AS BIGINT) * nl)
+                  AS BIGINT) AS s2
+      FROM {_CELLS_VIEW} GROUP BY brand
+    )
+    {_Q755_FINAL}"""
+
+
 @query("q755_leadtime_demand", oracle=_q755_sql("duckdb"))
 def q755_leadtime_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-moment lead-time-demand approximation per brand:
@@ -290,5 +368,5 @@ def q755_leadtime_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight-line doubles) — the distribution behind q753's reorder
     point, with the lead-time variance term q753 ignores made
     explicit."""
-    _views(spark, sf_dir)
-    return spark.sql(_q755_sql("spark"))
+    _cells_view(spark, sf_dir)
+    return spark.sql(_q755_mv_sql())

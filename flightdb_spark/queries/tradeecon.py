@@ -59,11 +59,35 @@ def _flows_cte() -> str:
     )"""
 
 
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form; DuckDB materializes CTEs natively) -----------------------------------
+#
+# Catalyst inlines CTEs per reference, so `flows` (the 4-table corpus
+# join+aggregate) re-ran once per marginal: q686 2x (flows + tot),
+# q687 4x (flows, exp_i, imp_j, tot), q690 3x (both pair sides + the
+# name joins' input). Same for the shift-share / RCA `cells`. The P3
+# fix (guide §2.4): materialize the bounded matrix (<= 625 rows) once
+# per query; every marginal and ratio then runs on the checkpoint.
+
+_FLOWS_VIEW = "tradeecon_flows_mv"
+_FLOWS_MV_CTE = f"""flows AS (
+      SELECT onat, dnat, cents FROM {_FLOWS_VIEW}
+    )"""
+
+
+def _flows_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE fact-table reduction -> checkpointed flow matrix view."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_flows_cte()} SELECT onat, dnat, cents FROM flows")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_FLOWS_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q686 — trade corridors
 
-_CORRIDOR_SQL = f"""
-    WITH {_flows_cte()},
+def _corridor_sql(flows: str | None = None) -> str:
+    return f"""
+    WITH {flows or _flows_cte()},
     tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM flows)
     SELECT /*+ BROADCAST(t) */
            no.n_name AS origin, nd.n_name AS destination,
@@ -78,21 +102,25 @@ _CORRIDOR_SQL = f"""
     """
 
 
+_CORRIDOR_SQL = _corridor_sql()
+
+
 @query("q686_trade_corridors", oracle=_CORRIDOR_SQL)
 def q686_trade_corridors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fifteen largest origin->destination revenue corridors with
     their exact share of world trade. One fact-table reduction to the
     bounded nation matrix; name joins are broadcasts; top-k orders by
     exact integer cents with name tie-breaks."""
-    _views(spark, sf_dir)
-    return spark.sql(_CORRIDOR_SQL)
+    _flows_view(spark, sf_dir)
+    return spark.sql(_corridor_sql(_FLOWS_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q687 — gravity residuals
 
-_GRAVITY_SQL = f"""
-    WITH {_flows_cte()},
+def _gravity_sql(flows: str | None = None) -> str:
+    return f"""
+    WITH {flows or _flows_cte()},
     exp_i AS (
       SELECT onat, CAST(SUM(cents) AS BIGINT) AS ex FROM flows GROUP BY onat
     ),
@@ -121,6 +149,9 @@ _GRAVITY_SQL = f"""
     """
 
 
+_GRAVITY_SQL = _gravity_sql()
+
+
 @query("q687_gravity_residuals", oracle=_GRAVITY_SQL)
 def q687_gravity_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gravity-model residuals: each corridor's log deviation from
@@ -129,15 +160,14 @@ def q687_gravity_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     corridors, ranked on the 6 dp-rounded residual with key
     tie-breaks (§4). All marginals are exact integer sums; one ln per
     cell."""
-    _views(spark, sf_dir)
-    return spark.sql(_GRAVITY_SQL)
+    _flows_view(spark, sf_dir)
+    return spark.sql(_gravity_sql(_FLOWS_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q688 — shift-share decomposition
 
-_SHIFTSHARE_SQL = """
-    WITH cells AS (
+_SS_CELLS_CTE = """cells AS (
       SELECT s.s_nationkey AS nat, p.p_brand AS brand,
              CAST(SUM(CASE WHEN EXTRACT(YEAR FROM l.l_shipdate) = 1996
                       THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
@@ -152,7 +182,24 @@ _SHIFTSHARE_SQL = """
       JOIN part p ON p.p_partkey = l.l_partkey
       WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1996, 2000)
       GROUP BY s.s_nationkey, p.p_brand
-    ),
+    )"""
+
+_SS_CELLS_VIEW = "tradeecon_sscells_mv"
+_SS_CELLS_MV_CTE = f"""cells AS (
+      SELECT nat, brand, e96, e00 FROM {_SS_CELLS_VIEW}
+    )"""
+
+
+def _ss_cells_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE two-year fact reduction -> checkpointed shift-share cells."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_SS_CELLS_CTE} SELECT nat, brand, e96, e00 FROM cells")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_SS_CELLS_VIEW)
+
+
+def _shiftshare_sql(cells: str | None = None) -> str:
+    return f"""
+    WITH {cells or _SS_CELLS_CTE},
     kbrand AS (
       SELECT brand, CAST(SUM(e96) AS BIGINT) AS k96,
              CAST(SUM(e00) AS BIGINT) AS k00
@@ -207,6 +254,9 @@ _SHIFTSHARE_SQL = """
     """
 
 
+_SHIFTSHARE_SQL = _shiftshare_sql()
+
+
 @query("q688_shift_share", oracle=_SHIFTSHARE_SQL)
 def q688_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shift-share decomposition of each supplier nation's 1996->2000
@@ -215,15 +265,14 @@ def q688_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundredth-of-a-cent quantization. Each component quantizes to
     BIGINT before the 25-cell sum (order-free, q666 lesson); rates
     come from exact integer marginals."""
-    _views(spark, sf_dir)
-    return spark.sql(_SHIFTSHARE_SQL)
+    _ss_cells_view(spark, sf_dir)
+    return spark.sql(_shiftshare_sql(_SS_CELLS_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q689 — revealed comparative advantage
 
-_RCA_SQL = """
-    WITH cells AS (
+_RCA_CELLS_CTE = """cells AS (
       SELECT s.s_nationkey AS nat, p.p_brand AS brand,
              CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
@@ -231,7 +280,24 @@ _RCA_SQL = """
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY s.s_nationkey, p.p_brand
-    ),
+    )"""
+
+_RCA_CELLS_VIEW = "tradeecon_rcacells_mv"
+_RCA_CELLS_MV_CTE = f"""cells AS (
+      SELECT nat, brand, cents FROM {_RCA_CELLS_VIEW}
+    )"""
+
+
+def _rca_cells_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE fact reduction -> checkpointed (nation, brand) cells."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_RCA_CELLS_CTE} SELECT nat, brand, cents FROM cells")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_RCA_CELLS_VIEW)
+
+
+def _rca_sql(cells: str | None = None) -> str:
+    return f"""
+    WITH {cells or _RCA_CELLS_CTE},
     bynat AS (
       SELECT nat, CAST(SUM(cents) AS BIGINT) AS natc FROM cells GROUP BY nat
     ),
@@ -257,6 +323,9 @@ _RCA_SQL = """
     """
 
 
+_RCA_SQL = _rca_sql()
+
+
 @query("q689_revealed_advantage", oracle=_RCA_SQL)
 def q689_revealed_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balassa revealed comparative advantage: the ten strongest
@@ -264,15 +333,16 @@ def q689_revealed_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand/world) among cells above a $1k floor. All four operands
     are exact integer sums; ranked on the 6 dp-rounded ratio with
     name/brand tie-breaks (§4)."""
-    _views(spark, sf_dir)
-    return spark.sql(_RCA_SQL)
+    _rca_cells_view(spark, sf_dir)
+    return spark.sql(_rca_sql(_RCA_CELLS_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q690 — Grubel-Lloyd intra-industry trade
 
-_GL_SQL = f"""
-    WITH {_flows_cte()},
+def _gl_sql(flows: str | None = None) -> str:
+    return f"""
+    WITH {flows or _flows_cte()},
     pairs AS (
       SELECT a.onat AS nat_lo, a.dnat AS nat_hi,
              a.cents AS ab, b.cents AS ba
@@ -296,6 +366,9 @@ _GL_SQL = f"""
     """
 
 
+_GL_SQL = _gl_sql()
+
+
 @query("q690_grubel_lloyd", oracle=_GL_SQL)
 def q690_grubel_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grubel-Lloyd intra-industry trade index per nation pair:
@@ -303,5 +376,5 @@ def q690_grubel_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 = one-way. The fifteen biggest trading pairs by exact total.
     The pair join runs on the bounded flow matrix (<= 625 rows); GL
     is an unrounded exact-integer rational."""
-    _views(spark, sf_dir)
-    return spark.sql(_GL_SQL)
+    _flows_view(spark, sf_dir)
+    return spark.sql(_gl_sql(_FLOWS_MV_CTE))

@@ -92,15 +92,9 @@ def _gini_terms(nl: str, pl: str, nr: str, pr: str) -> str:
     )
 
 
-def _bins1_cte(dialect: str) -> str:
-    return f"""{_feat_cte(dialect)},
-    bins AS (
-      SELECT {_idiv(dialect, 'k1', str(BIN_W))} AS b,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(y) AS BIGINT) AS pos
-      FROM feat GROUP BY {_idiv(dialect, 'k1', str(BIN_W))}
-    ),
-    cands AS (
+def _cands_cte() -> str:
+    """Threshold candidates from the 64-bin triangle (dialect-free)."""
+    return """cands AS (
       SELECT a.b AS t,
              CAST(SUM(CASE WHEN c.b < a.b THEN c.n ELSE 0 END) AS BIGINT)
                AS nl,
@@ -116,14 +110,67 @@ def _bins1_cte(dialect: str) -> str:
     )"""
 
 
+def _bins1_cte(dialect: str) -> str:
+    return f"""{_feat_cte(dialect)},
+    bins AS (
+      SELECT {_idiv(dialect, 'k1', str(BIN_W))} AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM feat GROUP BY {_idiv(dialect, 'k1', str(BIN_W))}
+    ),
+    {_cands_cte()}"""
+
+
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form; DuckDB materializes CTEs natively) -----------------------------------
+#
+# `feat` (three md5+conv hash derivations per corpus row) re-expanded
+# per CTE reference under Catalyst inlining: q626/q628's bin triangle
+# referenced `bins` twice (2 corpus passes), and q629/q630's
+# root -> sided -> cands2 -> bestchild chain compounded to feat x6-x12.
+# The fix (P3 + guide §2.4): ONE corpus pass aggregates feat to the
+# 64x64 (b1, b2) histogram, checkpointed; every marginal, triangle and
+# per-side histogram is then an exact BIGINT re-aggregation of the
+# bounded grid (b1 = k1 div BIN_W, so k1 < t*BIN_W <=> b1 < t exactly;
+# b2 is the same binning q629's sided CTE applies row-wise).
+
+_HIST2_VIEW = "treesplits_hist2_mv"
+
+# bins marginal re-aggregated from the checkpointed grid (SUM of cell
+# counts == the row-grain COUNT per b1, exact BIGINT)
+_BINS1_MV_CTE = f"""bins AS (
+      SELECT b1 AS b, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM {_HIST2_VIEW} GROUP BY b1
+    ),
+    {_cands_cte()}"""
+
+
+def _hist2_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE feat pass -> checkpointed 64x64 (b1, b2, n, pos) grid."""
+    _views(spark, sf_dir)
+    b1 = _idiv("spark", "k1", str(BIN_W))
+    b2 = _idiv("spark", "k2", str(BIN_W))
+    df = spark.sql(
+        f"""
+    WITH {_feat_cte('spark')}
+    SELECT {b1} AS b1, {b2} AS b2,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM feat GROUP BY {b1}, {b2}
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_HIST2_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q626 — best split by Gini
 
 
-def _gini_sql(dialect: str) -> str:
+def _gini_sql(dialect: str, bins: str | None = None) -> str:
     g = _gini_terms("nl", "pl", "nr", "pr")
     return f"""
-    WITH {_bins1_cte(dialect)}
+    WITH {bins or _bins1_cte(dialect)}
     SELECT t AS threshold_bin, nl, pl, nr, pr,
            ROUND({g} / (nl + nr), 6) AS weighted_gini
     FROM cands
@@ -138,19 +185,68 @@ def q626_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*pos*neg/n per side — exact-integer-derived doubles) at all 63
     f1 bin thresholds, top-5 ascending. Cumulative side counts come
     from the 64x64 bin triangle join; the corpus is touched once."""
-    _views(spark, sf_dir)
-    return spark.sql(_gini_sql("spark"))
+    _hist2_view(spark, sf_dir)
+    return spark.sql(_gini_sql("spark", _BINS1_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q627 — information gain by feature
 
 
-def _infogain_sql(dialect: str) -> str:
+_IG_CELLS_VIEW = "treesplits_igcells_mv"
+
+
+def _labeled_cte(dialect: str) -> str:
     f1band = _idiv(dialect, "k1", str(DENOM // 4))
     f2band = _idiv(dialect, "k2", str(DENOM // 4))
     dow = "dayofweek(ts)" if dialect == "spark" else "dayofweek(ts) + 1"
     s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""labeled AS (
+      SELECT CAST({f1band} AS {s}) AS f1_band,
+             CAST({f2band} AS {s}) AS f2_band,
+             event_type,
+             CAST({dow} AS {s}) AS dow,
+             y
+      FROM feat
+    )"""
+
+
+def _ig_cells_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE feat pass -> checkpointed (f1_band, f2_band, event_type,
+    dow) cells: every per-feature arm is an exact BIGINT marginal."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"""
+    WITH {_feat_cte('spark')},
+    {_labeled_cte('spark')}
+    SELECT f1_band, f2_band, event_type, dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM labeled GROUP BY f1_band, f2_band, event_type, dow
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_IG_CELLS_VIEW)
+
+
+# the four feature arms re-aggregated from the checkpointed cells
+# (SUM of cell counts == the row-grain COUNT per band, exact BIGINT)
+_IG_GROUPS_MV_CTE = f"""groups AS (
+      SELECT 'f1_band' AS feature, f1_band AS val,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS pos
+      FROM {_IG_CELLS_VIEW} GROUP BY f1_band
+      UNION ALL
+      SELECT 'f2_band', f2_band, CAST(SUM(n) AS BIGINT),
+             CAST(SUM(pos) AS BIGINT) FROM {_IG_CELLS_VIEW} GROUP BY f2_band
+      UNION ALL
+      SELECT 'event_type', event_type, CAST(SUM(n) AS BIGINT),
+             CAST(SUM(pos) AS BIGINT) FROM {_IG_CELLS_VIEW} GROUP BY event_type
+      UNION ALL
+      SELECT 'dow', dow, CAST(SUM(n) AS BIGINT),
+             CAST(SUM(pos) AS BIGINT) FROM {_IG_CELLS_VIEW} GROUP BY dow
+    )"""
+
+
+def _infogain_sql(dialect: str, staged: bool = False) -> str:
     # entropy term contract: ROUND(p*ln(p), 9) accumulated in DECIMAL
     def ent(n: str, pos: str) -> str:
         p = f"(CAST({pos} AS DOUBLE) / {n})"
@@ -161,16 +257,13 @@ def _infogain_sql(dialect: str) -> str:
             f" AS DECIMAL(38,9)) END)"
         )
 
-    return f"""
+    if staged:
+        head = f"""
+    WITH {_IG_GROUPS_MV_CTE},"""
+    else:
+        head = f"""
     WITH {_feat_cte(dialect)},
-    labeled AS (
-      SELECT CAST({f1band} AS {s}) AS f1_band,
-             CAST({f2band} AS {s}) AS f2_band,
-             event_type,
-             CAST({dow} AS {s}) AS dow,
-             y
-      FROM feat
-    ),
+    {_labeled_cte(dialect)},
     groups AS (
       SELECT 'f1_band' AS feature, f1_band AS val,
              CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
@@ -184,7 +277,8 @@ def _infogain_sql(dialect: str) -> str:
       UNION ALL
       SELECT 'dow', dow, CAST(COUNT(*) AS BIGINT),
              CAST(SUM(y) AS BIGINT) FROM labeled GROUP BY dow
-    ),
+    ),"""
+    return f"""{head}
     parent AS (
       SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp
       FROM groups WHERE feature = 'f1_band'
@@ -212,20 +306,20 @@ def q627_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, event type, day of week): parent entropy minus the
     count-weighted child entropy, every entropy term under the 9 dp/
     DECIMAL contract. f1 must rank first by construction; dow must be
-    ~0. One corpus pass per feature arm, all unioned into one
-    bounded groups table."""
-    _views(spark, sf_dir)
-    return spark.sql(_infogain_sql("spark"))
+    ~0. ONE corpus pass (the checkpointed 4-key cell grid); each
+    feature arm is a bounded marginal of it."""
+    _ig_cells_view(spark, sf_dir)
+    return spark.sql(_infogain_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q628 — stump fit
 
 
-def _stump_sql(dialect: str) -> str:
+def _stump_sql(dialect: str, bins: str | None = None) -> str:
     g = _gini_terms("nl", "pl", "nr", "pr")
     return f"""
-    WITH {_bins1_cte(dialect)},
+    WITH {bins or _bins1_cte(dialect)},
     best AS (
       SELECT t, nl, pl, nr, pr FROM cands
       ORDER BY {g} ASC, t
@@ -249,18 +343,34 @@ def q628_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fitted decision stump: q626's argmin threshold with
     majority-class leaf predictions (an exact 2*pos > n integer
     compare) and training accuracy from exact majority counts."""
-    _views(spark, sf_dir)
-    return spark.sql(_stump_sql("spark"))
+    _hist2_view(spark, sf_dir)
+    return spark.sql(_stump_sql("spark", _BINS1_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q629 — depth-2 greedy tree
 
 
-def _depth2_ctes(dialect: str) -> str:
+def _depth2_ctes(dialect: str, staged: bool = False) -> str:
     g = _gini_terms("nl", "pl", "nr", "pr")
-    b2 = _idiv(dialect, "k2", str(BIN_W))
-    return f"""{_bins1_cte(dialect)},
+    if staged:
+        # staged sided: the per-side f2 histogram re-aggregated from
+        # the checkpointed grid (k1 < t*BIN_W <=> b1 < t, exact)
+        head = f"""{_BINS1_MV_CTE},
+    root AS (
+      SELECT t FROM cands ORDER BY {g} ASC, t LIMIT 1
+    ),
+    sided AS (
+      SELECT /*+ BROADCAST(r) */
+             CASE WHEN h.b1 < r.t THEN 'L' ELSE 'R' END AS side,
+             h.b2 AS b2,
+             CAST(SUM(h.n) AS BIGINT) AS n,
+             CAST(SUM(h.pos) AS BIGINT) AS pos
+      FROM {_HIST2_VIEW} h CROSS JOIN root r
+      GROUP BY CASE WHEN h.b1 < r.t THEN 'L' ELSE 'R' END, h.b2
+    )"""
+    else:
+        head = f"""{_bins1_cte(dialect)},
     root AS (
       SELECT t FROM cands ORDER BY {g} ASC, t LIMIT 1
     ),
@@ -273,7 +383,8 @@ def _depth2_ctes(dialect: str) -> str:
       FROM feat f CROSS JOIN root r
       GROUP BY CASE WHEN f.k1 < r.t * {BIN_W} THEN 'L' ELSE 'R' END,
                {_idiv(dialect, 'f.k2', str(BIN_W))}
-    ),
+    )"""
+    return f"""{head},
     cands2 AS (
       SELECT a.side, a.b2 AS t2,
              CAST(SUM(CASE WHEN c.b2 < a.b2 THEN c.n ELSE 0 END) AS BIGINT)
@@ -298,9 +409,9 @@ def _depth2_ctes(dialect: str) -> str:
     )"""
 
 
-def _depth2_sql(dialect: str) -> str:
+def _depth2_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_depth2_ctes(dialect)}
+    WITH {_depth2_ctes(dialect, staged)}
     SELECT side, 'lo' AS leaf, t2 AS child_threshold,
            nl AS n, pl AS pos,
            CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS pred
@@ -318,20 +429,20 @@ def q629_depth2_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The greedy depth-2 tree: q626's root split on f1, then each
     side independently searches its own 63 f2 thresholds (per-side
     argmin = a rank window PARTITIONED by side). Four leaves with
-    counts and majority predictions. Two corpus passes total (bins,
-    then sided histogram)."""
-    _views(spark, sf_dir)
-    return spark.sql(_depth2_sql("spark"))
+    counts and majority predictions. ONE corpus pass total (the
+    checkpointed 64x64 grid; root and sided are grid marginals)."""
+    _hist2_view(spark, sf_dir)
+    return spark.sql(_depth2_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q630 — oblivious vs greedy
 
 
-def _oblivious_sql(dialect: str) -> str:
+def _oblivious_sql(dialect: str, staged: bool = False) -> str:
     g = _gini_terms("nl", "pl", "nr", "pr")
     return f"""
-    WITH {_depth2_ctes(dialect)},
+    WITH {_depth2_ctes(dialect, staged)},
     obl_cands AS (
       SELECT t2,
              {g.replace('nl', 'nl').replace('pl', 'pl')} AS imp
@@ -376,5 +487,5 @@ def q630_oblivious_vs_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed per-side impurity over thresholds valid on both sides) vs
     q629's greedy per-child choice. oblivious_cost >= 0 by
     construction — the price of the vectorization-friendly layout."""
-    _views(spark, sf_dir)
-    return spark.sql(_oblivious_sql("spark"))
+    _hist2_view(spark, sf_dir)
+    return spark.sql(_oblivious_sql("spark", staged=True))
