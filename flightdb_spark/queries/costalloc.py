@@ -151,13 +151,44 @@ _BITS = ",\n      ".join(
 )
 
 
-def _power_cte() -> str:
-    return f"""weights AS (
+_WEIGHTS_VIEW = "costalloc_weights_mv"
+
+
+def _weights_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE customer x nation aggregate -> checkpointed 5-row weights.
+
+    The voting-power chain references `weights` ~8x (quota, five
+    coalition joins, the swing scan, the final join), and Catalyst
+    inlining re-ran the corpus aggregate per reference (160 Exchanges
+    in q964's before plan; P3 pattern, guide §2.4)."""
+    _views(spark, sf_dir)
+    ensure_parallelism(
+        load_table(spark, sf_dir, "nation")
+    ).createOrReplaceTempView("nation")
+    df = spark.sql(
+        """
+    SELECT CAST(n.n_regionkey AS BIGINT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_regionkey
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_WEIGHTS_VIEW)
+
+
+def _power_cte(staged: bool = False) -> str:
+    if staged:
+        w = f"""weights AS (
+      SELECT region, w FROM {_WEIGHTS_VIEW}
+    ),"""
+    else:
+        w = """weights AS (
       SELECT CAST(n.n_regionkey AS BIGINT) AS region,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY n.n_regionkey
-    ),
+    ),"""
+    return w + f"""
     quota AS (
       SELECT CAST(SUM(w) AS BIGINT) AS total,
              CAST(SUM(w) / 2 + 1 AS BIGINT) AS q
@@ -197,8 +228,9 @@ def _power_cte() -> str:
     )"""
 
 
-_Q964_SQL = f"""
-    WITH {_power_cte()},
+def _q964_sql(staged: bool = False) -> str:
+    return f"""
+    WITH {_power_cte(staged)},
     tot AS (SELECT CAST(SUM(swing_count) AS BIGINT) AS all_swings FROM swings)
     SELECT /*+ BROADCAST(t) */ s.region, w.w AS weight, s.swing_count,
            CAST(s.swing_count AS DOUBLE) / NULLIF(t.all_swings, 0)
@@ -210,6 +242,9 @@ _Q964_SQL = f"""
     """
 
 
+_Q964_SQL = _q964_sql()
+
+
 @query("q964_banzhaf_power", oracle=_Q964_SQL)
 def q964_banzhaf_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized Banzhaf power index over the 5 regions under
@@ -217,19 +252,20 @@ def q964_banzhaf_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a literal bit grid (bounded by the PLAYER count, never the
     data), swings counted as exact integers. Weight is famously NOT
     power — near-tied weights can hold zero swings."""
-    _views(spark, sf_dir)
-    ensure_parallelism(
-        load_table(spark, sf_dir, "nation")
-    ).createOrReplaceTempView("nation")
-    return spark.sql(_Q964_SQL)
+    _weights_view(spark, sf_dir)
+    return spark.sql(_q964_sql(staged=True))
 
 
-_Q965_SQL = f"""
-    WITH {_power_cte()}
+def _q965_sql(staged: bool = False) -> str:
+    return f"""
+    WITH {_power_cte(staged)}
     SELECT region, swing_count, ss_num_120,
            CAST(ss_num_120 AS DOUBLE) / 120 AS shapley_shubik_index
     FROM swings ORDER BY region
     """
+
+
+_Q965_SQL = _q965_sql()
 
 
 @query("q965_shapley_shubik", oracle=_Q965_SQL)
@@ -239,11 +275,8 @@ def q965_shapley_shubik(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformly random join order. Factorial weights are inlined
     literals over 120, so every index is an exact /120 rational
     emitted beside its double."""
-    _views(spark, sf_dir)
-    ensure_parallelism(
-        load_table(spark, sf_dir, "nation")
-    ).createOrReplaceTempView("nation")
-    return spark.sql(_Q965_SQL)
+    _weights_view(spark, sf_dir)
+    return spark.sql(_q965_sql(staged=True))
 
 
 _Q966_SQL = f"""

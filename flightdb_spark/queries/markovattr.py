@@ -369,14 +369,50 @@ def q813_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q814 — four attribution models
 
-def _q814_sql(dialect: str) -> str:
+# q814 staging: the jour window pass was referenced by conv_j AND
+# touches, and touches by ft/lt/lin — ~8 re-expansions of the
+# user-partitioned window under Catalyst inlining (198 Exchanges in
+# the before plan). ONE window pass checkpoints jour; the touch table
+# (3 consumers) is checkpointed from it (P3 pattern, guide §2.4).
+_JOUR_VIEW = "markovattr_jour_mv"
+_TOUCH_VIEW = "markovattr_touch_mv"
+
+
+def _touch_view(spark: SparkSession, sf_dir: str) -> None:
+    _views(spark, sf_dir)
+    jour = spark.sql(
+        f"WITH {_jour_cte()} SELECT u, rn, st, conv_rn, last_rn FROM jour"
+    )
+    jour.localCheckpoint(eager=True).createOrReplaceTempView(_JOUR_VIEW)
+    touches = spark.sql(
+        f"""
+    WITH jour AS (SELECT u, rn, st, conv_rn, last_rn FROM {_JOUR_VIEW}),
+    conv_j AS (
+      SELECT j.u, j.conv_rn FROM (SELECT DISTINCT u, conv_rn FROM jour) j
+      WHERE j.conv_rn IS NOT NULL
+    )
+    SELECT s.u, s.st, s.rn, c.conv_rn
+    FROM jour s JOIN conv_j c ON c.u = s.u
+    WHERE s.st <> 'CONV' AND s.rn < c.conv_rn
+    """
+    )
+    touches.localCheckpoint(eager=True).createOrReplaceTempView(_TOUCH_VIEW)
+
+
+def _q814_sql(dialect: str, staged: bool = False) -> str:
     if dialect == "duckdb":
         chain = _chain_oracle(dialect)
         absorb_src = f"(SELECT dropped, av_n FROM {_LAST} WHERE s = 'START') z"
     else:
         chain = _jour_cte()
         absorb_src = _ABSORB_VIEW
-    return f"""
+    if staged:
+        head = f"""
+    WITH touches AS (
+      SELECT u, st, rn, conv_rn FROM {_TOUCH_VIEW}
+    ),"""
+    else:
+        head = f"""
     WITH {chain},
     conv_j AS (
       SELECT j.u, j.conv_rn FROM (SELECT DISTINCT u, conv_rn FROM jour) j
@@ -386,7 +422,8 @@ def _q814_sql(dialect: str) -> str:
       SELECT s.u, s.st, s.rn, c.conv_rn
       FROM jour s JOIN conv_j c ON c.u = s.u
       WHERE s.st <> 'CONV' AND s.rn < c.conv_rn
-    ),
+    ),"""
+    return head + f"""
     ft AS (
       SELECT t.st AS channel, CAST(COUNT(*) AS BIGINT) AS n
       FROM touches t
@@ -442,7 +479,8 @@ def q814_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     side per channel — the table that shows how much the model choice
     moves budget. Each column sums to 1 (test-asserted)."""
     _absorb_view(spark, sf_dir)
-    return spark.sql(_q814_sql("spark"))
+    _touch_view(spark, sf_dir)
+    return spark.sql(_q814_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------

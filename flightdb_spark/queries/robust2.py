@@ -77,13 +77,41 @@ def _daily_cte(dialect: str) -> str:
     )"""
 
 
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form) -----------------------------------------------------------------------
+#
+# Every robust estimator references `daily`/`ranked` 2-6x (triangle
+# joins, medians, MAD gates), and each reference re-ran the events
+# corpus aggregate under Catalyst inlining (q645: 146 Exchanges). ONE
+# corpus pass checkpoints the calendar-bounded ranked table; `daily`
+# is its projection (ranked has exactly one row per day).
+
+_RANKED_VIEW = "robust2_ranked_mv"
+
+_DAILY_MV_CTE = f"""ranked AS (
+      SELECT i, cents, n, r FROM {_RANKED_VIEW}
+    ),
+    daily AS (
+      SELECT i, cents, n FROM {_RANKED_VIEW}
+    )"""
+
+
+def _ranked_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE events aggregate -> checkpointed (i, cents, n, r)."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_daily_cte('spark')} SELECT i, cents, n, r FROM ranked"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_RANKED_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q641 — Hodges-Lehmann
 
 
-def _hl_sql(dialect: str) -> str:
+def _hl_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_daily_cte(dialect)},
+    WITH {_DAILY_MV_CTE if staged else _daily_cte(dialect)},
     walsh AS (
       SELECT /*+ BROADCAST(b) */ a.cents + b.cents AS s2, a.i AS i, b.i AS j
       FROM daily a JOIN daily b ON b.i >= a.i
@@ -117,18 +145,18 @@ def q641_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n^2/2 Walsh table (ranks from a pair-table triangle join with a
     full (s2, i, j) tie-break). Emitted as exact 2x-scaled cents plus
     a terminal dollars division."""
-    _views(spark, sf_dir)
-    return spark.sql(_hl_sql("spark"))
+    _ranked_view(spark, sf_dir)
+    return spark.sql(_hl_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q642 — trimmed & winsorized means
 
 
-def _trim_sql(dialect: str) -> str:
+def _trim_sql(dialect: str, staged: bool = False) -> str:
     k = _idiv(dialect, f"n * {TRIM_PCT}", "100")
     return f"""
-    WITH {_daily_cte(dialect)},
+    WITH {_DAILY_MV_CTE if staged else _daily_cte(dialect)},
     bounds AS (
       SELECT MAX(n) AS n, MAX({k}) AS k,
              MAX(CASE WHEN r = {k} + 1 THEN cents END) AS lo_val,
@@ -156,18 +184,18 @@ def q642_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs (k = n*10 div 100; ranks from the bounded triangle join)
     next to the plain mean — the outlier-robustness ladder. Sums are
     exact integer cents; each mean divides once."""
-    _views(spark, sf_dir)
-    return spark.sql(_trim_sql("spark"))
+    _ranked_view(spark, sf_dir)
+    return spark.sql(_trim_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q643 — Qn scale
 
 
-def _qn_sql(dialect: str) -> str:
+def _qn_sql(dialect: str, staged: bool = False) -> str:
     h = _idiv(dialect, "n", "2")
     return f"""
-    WITH {_daily_cte(dialect)},
+    WITH {_DAILY_MV_CTE if staged else _daily_cte(dialect)},
     pdiffs AS (
       SELECT /*+ BROADCAST(b) */ ABS(a.cents - b.cents) AS ad, a.i AS i, b.i AS j, a.n
       FROM daily a JOIN daily b ON b.i > a.i
@@ -196,20 +224,20 @@ def q643_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k = C(h,2), h = n div 2 + 1 — always integral) of all pairwise
     |x_i - x_j|, selected by exact rank over the bounded pair table.
     A 50% breakdown scale that needs no location estimate."""
-    _views(spark, sf_dir)
-    return spark.sql(_qn_sql("spark"))
+    _ranked_view(spark, sf_dir)
+    return spark.sql(_qn_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q644 — Sn scale
 
 
-def _sn_sql(dialect: str) -> str:
+def _sn_sql(dialect: str, staged: bool = False) -> str:
     # inner: himed over n-1 values -> rank = (n-1) div 2 + 1
     him = _idiv(dialect, "a.n - 1", "2")
     lom = _idiv(dialect, "n + 1", "2")
     return f"""
-    WITH {_daily_cte(dialect)},
+    WITH {_DAILY_MV_CTE if staged else _daily_cte(dialect)},
     absd AS (
       SELECT /*+ BROADCAST(b) */ a.i, ABS(a.cents - b.cents) AS ad, b.i AS j, a.n
       FROM daily a JOIN daily b ON b.i <> a.i
@@ -246,18 +274,18 @@ def q644_sn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its |x_i - x_j| to all other days (rank partitioned by i via
     the per-i triangle join), then the low median across days — the
     nested-median robust scale, rank-exact end to end."""
-    _views(spark, sf_dir)
-    return spark.sql(_sn_sql("spark"))
+    _ranked_view(spark, sf_dir)
+    return spark.sql(_sn_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q645 — biweight midvariance
 
 
-def _biweight_sql(dialect: str) -> str:
+def _biweight_sql(dialect: str, staged: bool = False) -> str:
     med_lo = _idiv(dialect, "n + 1", "2")
     return f"""
-    WITH {_daily_cte(dialect)},
+    WITH {_DAILY_MV_CTE if staged else _daily_cte(dialect)},
     med AS (
       SELECT MAX(CASE WHEN r = {med_lo} THEN cents END) AS m FROM ranked
     ),
@@ -309,5 +337,5 @@ def q645_biweight_midvariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-exact order statistics), then the classical ratio assembled
     in doubles from identical exact inputs, reported in dollars^2.
     The robust variance that ignores the tails smoothly."""
-    _views(spark, sf_dir)
-    return spark.sql(_biweight_sql("spark"))
+    _ranked_view(spark, sf_dir)
+    return spark.sql(_biweight_sql("spark", staged=True))

@@ -94,11 +94,49 @@ def _secretary_cte(cut_expr: str, alias: str) -> str:
     )"""
 
 
+# --- Spark-side staging (oracle strings keep the single-statement CTE
+# form) -----------------------------------------------------------------------
+#
+# Every secretary/prophet CTE chain references `seq` 3-4x (threshold,
+# pick, chosen-value resolution) and q832 runs SIX replays — so the
+# per-user ROW_NUMBER window over the event stream re-executed up to
+# ~24x per query under Catalyst inlining (144 Exchanges in q832's
+# before plan; exchange reuse dedupes the shuffle but NOT the window
+# sort above it). ONE window pass checkpoints seq; stats (user grain)
+# is checkpointed beside it (P3 pattern, guide §2.4).
+
+_SEQ_VIEW = "stopping_seq_mv"
+_STATS_VIEW = "stopping_stats_mv"
+
+_SEQ_MV_CTE = f"""seq AS (
+      SELECT u, v, rn FROM {_SEQ_VIEW}
+    ),
+    stats AS (
+      SELECT u, n, vmax FROM {_STATS_VIEW}
+    )"""
+
+
+def _seq_views(spark: SparkSession, sf_dir: str) -> None:
+    """ONE per-user window pass -> checkpointed seq + stats."""
+    _views(spark, sf_dir)
+    head, sep, tail = _seq_cte().partition("),\n    stats AS (")
+    assert sep, "seq CTE marker drifted"
+    df = spark.sql(f"WITH {head}) SELECT u, v, rn FROM seq")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_SEQ_VIEW)
+    st = spark.sql(
+        f"WITH seq AS (SELECT u, v, rn FROM {_SEQ_VIEW}),\n    stats AS ("
+        + tail
+        + " SELECT u, n, vmax FROM stats"
+    )
+    st.localCheckpoint(eager=True).createOrReplaceTempView(_STATS_VIEW)
+
+
 # ---------------------------------------------------------------------------
 # q831 — secretary replay
 
-_Q831_SQL = f"""
-    WITH {_seq_cte()},
+def _q831_sql(seq: str | None = None) -> str:
+    return f"""
+    WITH {seq or _seq_cte()},
     {_secretary_cte(f"{INV_E_PCT5} / 100000.0", "e")}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(CASE WHEN chosen_v = vmax THEN 1 ELSE 0 END) AS BIGINT)
@@ -110,14 +148,17 @@ _Q831_SQL = f"""
     """
 
 
+_Q831_SQL = _q831_sql()
+
+
 @query("q831_secretary_replay", oracle=_Q831_SQL)
 def q831_secretary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 1/e rule replayed on every user's sequence: learn on the
     first 36.788%, then leap at the first record — success means the
     chosen value IS the sequence maximum. Finite-n rates sit near but
     not at 1/e (the census shows how near)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q831_SQL)
+    _seq_views(spark, sf_dir)
+    return spark.sql(_q831_sql(_SEQ_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
@@ -131,9 +172,10 @@ def _q832_branch(f: int) -> str:
     FROM out_f{f}"""
 
 
-_Q832_SQL = (
+def _q832_sql(seq: str | None = None) -> str:
+    return (
     "\n    WITH "
-    + _seq_cte()
+    + (seq or _seq_cte())
     + ",\n    "
     + ",\n    ".join(
         _secretary_cte(f"{f} / 100.0", f"f{f}") for f in FRACS
@@ -141,7 +183,10 @@ _Q832_SQL = (
     + "\n    "
     + "\n    UNION ALL\n    ".join(_q832_branch(f) for f in FRACS)
     + "\n    ORDER BY frac_pct\n    "
-)
+    )
+
+
+_Q832_SQL = _q832_sql()
 
 
 @query("q832_observation_sweep", oracle=_Q832_SQL)
@@ -149,15 +194,16 @@ def q832_observation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The secretary success rate at learning fractions 10..60% — the
     empirical curve that peaks near 1/e. Six replays share the one
     sequence table; each is two bounded user-keyed aggregates."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q832_SQL)
+    _seq_views(spark, sf_dir)
+    return spark.sql(_q832_sql(_SEQ_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q833 — prophet inequality
 
-_Q833_SQL = f"""
-    WITH {_seq_cte()},
+def _q833_sql(seq: str | None = None) -> str:
+    return f"""
+    WITH {seq or _seq_cte()},
     prophet AS (
       SELECT CAST(SUM(vmax) AS BIGINT) AS sum_max,
              CAST(COUNT(*) AS BIGINT) AS n_users
@@ -192,21 +238,25 @@ _Q833_SQL = f"""
     """
 
 
+_Q833_SQL = _q833_sql()
+
+
 @query("q833_prophet_inequality", oracle=_Q833_SQL)
 def q833_prophet_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single-threshold prophet rule at c = E[max]/2: mean
     accepted value against the prophet's mean maximum. The classic
     bound says the ratio is at least 1/2 for independent sequences —
     test-asserted with finite-sample slack."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q833_SQL)
+    _seq_views(spark, sf_dir)
+    return spark.sql(_q833_sql(_SEQ_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q834 — rank of pick
 
-_Q834_SQL = f"""
-    WITH {_seq_cte()},
+def _q834_sql(seq: str | None = None) -> str:
+    return f"""
+    WITH {seq or _seq_cte()},
     {_secretary_cte(f"{INV_E_PCT5} / 100000.0", "e")},
     ranked AS (
       SELECT o.u,
@@ -226,20 +276,24 @@ _Q834_SQL = f"""
     """
 
 
+_Q834_SQL = _q834_sql()
+
+
 @query("q834_pick_rank_distribution", oracle=_Q834_SQL)
 def q834_pick_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How good the secretary rule's pick is when it isn't the best:
     the distribution of the chosen value's rank within the user's own
     sequence (1 = the maximum), truncated at rank 10."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q834_SQL)
+    _seq_views(spark, sf_dir)
+    return spark.sql(_q834_sql(_SEQ_MV_CTE))
 
 
 # ---------------------------------------------------------------------------
 # q835 — regret comparison
 
-_Q835_SQL = f"""
-    WITH {_seq_cte()},
+def _q835_sql(seq: str | None = None) -> str:
+    return f"""
+    WITH {seq or _seq_cte()},
     {_secretary_cte(f"{INV_E_PCT5} / 100000.0", "e")},
     prophet AS (
       SELECT CAST(FLOOR(CAST(SUM(vmax) AS DOUBLE) / COUNT(*) / 2) AS BIGINT)
@@ -281,11 +335,14 @@ _Q835_SQL = f"""
     """
 
 
+_Q835_SQL = _q835_sql()
+
+
 @query("q835_stopping_regret", oracle=_Q835_SQL)
 def q835_stopping_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three stopping rules head-to-head: mean relative regret
     (max - pick)/max (micro-quantized terms before the mean) and
     exact-hit rate. Take-last is the floor everyone should beat
     (test-asserted for the secretary rule's hit rate)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q835_SQL)
+    _seq_views(spark, sf_dir)
+    return spark.sql(_q835_sql(_SEQ_MV_CTE))
