@@ -300,7 +300,16 @@ def q109_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, so its cost is bounded by candidates x doc size."""
     docs = _docs(spark, sf_dir)
     shingled = textdedup.shingles(docs)
-    sigs = textdedup.minhash_signatures(shingled, seeds=EST_SEEDS)
+    # ONE tokenize pass: checkpoint the distinct (doc, shingle) set and
+    # build the signatures FROM it — MIN per seed is dedup-insensitive,
+    # so the signature is bit-identical, and the exact-verification
+    # joins (sh_dist referenced 3x: sizes, both intersection sides) no
+    # longer re-run the corpus shingle explode per reference (P3
+    # pattern, guide §2.4; before plan held 74 Exchanges).
+    sh_dist = (
+        shingled.select("doc_id", "sh").distinct().localCheckpoint(eager=True)
+    )
+    sigs = textdedup.minhash_signatures(sh_dist, seeds=EST_SEEDS)
     bands = textdedup.lsh_bands(sigs, seeds=EST_SEEDS)
     cand = (
         textdedup.lsh_candidate_pairs(bands)
@@ -317,7 +326,6 @@ def q109_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
         .select("doc_a", "doc_b", (matches * 1.0 / n).alias("est_jaccard"))
     )
-    sh_dist = shingled.select("doc_id", "sh").distinct()
     sizes = sh_dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh_dist.select(F.col("doc_id").alias("doc_a"), "sh")
     s2 = sh_dist.select(F.col("doc_id").alias("_b2"), F.col("sh").alias("sh_b"))

@@ -213,10 +213,16 @@ def q117_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     by candidates x doc size."""
     docs = _docs(spark, sf_dir)
     shingled = textdedup.shingles(docs)
-    sigs = textdedup.minhash_signatures(shingled, seeds=_C_SEEDS)
+    # ONE tokenize pass (q109's pattern): checkpoint the distinct
+    # (doc, shingle) set; signatures built FROM it are bit-identical
+    # (MIN per seed is dedup-insensitive) and the 3 sh_dist consumers
+    # read the checkpoint instead of re-running the shingle explode
+    sh_dist = (
+        shingled.select("doc_id", "sh").distinct().localCheckpoint(eager=True)
+    )
+    sigs = textdedup.minhash_signatures(sh_dist, seeds=_C_SEEDS)
     bands = textdedup.lsh_bands(sigs, seeds=_C_SEEDS)
     cand = textdedup.lsh_candidate_pairs(bands).select("doc_a", "doc_b")
-    sh_dist = shingled.select("doc_id", "sh").distinct()
     sizes = sh_dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh_dist.select(F.col("doc_id").alias("doc_a"), "sh")
     s2 = sh_dist.select(F.col("doc_id").alias("_b2"), F.col("sh").alias("sh_b"))

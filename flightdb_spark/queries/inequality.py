@@ -61,7 +61,11 @@ def _cust_cents(spark: SparkSession) -> DataFrame:
         "cents",
         (F.col("cents") * PACK + F.col("custkey")).alias("okey"),
         F.lit(1).cast("long").alias("one"),
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed: bucketed_cumsum re-executes its input lineage three
+    # times (edges, windows, totals) and q601/q604 read the cumulative
+    # twice more — without this the orders corpus aggregate re-ran 4-5x
+    # per query (70 Exchanges in q601's before plan; P3, guide §2.4)
 
 
 _CUST_CTE = """percust AS (
@@ -395,6 +399,9 @@ def q605_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
         """
     ).withColumn("okey", -(F.col("cents") * PACK) + F.col("partkey"))
+    # checkpointed for the same reason as _cust_cents: the prefix scan
+    # re-executes its input 3x and `tot` reads it a 4th time
+    per = per.localCheckpoint(eager=True)
     cum = bucketed_cumsum(per, "okey", ["cents"])
     tot = per.agg(F.sum("cents").cast("bigint").alias("x"))
     var_num = F.col("n_lines") * F.col("sqq") - F.col("sq") * F.col("sq")

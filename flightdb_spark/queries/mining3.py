@@ -93,7 +93,14 @@ def q229_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # x-rank table: ~50 distinct quantities, broadcastable.
-    xdist = li.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    # Checkpointed: bucketed_cumsum re-executes its input 3x (edges,
+    # windows, totals), so the lazy form re-ran the corpus aggregate
+    # per reference (20 lineitem scans in the before plan).
+    xdist = (
+        li.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .localCheckpoint(eager=True)
+    )
     xc = bucketed_cumsum(xdist, "x", ["t"]).select(
         "x", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("drx")
     )
@@ -116,6 +123,12 @@ def q229_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dxr).alias("sdrx"),
             F.sum(dxr * dxr).alias("sdrx2"),
         )
+        # checkpointed: the y-grain prefix scan re-executes its input
+        # 3x, re-running THIS corpus join+aggregate (the query's
+        # dominant pass) per reference — noop 8.6-10.2 s lazy vs 3.3 s
+        # checkpointed, 118 -> 18 Exchanges (xdist-only variant
+        # measured worse on both: 86 Exchanges, noop 11.3 s)
+        .localCheckpoint(eager=True)
     )
     ycum = bucketed_cumsum(ycells, "y", ["t"])
     ranked = ycum.select(
