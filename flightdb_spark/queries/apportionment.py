@@ -44,12 +44,31 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
-def _votes_cte(p: str = "") -> str:
+_VOTES_VIEW = "apportionment_votes_mv"
+
+
+def _votes_cte(p: str = "", staged: bool = False) -> str:
+    if staged:
+        return f"""{p}votes AS (
+      SELECT nation, v FROM {_VOTES_VIEW}
+    )"""
     return f"""{p}votes AS (
       SELECT CAST(c_nationkey AS BIGINT) AS nation,
              CAST(COUNT(*) AS BIGINT) AS v
       FROM customer GROUP BY c_nationkey
     )"""
+
+
+def _votes_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE customer aggregate -> checkpointed 25-row votes table.
+
+    Every apportionment method references `votes` 2-4x (rank ladders,
+    quotas, remainders) and q891 runs four methods side by side, so
+    Catalyst inlining re-ran the corpus aggregate up to 15x per query
+    (126 Exchanges in q891's before plan; P3 pattern, guide §2.4)."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_votes_cte()} SELECT nation, v FROM votes")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_VOTES_VIEW)
 
 
 def _ks_cte(d: str, p: str = "") -> str:
@@ -147,9 +166,9 @@ def _hamilton_seats(d: str, p: str) -> str:
     )"""
 
 
-def _divisor_sql(d: str, step_expr: str) -> str:
+def _divisor_sql(d: str, step_expr: str, staged: bool = False) -> str:
     return f"""
-    WITH {_votes_cte()},
+    WITH {_votes_cte(staged=staged)},
     {_divisor_seats(d, step_expr, "")}
     SELECT v.nation, v.v AS votes,
            CAST(COALESCE(s.seats, 0) AS BIGINT) AS seats,
@@ -169,7 +188,8 @@ def q887_dhondt_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer cross-products (va*kb vs vb*ka), so no double
     division can flip a seat. One fact aggregate feeds it all."""
     _views(spark, sf_dir)
-    return spark.sql(_divisor_sql("spark", "k"))
+    _votes_view(spark, sf_dir)
+    return spark.sql(_divisor_sql("spark", "k", staged=True))
 
 
 @query("q888_sainte_lague_seats", oracle=_divisor_sql("duckdb", "2 * k - 1"))
@@ -178,12 +198,13 @@ def q888_sainte_lague_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-averages variant, same exact-integer ranking machinery as
     q887 — only the divisor expression changes."""
     _views(spark, sf_dir)
-    return spark.sql(_divisor_sql("spark", "2 * k - 1"))
+    _votes_view(spark, sf_dir)
+    return spark.sql(_divisor_sql("spark", "2 * k - 1", staged=True))
 
 
-def _q889_sql(d: str) -> str:
+def _q889_sql(d: str, staged: bool = False) -> str:
     return f"""
-    WITH {_votes_cte()},
+    WITH {_votes_cte(staged=staged)},
     {_hamilton_seats(d, "")}
     SELECT q.nation, q.v AS votes, q.fl AS floor_seats, q.rem AS remainder,
            s.seats
@@ -200,12 +221,13 @@ def q889_hamilton_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever computed). Remainder ranking is a 25-row self-join with a
     full tie-break."""
     _views(spark, sf_dir)
-    return spark.sql(_q889_sql("spark"))
+    _votes_view(spark, sf_dir)
+    return spark.sql(_q889_sql("spark", staged=True))
 
 
-def _q890_sql(d: str) -> str:
+def _q890_sql(d: str, staged: bool = False) -> str:
     return f"""
-    WITH {_votes_cte()},
+    WITH {_votes_cte(staged=staged)},
     {_hh_seats(d, "")}
     SELECT v.nation, v.v AS votes,
            CAST(COALESCE(s.seats, 0) AS BIGINT) AS seats
@@ -222,15 +244,16 @@ def q890_huntington_hill_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT products (v^2 * k(k+1) < 2^63 for v < ~9.5e8; widen
     to DECIMAL operands beyond). Same bounded-grid rank join as q887."""
     _views(spark, sf_dir)
-    return spark.sql(_q890_sql("spark"))
+    _votes_view(spark, sf_dir)
+    return spark.sql(_q890_sql("spark", staged=True))
 
 
-def _q891_sql(d: str) -> str:
+def _q891_sql(d: str, staged: bool = False) -> str:
     aliases = ",\n    ".join(
         f"{p}votes AS (SELECT * FROM votes)" for p in ("dh", "sl", "hh", "ha")
     )
     return f"""
-    WITH {_votes_cte()},
+    WITH {_votes_cte(staged=staged)},
     {aliases},
     {_divisor_seats(d, "k", "dh")},
     {_divisor_seats(d, "2 * k - 1", "sl")},
@@ -264,4 +287,5 @@ def q891_apportionment_divergence(spark: SparkSession, sf_dir: str) -> DataFrame
     prefix-renamed CTE chains (no nested-WITH shadowing); everything
     after it runs on 25-to-2500-row bounded tables."""
     _views(spark, sf_dir)
-    return spark.sql(_q891_sql("spark"))
+    _votes_view(spark, sf_dir)
+    return spark.sql(_q891_sql("spark", staged=True))

@@ -169,6 +169,87 @@ def _bleu_sql(dialect: str) -> str:
     """
 
 
+# --- Spark-side staging for q471 (oracle keeps the single statement) --------
+#
+# The per-n hg/rg CTE pairs each re-tokenized (and re-perturbed) the
+# corpus — 8 tokenize passes + 4 clipping joins + the lens scan (60
+# Exchanges, 9 documents scans; noop 8.9 s). The q473 pattern: ONE
+# corpus pass tokenizes hyp/ref once per row, explodes all eight gram
+# streams as (n, g, h, r) structs, aggregates to the (doc, n, g)
+# grain, and reduces to the 4-row (n, clipped, total) table —
+# clipped = SUM(LEAST(hc, rc)) equals the LEFT-JOIN form exactly
+# (ref-only grams contribute LEAST(0, rc) = 0, hyp-only LEAST(hc, 0)
+# = 0 = the COALESCE'd join).
+
+_PN_VIEW = "texteval_bleu_pn_mv"
+
+
+def _bleu_pn_view(spark: SparkSession, sf_dir: str) -> None:
+    _views(spark, sf_dir)
+    arrs = []
+    for n in range(1, BLEU_MAX_N + 1):
+        arrs.append(
+            f"transform({_ngrams('spark', 'ht', n)}, "
+            f"g -> struct({n} AS n, g AS g, 1 AS h, 0 AS r))"
+        )
+        arrs.append(
+            f"transform({_ngrams('spark', 'rt', n)}, "
+            f"g -> struct({n} AS n, g AS g, 0 AS h, 1 AS r))"
+        )
+    df = spark.sql(
+        f"""
+    WITH toks AS (
+      SELECT doc_id, {_hyp('spark')} AS ht, {_toks('spark')} AS rt
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, x.n AS n, x.g AS g, x.h AS h, x.r AS r
+      FROM toks LATERAL VIEW explode(flatten(array({', '.join(arrs)}))) t AS x
+    ),
+    grams AS (
+      SELECT doc_id, n, g,
+             CAST(SUM(h) AS BIGINT) AS hc, CAST(SUM(r) AS BIGINT) AS rc
+      FROM ex GROUP BY doc_id, n, g
+    )
+    SELECT n, CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clipped,
+           CAST(SUM(hc) AS BIGINT) AS total
+    FROM grams GROUP BY n
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_PN_VIEW)
+
+
+def _bleu_mv_sql() -> str:
+    per_n = ",\n    ".join(
+        f"p{n} AS (SELECT clipped, total FROM {_PN_VIEW} WHERE n = {n})"
+        for n in range(1, BLEU_MAX_N + 1)
+    )
+    lens_h = f"size({_hyp('spark')})"
+    lens_r = f"size({_toks('spark')})"
+    return f"""
+    WITH {per_n},
+    lens AS (
+      SELECT CAST(SUM({lens_h}) AS BIGINT) AS c,
+             CAST(SUM({lens_r}) AS BIGINT) AS r
+      FROM documents
+    )
+    SELECT ROUND(CAST(p1.clipped AS DOUBLE) / p1.total, 6) AS p1,
+           ROUND(CAST(p2.clipped AS DOUBLE) / p2.total, 6) AS p2,
+           ROUND(CAST(p3.clipped AS DOUBLE) / p3.total, 6) AS p3,
+           ROUND(CAST(p4.clipped AS DOUBLE) / p4.total, 6) AS p4,
+           lens.c AS hyp_len, lens.r AS ref_len,
+           ROUND(LEAST(CAST(0.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE) - CAST(lens.r AS DOUBLE) / lens.c), 6)
+             AS bp_log,
+           ROUND(SQRT(SQRT(
+             (CAST(p1.clipped AS DOUBLE) / p1.total)
+             * (CAST(p2.clipped AS DOUBLE) / p2.total)
+             * (CAST(p3.clipped AS DOUBLE) / p3.total)
+             * (CAST(p4.clipped AS DOUBLE) / p4.total))), 6) AS bleu_geo_mean
+    FROM p1 CROSS JOIN p2 CROSS JOIN p3 CROSS JOIN p4 CROSS JOIN lens
+    """
+
+
 @query("q471_bleu_components", oracle=_bleu_sql("duck"))
 def q471_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BLEU against the deterministic perturbation: clipped
@@ -179,9 +260,11 @@ def q471_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp away, left to the caller because runtime exp is the one
     non-portable op, rule 5). Each n rides one (doc, gram) partial
     agg + a co-partitioned clipping join — the q52 explode economics,
-    never doc x doc."""
-    _views(spark, sf_dir)
-    return spark.sql(_bleu_sql("spark"))
+    never doc x doc. Spark side stages the 4-row (n, clipped, total)
+    table from ONE corpus pass (_bleu_pn_view); the oracle keeps the
+    per-n CTE chain."""
+    _bleu_pn_view(spark, sf_dir)
+    return spark.sql(_bleu_mv_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -222,15 +305,80 @@ def _rouge_sql(dialect: str) -> str:
     """
 
 
+# q472 staging (q471's pattern): ONE corpus pass tokenizes hyp/ref
+# once per row, explodes both gram streams for n in {1,2}, and reduces
+# to the per-doc (n, ov, rtot) table. HAVING SUM(rc) > 0 reproduces
+# the original row set exactly (a doc enters d{n} iff it has reference
+# n-grams); hyp-only grams contribute LEAST(hc, 0) = 0 to ov, matching
+# the LEFT JOIN's COALESCE.
+
+_ROUGE_VIEW = "texteval_rouge_mv"
+
+
+def _rouge_d_view(spark: SparkSession, sf_dir: str) -> None:
+    _views(spark, sf_dir)
+    arrs = []
+    for n in (1, 2):
+        arrs.append(
+            f"transform({_ngrams('spark', 'ht', n)}, "
+            f"g -> struct({n} AS n, g AS g, 1 AS h, 0 AS r))"
+        )
+        arrs.append(
+            f"transform({_ngrams('spark', 'rt', n)}, "
+            f"g -> struct({n} AS n, g AS g, 0 AS h, 1 AS r))"
+        )
+    df = spark.sql(
+        f"""
+    WITH toks AS (
+      SELECT doc_id, {_hyp('spark')} AS ht, {_toks('spark')} AS rt
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, x.n AS n, x.g AS g, x.h AS h, x.r AS r
+      FROM toks LATERAL VIEW explode(flatten(array({', '.join(arrs)}))) t AS x
+    ),
+    grams AS (
+      SELECT doc_id, n, g,
+             CAST(SUM(h) AS BIGINT) AS hc, CAST(SUM(r) AS BIGINT) AS rc
+      FROM ex GROUP BY doc_id, n, g
+    )
+    SELECT doc_id, n,
+           CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS ov,
+           CAST(SUM(rc) AS BIGINT) AS rtot
+    FROM grams GROUP BY doc_id, n
+    HAVING SUM(rc) > 0
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_ROUGE_VIEW)
+
+
+def _rouge_mv_sql() -> str:
+    per_n = ",\n    ".join(
+        f"d{n} AS (SELECT doc_id, ov, rtot FROM {_ROUGE_VIEW} WHERE n = {n})"
+        for n in (1, 2)
+    )
+    return f"""
+    WITH {per_n}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(d1.ov AS DOUBLE) / d1.rtot, 8)
+                 AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS rouge1_recall,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(d2.ov AS DOUBLE) / d2.rtot, 8)
+                 AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS rouge2_recall
+    FROM d1 JOIN d2 ON d2.doc_id = d1.doc_id
+    """
+
+
 @query("q472_rouge_n", oracle=_rouge_sql("duck"))
 def q472_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-document ROUGE-1 and ROUGE-2 recall of the perturbed
     hypothesis against its reference: clipped overlap / reference
     n-gram count, per doc, 8-dp rounded into DECIMAL corpus sums.
     Same co-partitioned (doc, gram) join shape as q471 — reference-
-    side grouped, so empty-overlap docs still contribute 0 recall."""
-    _views(spark, sf_dir)
-    return spark.sql(_rouge_sql("spark"))
+    side grouped, so empty-overlap docs still contribute 0 recall.
+    Spark side stages the per-doc (n, ov, rtot) table from ONE corpus
+    pass (_rouge_d_view); the oracle keeps the per-n CTE chain."""
+    _rouge_d_view(spark, sf_dir)
+    return spark.sql(_rouge_mv_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -70,8 +70,20 @@ def _day(dialect: str) -> str:
     return f"(CAST(ts AS DATE) - DATE '{ANCHOR}')"
 
 
-def _daily(dialect: str) -> str:
-    """The 28-row daily series CTE (shared by every query here)."""
+_DAILY_VIEW = "tsspectral_daily_mv"
+
+
+def _daily(dialect: str, staged: bool = False) -> str:
+    """The 28-row daily series CTE (shared by every query here).
+
+    staged=True reads the checkpointed view instead: the per-frequency
+    DFT CTEs reference `daily` once per frequency, so Catalyst
+    inlining re-ran the events corpus aggregate ~10-20x per query
+    (q479's before plan held 20 events scans; P3, guide §2.4)."""
+    if staged:
+        return f"""daily AS (
+      SELECT t, x FROM {_DAILY_VIEW}
+    )"""
     return f"""daily AS (
       SELECT {_day(dialect)} AS t,
              CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,2))) AS DOUBLE) AS x
@@ -79,6 +91,13 @@ def _daily(dialect: str) -> str:
       WHERE {_day(dialect)} BETWEEN 0 AND {N_DAYS - 1}
       GROUP BY {_day(dialect)}
     )"""
+
+
+def _daily_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE events aggregate -> checkpointed 28-row daily series."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_daily('spark')} SELECT t, x FROM daily")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_DAILY_VIEW)
 
 
 def _arr(dialect: str, vals: list[float]) -> str:
@@ -121,9 +140,9 @@ def _power_ctes(dialect: str) -> str:
     spec AS ({" UNION ALL ".join(sel)})"""
 
 
-def _periodogram_sql(dialect: str) -> str:
+def _periodogram_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_daily(dialect)},{_power_ctes(dialect)},
+    WITH {_daily(dialect, staged)},{_power_ctes(dialect)},
     tot AS (SELECT SUM(CAST(ROUND(power, 2) AS DECIMAL(38,2))) AS tp FROM spec)
     SELECT s.k AS cycles_per_28d, s.period_days,
            ROUND(s.power, 2) AS power,
@@ -141,15 +160,15 @@ def q476_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one straight-line op. One daily shuffle; the spectrum is 5
     rows of arithmetic. Index bases differ per dialect (DuckDB lists
     1-based, Spark arrays 0-based) — folded into the generator."""
-    _views(spark, sf_dir)
-    return spark.sql(_periodogram_sql("spark"))
+    _daily_view(spark, sf_dir)
+    return spark.sql(_periodogram_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q477 — binary segmentation (one recursion level)
 
 
-def _binseg_sql(dialect: str) -> str:
+def _binseg_sql(dialect: str, staged: bool = False) -> str:
     # CUSUM-like split statistic over prefix sums of the bounded daily
     # table; the level-2 searches reuse the same table filtered by the
     # level-1 argmax.
@@ -179,7 +198,7 @@ def _binseg_sql(dialect: str) -> str:
     )"""
 
     return f"""
-    WITH {_daily(dialect)},{seg("all", "0", str(N_DAYS))},
+    WITH {_daily(dialect, staged)},{seg("all", "0", str(N_DAYS))},
     lvl1 AS (SELECT t AS tau FROM best_all),
     {seg("left", "0", "(SELECT tau FROM lvl1)")},
     {seg("right", "(SELECT tau FROM lvl1)", str(N_DAYS))}
@@ -202,17 +221,17 @@ def q477_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Prefix sums ride DECIMAL accumulators over the calendar-bounded
     daily table (rule 15); argmax ranks on the 6-dp-rounded statistic
     with the day as tie-break (rule 4)."""
-    _views(spark, sf_dir)
-    return spark.sql(_binseg_sql("spark"))
+    _daily_view(spark, sf_dir)
+    return spark.sql(_binseg_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q478 — Hurst exponent (rescaled range)
 
 
-def _hurst_sql(dialect: str) -> str:
+def _hurst_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_daily(dialect)},
+    WITH {_daily(dialect, staged)},
     blocks AS (
       SELECT b.b, CAST(FLOOR(CAST(d.t AS DOUBLE) / b.b) AS BIGINT) AS blk,
              d.t, d.x
@@ -272,17 +291,17 @@ def q478_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cumulative deviations are per-(size, block) DECIMAL window sums
     over the 28-row daily table; ln terms round at 9 dp (rule 5).
     The block grid multiplies 28 rows — constant work."""
-    _views(spark, sf_dir)
-    return spark.sql(_hurst_sql("spark"))
+    _daily_view(spark, sf_dir)
+    return spark.sql(_hurst_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
 # q479 — spectral entropy
 
 
-def _sentropy_sql(dialect: str) -> str:
+def _sentropy_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_daily(dialect)},{_power_ctes(dialect)},
+    WITH {_daily(dialect, staged)},{_power_ctes(dialect)},
     tot AS (SELECT SUM(CAST(ROUND(power, 2) AS DECIMAL(38,2))) AS tp FROM spec),
     probs AS (
       SELECT s.k, s.power / CAST(t.tp AS DOUBLE) AS p
@@ -313,8 +332,8 @@ def q479_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency. The structure-vs-noise one-liner used to gate seasonal
     models (q403's strength measure from the frequency side). ln
     terms at 9 dp into DECIMAL (rule 5); ln(K) is a Python literal."""
-    _views(spark, sf_dir)
-    return spark.sql(_sentropy_sql("spark"))
+    _daily_view(spark, sf_dir)
+    return spark.sql(_sentropy_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------
@@ -324,9 +343,9 @@ _TP_EXPECTED = repr(2.0 * (N_DAYS - 2) / 3.0)
 _TP_VAR = repr((16.0 * N_DAYS - 29.0) / 90.0)
 
 
-def _turning_sql(dialect: str) -> str:
+def _turning_sql(dialect: str, staged: bool = False) -> str:
     return f"""
-    WITH {_daily(dialect)},
+    WITH {_daily(dialect, staged)},
     lagged AS (
       SELECT t, x,
              LAG(x) OVER (ORDER BY t) AS xp,
@@ -355,5 +374,5 @@ def q480_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals). |z| >> 2 means the KPI has real serial structure and
     naive day-over-day alerting will misfire. One lag/lead window
     over the 28-row calendar table."""
-    _views(spark, sf_dir)
-    return spark.sql(_turning_sql("spark"))
+    _daily_view(spark, sf_dir)
+    return spark.sql(_turning_sql("spark", staged=True))
