@@ -97,7 +97,13 @@ _DAILY_MV_CTE = f"""ranked AS (
 
 
 def _ranked_view(spark: SparkSession, sf_dir: str) -> None:
-    """ONE events aggregate -> checkpointed (i, cents, n, r)."""
+    """ONE events aggregate -> checkpointed (i, cents, n, r).
+
+    The view is registered with a BROADCAST hint: a localCheckpoint's
+    LogicalRDD reports the default (huge) size estimate, so without
+    the hint q645's non-equi dev x dev self-join degraded from a
+    broadcast nested loop to CartesianProduct (planlint catch). The
+    table is calendar-bounded (~2.4k rows) at any corpus size."""
     _views(spark, sf_dir)
     df = spark.sql(
         f"WITH {_daily_cte('spark')} SELECT i, cents, n, r FROM ranked"
@@ -284,6 +290,12 @@ def q644_sn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _biweight_sql(dialect: str, staged: bool = False) -> str:
     med_lo = _idiv(dialect, "n + 1", "2")
+    # staged-only hint: the checkpointed view's LogicalRDD reports the
+    # default (huge) size estimate, so the non-equi dev x dev rank join
+    # planned CartesianProduct without it (planlint catch); the table
+    # is calendar-bounded (~2.4k rows) at any corpus size. The oracle
+    # path (dialect="duck", never staged) is byte-unchanged.
+    adr_hint = "/*+ BROADCAST(y) */ " if staged else ""
     return f"""
     WITH {_DAILY_MV_CTE if staged else _daily_cte(dialect)},
     med AS (
@@ -296,7 +308,7 @@ def _biweight_sql(dialect: str, staged: bool = False) -> str:
       FROM daily d CROSS JOIN med md
     ),
     adr AS (
-      SELECT x.ae, CAST(COUNT(*) AS BIGINT) AS r
+      SELECT {adr_hint}x.ae, CAST(COUNT(*) AS BIGINT) AS r
       FROM dev x JOIN dev y
         ON y.ae < x.ae OR (y.ae = x.ae AND y.i <= x.i)
       GROUP BY x.ae, x.i

@@ -144,18 +144,40 @@ _Q751_SQL = f"""
     ),
     {_Q751_TAIL}"""
 
-# same monthly series re-aggregated from the checkpointed cells
-# (SUM of per-(od,sd)-cell sums == SUM over fact rows, exact BIGINT)
+# q751 stages its own (brand, order-month, ship-month) grain — far
+# smaller than the (od, sd) day grain (<= brands x months^2 but in
+# practice months x the 1-4-month ship lag), so the checkpoint write
+# is trivial while both monthly series stay exact BIGINT marginals
+# (SUM of month-pair sums == SUM over fact rows). The day-grain cells
+# view measured +1.3 s on q751's bench cell; this grain closes that.
+_MCELLS_VIEW = "supplychain_mcells_mv"
+
+
+def _mcells_view(spark: SparkSession, sf_dir: str) -> None:
+    """ONE fact pass -> checkpointed (brand, om, sm, q) month pairs."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"""
+    WITH {_fact_cte()}
+    SELECT brand,
+           (year(od) * 12 + month(od)) AS om,
+           (year(sd) * 12 + month(sd)) AS sm,
+           CAST(SUM(qty) AS BIGINT) AS q
+    FROM fact GROUP BY brand, (year(od) * 12 + month(od)),
+             (year(sd) * 12 + month(sd))
+    """
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_MCELLS_VIEW)
+
+
 _Q751_MV_SQL = f"""
     WITH om AS (
-      SELECT brand, (year(od) * 12 + month(od)) AS m,
-             CAST(SUM(q) AS BIGINT) AS q
-      FROM {_CELLS_VIEW} GROUP BY brand, (year(od) * 12 + month(od))
+      SELECT brand, om AS m, CAST(SUM(q) AS BIGINT) AS q
+      FROM {_MCELLS_VIEW} GROUP BY brand, om
     ),
     sm AS (
-      SELECT brand, (year(sd) * 12 + month(sd)) AS m,
-             CAST(SUM(q) AS BIGINT) AS q
-      FROM {_CELLS_VIEW} GROUP BY brand, (year(sd) * 12 + month(sd))
+      SELECT brand, sm AS m, CAST(SUM(q) AS BIGINT) AS q
+      FROM {_MCELLS_VIEW} GROUP BY brand, sm
     ),
     {_Q751_TAIL}"""
 
@@ -166,7 +188,7 @@ def q751_bullwhip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     clock per brand: n-scaled CV^2 (n*S2 - S1^2)/S1^2 on both monthly
     series (exact integer moments, one terminal division each) and
     their ratio. An index > 1 is the bullwhip."""
-    _cells_view(spark, sf_dir)
+    _mcells_view(spark, sf_dir)
     return spark.sql(_Q751_MV_SQL)
 
 
