@@ -108,15 +108,78 @@ def _wfunnel_sql(dialect: str) -> str:
     """
 
 
+def _wfunnel_spark_sql() -> str:
+    """One-pass windowFunnel: the staged s1->s4 MIN chain re-expanded
+    each stage's lineage under CTE inlining (13 events scans, ~13
+    user-grain shuffles in the static plan). A single time-ordered
+    fold per user computes the same stage anchors: each stage takes
+    the FIRST qualifying event in time order, which IS the MIN the
+    staged form takes (strict '>' guards make equal-timestamp tie
+    order irrelevant: an event at the anchor's own timestamp fails
+    '>' whether it folds before or after the anchor). ONE events scan
+    + ONE user exchange (guide sections 2.3/2.4; the q576 fold
+    precedent)."""
+    w = WINDOW_US
+    stage = []
+    for i, (prev_t, this_t) in enumerate(
+        [("t1", "t2"), ("t2", "t3"), ("t3", "t4")], start=2
+    ):
+        stage.append(
+            f"""'{this_t}', CASE WHEN a.{this_t} IS NULL
+                  AND a.{prev_t} IS NOT NULL
+                  AND e.event_type = '{FUNNEL[i - 1]}'
+                  AND e.tus > a.{prev_t} AND e.tus <= a.t1 + {w}
+                 THEN e.tus ELSE a.{this_t} END"""
+        )
+    stages = ",\n          ".join(stage)
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type, {_us("spark")} AS tus FROM events
+      WHERE event_type IN ('{FUNNEL[0]}', '{FUNNEL[1]}',
+                           '{FUNNEL[2]}', '{FUNNEL[3]}')
+    ),
+    arr AS (
+      SELECT user_id, array_sort(collect_list(struct(tus, event_type))) AS evs
+      FROM ev GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, aggregate(
+        evs,
+        named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+                     't3', CAST(NULL AS BIGINT), 't4', CAST(NULL AS BIGINT)),
+        (a, e) -> named_struct(
+          't1', CASE WHEN a.t1 IS NULL AND e.event_type = '{FUNNEL[0]}'
+                 THEN e.tus ELSE a.t1 END,
+          {stages})
+      ) AS s
+      FROM arr
+    ),
+    depth AS (
+      SELECT user_id,
+             1 + CASE WHEN s.t2 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s.t3 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s.t4 IS NULL THEN 0 ELSE 1 END AS d
+      FROM st WHERE s.t1 IS NOT NULL
+    )
+    SELECT CAST(d AS BIGINT) AS funnel_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth
+    GROUP BY d
+    ORDER BY funnel_depth
+    """
+
+
 @query("q631_window_funnel", oracle=_wfunnel_sql("duck"))
 def q631_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel(1h): max funnel depth chained from each user's
     earliest signup, every later stage strictly after the previous
     AND inside one hour of the anchor (exact integer microseconds).
-    Four co-keyed per-user MIN aggregates — one exchange under user
-    bucketing — then a bounded depth histogram."""
+    ONE events pass + one user-keyed time-ordered fold (the staged
+    MIN chain the oracle keeps re-expanded to 13 events scans under
+    CTE inlining); each stage anchor is the first qualifying event in
+    time order == the staged MIN, then a bounded depth histogram."""
     _views(spark, sf_dir)
-    return spark.sql(_wfunnel_sql("spark"))
+    return spark.sql(_wfunnel_spark_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -213,15 +276,72 @@ def _seqmatch_sql(dialect: str) -> str:
     """
 
 
+def _seqmatch_spark_sql() -> str:
+    """One-pass sequenceMatch: the users/p1/e1/e2/p2 CTEs re-expanded
+    per scalar-subquery reference (14 events scans). A single
+    time-ordered fold per user computes both pattern flags:
+
+    - tight pair: track the latest signup time seen; a click matches
+      when it is strictly later and within the gap. Tracking only the
+      LATEST signup is sufficient (an earlier signup is farther from
+      the click), and the (tus, event_type) sort puts a click before
+      any equal-timestamp signup — 'click' < 'signup' — so the
+      tracked signup is always strictly earlier, exactly the pair
+      join's s.tus < c.tus.
+    - ordered triple: first signup, then first error strictly after
+      it, then any purchase strictly after that — first-qualifying-
+      in-time-order == the staged MINs (strict '>' guards make equal-
+      timestamp tie order irrelevant).
+
+    n_users folds from the same pass (one row per user). ONE events
+    scan + ONE user exchange (guide sections 2.3/2.4)."""
+    return f"""
+    WITH ev AS (SELECT user_id, event_type, {_us("spark")} AS tus FROM events),
+    arr AS (
+      SELECT user_id, array_sort(collect_list(struct(tus, event_type))) AS evs
+      FROM ev GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, aggregate(
+        evs,
+        named_struct('ls', CAST(NULL AS BIGINT), 'f1', 0,
+                     't1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+                     'f2', 0),
+        (a, e) -> named_struct(
+          'ls', CASE WHEN e.event_type = 'signup' THEN e.tus ELSE a.ls END,
+          'f1', CASE WHEN e.event_type = 'click' AND a.ls IS NOT NULL
+                      AND e.tus > a.ls AND e.tus - a.ls < {MATCH_GAP_US}
+                 THEN 1 ELSE a.f1 END,
+          't1', CASE WHEN a.t1 IS NULL AND e.event_type = 'signup'
+                 THEN e.tus ELSE a.t1 END,
+          't2', CASE WHEN a.t2 IS NULL AND a.t1 IS NOT NULL
+                      AND e.event_type = 'error' AND e.tus > a.t1
+                 THEN e.tus ELSE a.t2 END,
+          'f2', CASE WHEN a.t2 IS NOT NULL
+                      AND e.event_type = 'purchase' AND e.tus > a.t2
+                 THEN 1 ELSE a.f2 END)
+      ) AS s
+      FROM arr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(s.f1) AS BIGINT) AS match_tight_pair,
+           CAST(SUM(s.f2) AS BIGINT) AS match_ordered_triple,
+           CAST(SUM(s.f1 * s.f2) AS BIGINT) AS match_both,
+           ROUND(CAST(SUM(s.f1) AS DOUBLE) / COUNT(*), 6) AS tight_pair_share
+    FROM st
+    """
+
+
 @query("q633_sequence_match", oracle=_seqmatch_sql("duck"))
 def q633_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sequenceMatch for two patterns: '(?1)(?t<300)(?2)' (signup then
-    click within 300 s — an existence test on the per-user pair join,
-    exact microseconds) and '(?1).*(?2).*(?3)' (signup, later error,
-    later purchase — staged first-occurrence chaining). Per-user
-    joins are co-keyed; the output is one census row."""
+    click within 300 s, exact microseconds) and '(?1).*(?2).*(?3)'
+    (signup, later error, later purchase). ONE events pass + one
+    user-keyed time-ordered fold computing both flags (the oracle
+    keeps the staged per-pattern CTEs, which re-expanded to 14 events
+    scans under CTE inlining); the output is one census row."""
     _views(spark, sf_dir)
-    return spark.sql(_seqmatch_sql("spark"))
+    return spark.sql(_seqmatch_spark_sql())
 
 
 # ---------------------------------------------------------------------------

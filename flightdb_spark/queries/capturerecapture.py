@@ -128,15 +128,54 @@ def _q862_sql(dialect: str) -> str:
     """
 
 
+def _q862_spark_sql() -> str:
+    """One-aggregate Schnabel (r9): the oracle's five marked-before
+    scalar subqueries each re-expanded occ -> slotted -> events under
+    CTE inlining (12 events scans, 102 Exchanges). But every term is
+    an aggregate over the SAME occupancy table, and SUM(o_k * M_k) ==
+    SUM(o_k) * M_k exactly for the scalar M_k, so one pass computes
+    catches c_k, marked-before m_k and recaptures r_k, and the
+    estimator is scalar arithmetic over that single row."""
+    cols, num, den = [], [], []
+    for k in range(1, N_OCC):
+        prev = " + ".join(f"o{j}" for j in range(k))
+        cols.append(f"CAST(SUM(o{k}) AS BIGINT) AS c{k}")
+        cols.append(
+            f"CAST(SUM(CASE WHEN {prev} > 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS m{k}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN o{k} = 1 AND ({prev}) > 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS r{k}"
+        )
+        num.append(f"c{k} * m{k}")
+        den.append(f"r{k}")
+    cols_sql = ",\n             ".join(cols)
+    return f"""
+    WITH {_occ_cte("spark", N_OCC)},
+    agg AS (
+      SELECT {cols_sql},
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM occ
+    )
+    SELECT CAST({" + ".join(den)} AS BIGINT) AS total_recaptures,
+           CAST({" + ".join(num)} AS DOUBLE)
+             / ({" + ".join(den)}) AS schnabel_estimate,
+           n AS n_observed_total
+    FROM agg
+    """
+
+
 @query("q862_schnabel", oracle=_q862_sql("duckdb"))
 def q862_schnabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Schnabel multi-occasion estimator over six windows:
     sum_k(catch_k x marked-before_k) / total recaptures — pools all
-    the pairwise information Lincoln-Petersen throws away. Marked-
-    before counts are uncorrelated scalar subqueries over the same
-    occupancy table."""
+    the pairwise information Lincoln-Petersen throws away. Spark runs
+    it as ONE aggregate over the occupancy table (catch_k times the
+    scalar marked-before_k factors out of the row-level sum exactly);
+    the oracle keeps the scalar-subquery form."""
     _views(spark, sf_dir)
-    return spark.sql(_q862_sql("spark"))
+    return spark.sql(_q862_spark_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -12,11 +12,17 @@ class mod an activity-specific literal, so durations vary with scale
 factor but are bit-identical across engines.
 
 Longest paths run as BOUNDED Bellman rounds (the q259 min-plus shape,
-max-plus here): 6 unrolled rounds cover the 7-node max depth. Per the
-q812 lesson, the Spark side materializes the tiny duration-annotated
-edge list ONCE (localCheckpoint -> temp view) so the unrolled chain
-re-references a leaf, not the orders scan; the DuckDB oracle marks
-the same CTEs AS MATERIALIZED.
+max-plus here): 6 rounds cover the 7-node max depth. Per the q812
+lesson taken to its conclusion (round-9 guide section 4.2: bounded
+state, so the whole iteration is one vectorized task), the Spark side
+runs the max-plus fixpoint in ONE cogrouped-Arrow pass over the
+checkpointed 10-row duration census — the previously unrolled es0..es6
+/ ld0..ld6 CTE chain re-expanded each level's two references of the
+level below, growing the static plan near-exponentially (q1021: 1024
+Exchanges / 248 SortMergeJoins over <= 20 rows). The DuckDB oracle
+keeps the unrolled chain with the same CTEs AS MATERIALIZED
+(byte-identical oracle strings; Python int max-plus == SQL MAX/+ on
+BIGINT exactly).
 
 - q1017 forward pass: earliest start/finish per activity (exact
   integer hours) + the project makespan;
@@ -109,20 +115,71 @@ def _dur_sql() -> str:
     """
 
 
+def _esld_pandas(key, pdf):  # pragma: no cover - runs on executors
+    """Forward (es) and backward-tail (ld) max-plus fixpoints over the
+    bounded 10-node / 12-edge network in ONE in-process pass — the
+    exact `_fwd_rounds` / `_tail_rounds` recurrences run for exactly
+    ROUNDS rounds in Python ints (non-negative BIGINTs, so Python max/+
+    == SQL MAX/+ bit-exactly)."""
+    import pandas as pd
+
+    dur = {str(a): int(x) for a, x in zip(pdf["act"], pdf["dur"])}
+    es = {a: 0 for a in dur}
+    for _ in range(ROUNDS):
+        prev = dict(es)
+        for u, v in EDGES:
+            cand = prev[u] + dur[u]
+            if cand > es[v]:
+                es[v] = cand
+    ld = dict(dur)
+    for _ in range(ROUNDS):
+        prev = dict(ld)
+        for u, v in EDGES:
+            cand = dur[u] + prev[v]
+            if cand > ld[u]:
+                ld[u] = cand
+    rows = [(n, dur[n], es[n], ld[n]) for n in sorted(dur)]
+    return pd.DataFrame(rows, columns=["node", "dur", "es", "ld"])
+
+
+def _ses_pandas(key, pdf):  # pragma: no cover - runs on executors
+    """All 11 crash scenarios' forward fixpoints (q1019) in one pass:
+    scenario s crashes activity s to (dur*3) div 4 — Python // on
+    non-negative ints == SQL div — then the same es recurrence."""
+    import pandas as pd
+
+    base = {str(a): int(x) for a, x in zip(pdf["act"], pdf["dur"])}
+    rows = []
+    for scen in ["baseline"] + [a for a, _, _, _ in ACTS]:
+        dur = {a: ((v * 3) // 4 if a == scen else v) for a, v in base.items()}
+        es = {a: 0 for a in dur}
+        for _ in range(ROUNDS):
+            prev = dict(es)
+            for u, v in EDGES:
+                cand = prev[u] + dur[u]
+                if cand > es[v]:
+                    es[v] = cand
+        rows.extend((scen, n, es[n], dur[n]) for n in sorted(dur))
+    return pd.DataFrame(rows, columns=["scen", "node", "es", "dur"])
+
+
 def _prep(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize the tiny duration/edge tables once (q812 lesson:
-    never let an unrolled round chain re-inline the fact scan)."""
+    """Materialize the tiny duration census once (q812 lesson: never
+    let a round chain re-inline the fact scan), then solve both
+    max-plus fixpoints in one Arrow pass -> cpm_esld view."""
+    from pyspark.sql import functions as F
+
     _views(spark, sf_dir, "orders")
-    base = spark.sql(
-        f"WITH {_dur_sql().strip().rstrip()} SELECT e.src, e.dst, du.dur AS src_dur,"
-        f" dd.dur AS dst_dur FROM eg e"
-        f" JOIN actdur du ON du.act = e.src"
-        f" JOIN actdur dd ON dd.act = e.dst"
-    )
-    base.localCheckpoint(eager=True).createOrReplaceTempView("cpm_edges")
-    spark.sql(
+    durs = spark.sql(
         f"WITH {_dur_sql().strip()} SELECT act, dur FROM actdur"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("cpm_durs")
+    ).localCheckpoint(eager=True)
+    durs.createOrReplaceTempView("cpm_durs")
+    esld = (
+        durs.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_esld_pandas, "node string, dur bigint, es bigint, ld bigint")
+    )
+    esld.localCheckpoint(eager=True).createOrReplaceTempView("cpm_esld")
 
 
 def _fwd_rounds(src: str = "cpm_edges", durs: str = "cpm_durs", mat: str = "") -> str:
@@ -176,10 +233,16 @@ def _oracle_head(*chains: str) -> str:
 
 def _q1017_sql(d: str) -> str:
     if d == "spark":
-        head = f"WITH {_fwd_rounds()}"
-    else:
-        head = _oracle_head(_fwd_rounds("eg_d", "actdur", "MATERIALIZED "))
-    durs = "cpm_durs" if d == "spark" else "actdur"
+        return """
+    SELECT f.node AS activity, f.dur, f.es,
+           f.es + f.dur AS ef,
+           CAST((SELECT MAX(f2.es + f2.dur) FROM cpm_esld f2) AS BIGINT)
+             AS makespan
+    FROM cpm_esld f
+    ORDER BY f.es, f.node
+    """
+    head = _oracle_head(_fwd_rounds("eg_d", "actdur", "MATERIALIZED "))
+    durs = "actdur"
     return f"""
     {head}
     SELECT f.node AS activity, du.dur, f.es,
@@ -203,14 +266,23 @@ def q1017_cpm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q1018_sql(d: str) -> str:
     if d == "spark":
-        head = f"WITH {_fwd_rounds()}, {_tail_rounds()}"
-        durs = "cpm_durs"
-    else:
-        durs = "actdur"
-        head = _oracle_head(
-            _fwd_rounds("eg_d", "actdur", "MATERIALIZED "),
-            _tail_rounds("eg_d", "actdur", "MATERIALIZED "),
-        )
+        return """
+    WITH mk AS (SELECT MAX(es + dur) AS t FROM cpm_esld)
+    SELECT f.node AS activity, f.dur,
+           f.es, f.es + f.dur AS ef,
+           mk.t - f.ld AS ls,
+           mk.t - f.ld + f.dur AS lf,
+           (mk.t - f.ld) - f.es AS total_float,
+           CAST(CASE WHEN (mk.t - f.ld) - f.es = 0 THEN 1 ELSE 0 END AS INT)
+             AS is_critical
+    FROM cpm_esld f CROSS JOIN mk
+    ORDER BY f.es, f.node
+    """
+    durs = "actdur"
+    head = _oracle_head(
+        _fwd_rounds("eg_d", "actdur", "MATERIALIZED "),
+        _tail_rounds("eg_d", "actdur", "MATERIALIZED "),
+    )
     return f"""
     {head},
     mk AS (SELECT MAX(es + dur) AS t FROM es{ROUNDS} f
@@ -328,51 +400,20 @@ def q1019_crash_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     from pyspark.sql import functions as F
 
-    sdur_sql, sedge_sql = _sdur_sedge_sql("spark", "cpm_durs", "cpm_edges")
-    scen = f"scen(scen) AS (VALUES {_scen_values()})"
-    sdur = spark.sql(f"WITH {scen} {sdur_sql}").localCheckpoint(eager=True)
-    sdur.createOrReplaceTempView("cpm_sdur")
-    sedge = spark.sql(
-        f"WITH {scen}, sdur AS (SELECT * FROM cpm_sdur) {sedge_sql}"
-    ).localCheckpoint(eager=True)
-    # iterative max-plus rounds with per-round lineage truncation
-    # (q306/q312 lesson: a 6-deep union/join chain doubles the plan
-    # per round — 12 MiB task binaries — while checkpointed rounds
-    # stay constant-size)
-    es = sdur.select(
-        "scen", F.col("act").alias("node"),
-        F.lit(0).cast("long").alias("es"),
+    # all 11 scenarios' forward fixpoints in ONE Arrow pass over the
+    # checkpointed 10-row duration census (was: two scenario-crossed
+    # checkpoints + 6 join/agg rounds with 3 more checkpoints — ~11
+    # tiny jobs of pure scheduling overhead)
+    ses = (
+        spark.table("cpm_durs")
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _ses_pandas, "scen string, node string, es bigint, dur bigint"
+        )
     )
-    for _ in range(ROUNDS):
-        ext = (
-            es.alias("d")
-            .join(
-                F.broadcast(sedge.alias("e")),
-                (F.col("d.scen") == F.col("e.scen"))
-                & (F.col("d.node") == F.col("e.src")),
-            )
-            .select(
-                F.col("e.scen").alias("scen"),
-                F.col("e.dst").alias("node"),
-                (F.col("d.es") + F.col("e.src_dur")).alias("es"),
-            )
-        )
-        es = (
-            es.unionByName(ext)
-            .groupBy("scen", "node")
-            .agg(F.max("es").alias("es"))
-        )
-        if _ % 2 == 1:  # checkpoint every other round: plan stays
-            es = es.localCheckpoint(eager=True)  # small, half the jobs
-    mk = (
-        es.alias("f")
-        .join(
-            sdur.alias("du"),
-            (F.col("f.scen") == F.col("du.scen"))
-            & (F.col("f.node") == F.col("du.act")),
-        )
-        .groupBy(F.col("f.scen").alias("scen"))
-        .agg(F.max(F.col("f.es") + F.col("du.dur")).alias("makespan"))
+    mk = ses.groupBy("scen").agg(
+        F.max(F.col("es") + F.col("dur")).alias("makespan")
     )
     base = mk.filter(F.col("scen") == "baseline").select(
         F.col("makespan").alias("baseline_makespan")
@@ -394,14 +435,37 @@ def q1019_crash_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q1020_sql(d: str) -> str:
     intdiv = "div" if d == "spark" else "//"
     if d == "spark":
-        head = f"WITH {_fwd_rounds()}, {_tail_rounds()}"
-        durs = "cpm_durs"
-    else:
-        durs = "actdur"
-        head = _oracle_head(
-            _fwd_rounds("eg_d", "actdur", "MATERIALIZED "),
-            _tail_rounds("eg_d", "actdur", "MATERIALIZED "),
-        )
+        return """
+    WITH mk AS (SELECT MAX(es + dur) AS t FROM cpm_esld),
+    pert AS (
+      SELECT f.node AS activity, f.dur,
+             (f.dur * 3) div 4 AS o_hours,
+             f.dur AS m_hours,
+             (f.dur * 3) div 2 + 2 AS p_hours,
+             CAST((f.dur * 3) div 4 + 4 * f.dur
+                  + (f.dur * 3) div 2 + 2 AS BIGINT) AS te6,
+             CAST(((f.dur * 3) div 2 + 2 - (f.dur * 3) div 4)
+                  * ((f.dur * 3) div 2 + 2 - (f.dur * 3) div 4)
+               AS BIGINT) AS var36,
+             CAST(CASE WHEN (mk.t - f.ld) - f.es = 0 THEN 1 ELSE 0 END AS INT)
+               AS is_critical
+      FROM cpm_esld f CROSS JOIN mk
+    )
+    SELECT activity, dur, o_hours, m_hours, p_hours, te6, var36,
+           CAST(te6 AS DOUBLE) / 6.0 AS te_hours,
+           is_critical,
+           CAST(SUM(CASE WHEN is_critical = 1 THEN te6 ELSE 0 END)
+                OVER () AS BIGINT) AS critical_te6,
+           CAST(SUM(CASE WHEN is_critical = 1 THEN var36 ELSE 0 END)
+                OVER () AS BIGINT) AS critical_var36
+    FROM pert
+    ORDER BY activity
+    """
+    durs = "actdur"
+    head = _oracle_head(
+        _fwd_rounds("eg_d", "actdur", "MATERIALIZED "),
+        _tail_rounds("eg_d", "actdur", "MATERIALIZED "),
+    )
     return f"""
     {head},
     mk AS (SELECT MAX(es + dur) AS t FROM es{ROUNDS} f
@@ -448,11 +512,36 @@ def q1020_pert_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q1021_sql(d: str) -> str:
     if d == "spark":
-        head = f"WITH {_fwd_rounds()}"
-        durs = "cpm_durs"
-    else:
-        durs = "actdur"
-        head = _oracle_head(_fwd_rounds("eg_d", "actdur", "MATERIALIZED "))
+        return """
+    WITH sched AS (
+      SELECT f.node, f.es, f.es + f.dur AS ef FROM cpm_esld f
+    ),
+    events AS (
+      SELECT es AS t, 1 AS delta FROM sched
+      UNION ALL
+      SELECT ef AS t, -1 AS delta FROM sched
+    ),
+    steps AS (
+      SELECT t, SUM(delta) AS net
+      FROM events GROUP BY t
+    ),
+    profile AS (
+      SELECT t,
+             CAST(SUM(net) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS wip
+      FROM steps
+    )
+    SELECT t AS from_hour,
+           COALESCE(LEAD(t) OVER (ORDER BY t), t) AS to_hour,
+           wip,
+           CAST(CASE WHEN wip = (SELECT MAX(wip) FROM profile)
+                THEN 1 ELSE 0 END AS INT) AS is_peak
+    FROM profile
+    ORDER BY t
+    """
+    durs = "actdur"
+    head = _oracle_head(_fwd_rounds("eg_d", "actdur", "MATERIALIZED "))
     return f"""
     {head},
     sched AS (

@@ -166,9 +166,62 @@ def _pmat_view(spark: SparkSession, sf_dir: str) -> None:
     journey-window chain at every reference of the 12-round iteration
     made Spark planning explode (same lesson as the matching batch);
     localCheckpoint truncates the lineage. DuckDB materializes CTEs
-    natively, so the oracle keeps the single-statement form."""
+    natively, so the oracle keeps the single-statement form.
+
+    r9: the BUILD itself is now one events pass. The oracle-shaped
+    form re-expanded the window chain under CTE inlining (fp re-ran
+    seq, trans_raw's three UNION branches re-ran jour/steps, tmat's
+    outdeg join re-ran tmat — 12 events scans). Here: fp's per-user
+    first-purchase join becomes a window MIN over the same partition,
+    the three trans_raw branches become one exploded conditional
+    emission per step row (identical multiset), and outdeg becomes
+    SUM OVER (PARTITION BY from_st) on the 42-row tmat."""
     _views(spark, sf_dir)
-    df = spark.sql(f"WITH {_journey_full()} SELECT * FROM pmat")
+    df = spark.sql(
+        f"""
+    WITH seq AS (
+      SELECT user_id AS u, event_type AS et,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seq2 AS (
+      SELECT u, rn, CASE WHEN et = 'purchase' THEN 'CONV' ELSE et END AS st,
+             MIN(CASE WHEN et = 'purchase' THEN rn END)
+               OVER (PARTITION BY u) AS conv_rn
+      FROM seq
+    ),
+    jour AS (
+      SELECT u, rn, st, conv_rn, MAX(rn) OVER (PARTITION BY u) AS last_rn
+      FROM seq2 WHERE conv_rn IS NULL OR rn <= conv_rn
+    ),
+    steps AS (
+      SELECT u, st AS from_st,
+             LEAD(st) OVER (PARTITION BY u ORDER BY rn) AS to_st,
+             rn, conv_rn, last_rn
+      FROM jour
+    ),
+    trans_raw AS (
+      SELECT tr.f AS from_st, tr.t AS to_st
+      FROM steps
+      LATERAL VIEW explode(filter(array(
+        IF(rn = 1, named_struct('f', 'START', 't', from_st), NULL),
+        IF(to_st IS NOT NULL, named_struct('f', from_st, 't', to_st), NULL),
+        IF(to_st IS NULL AND conv_rn IS NULL AND rn = last_rn,
+           named_struct('f', from_st, 't', 'NULL'), NULL)
+      ), x -> x IS NOT NULL)) ex AS tr
+    ),
+    tmat AS (
+      SELECT from_st, to_st, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trans_raw GROUP BY from_st, to_st
+    )
+    SELECT from_st, to_st, n,
+           CAST(FLOOR(CAST(n AS DOUBLE)
+                / SUM(n) OVER (PARTITION BY from_st) * {NANO} + 0.5)
+                AS BIGINT) AS p_n
+    FROM tmat
+    """
+    )
     df.localCheckpoint(eager=True).createOrReplaceTempView(_PMAT_VIEW)
 
 
@@ -286,10 +339,18 @@ _Q811_SQL = f"""
 def q811_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The journey Markov chain: exact transition counts and
     nano-quantized probabilities over START, the four channels, and
-    the CONV/NULL absorbers. One user-partitioned window pass, one
-    bounded aggregate."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q811_SQL)
+    the CONV/NULL absorbers. One user-partitioned window pass into
+    the checkpointed matrix (the oracle's one-statement form re-ran
+    the window chain 12x under CTE inlining), one bounded aggregate."""
+    _pmat_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+    SELECT from_st AS from_state, to_st AS to_state, n,
+           CAST(p_n AS DOUBLE) / {NANO} AS prob
+    FROM {_PMAT_VIEW}
+    ORDER BY from_st, to_st
+    """
+    )
 
 
 # ---------------------------------------------------------------------------

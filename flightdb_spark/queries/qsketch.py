@@ -54,6 +54,42 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+_HIST_MV = "qsketch_hist_mv"
+
+# the exact hist body inside _hist_cte(), swapped for the materialized
+# view on the Spark side (oracle keeps the one-statement form)
+_HIST_BODY = """hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY bucket
+    ),"""
+
+
+def _hist_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the 256-cent bucket census ONCE per query (r9 P3
+    staging): under CTE inlining every `hist` reference — cum's two
+    self-join sides, tot, shards' comparison — re-ran the corpus
+    aggregate (11-13 events scans in q807/q808's static plans). The
+    checkpoint is value-domain-bounded (~192 rows)."""
+    _views(spark, sf_dir)
+    h = spark.sql(f"WITH {_hist_cte()} SELECT bucket, cnt FROM hist")
+    h.localCheckpoint(eager=True).createOrReplaceTempView(_HIST_MV)
+
+
+def _spark_sql(full_sql: str) -> str:
+    """Shared SQL with hist swapped for the checkpoint; the in-bucket
+    refinement join gets an explicit BROADCAST on the <= 7-row target
+    side (a LogicalRDD lineage reports the default size estimate, so
+    auto-broadcast no longer fires — the q645 lesson)."""
+    out = full_sql.replace(
+        _HIST_BODY, f"hist AS (SELECT bucket, cnt FROM {_HIST_MV}),", 1
+    )
+    return out.replace(
+        "SELECT b.p, b.rank_target, v.cents,",
+        "SELECT /*+ BROADCAST(b) */ b.p, b.rank_target, v.cents,",
+        1,
+    )
+
+
 def _hist_cte() -> str:
     return f"""vals AS (
       SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -121,8 +157,8 @@ def q806_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable 256-cent histogram with cumulative counts and
     shares — one map-side aggregate plus a bounded bucket-level
     cumulative join. The max mass_share is q808's rank-error bound."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q806_SQL)
+    _hist_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q806_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -162,8 +198,8 @@ def q807_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition — never a join, never a global window) resolves the
     exact value. At cluster scale pass two reads only the target
     buckets' rows."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q807_SQL)
+    _hist_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q807_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -213,8 +249,8 @@ def q808_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact quantile: value error < bucket width and rank
     error <= the bucket's mass share (test-asserted) — the guarantee
     that makes the one-pass sketch trustworthy."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q808_SQL)
+    _hist_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q808_SQL))
 
 
 # ---------------------------------------------------------------------------
@@ -246,14 +282,40 @@ _Q809_SQL = f"""
     """
 
 
+# Spark side: every sweep width is a multiple of the 256-cent build,
+# and FLOOR(FLOOR(x/m)/k) == FLOOR(x/(m*k)) exactly (any sign), so all
+# three sweeps re-aggregate the ONE checkpointed histogram — 4 corpus
+# scans (3 sweeps + tot) -> 1. The oracle keeps the 3-scan UNION form.
+_Q809_SPARK = f"""
+    WITH tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM {_HIST_MV}),
+    sweeps AS (
+      SELECT CAST(w.w AS BIGINT) AS width,
+             CAST(FLOOR(h.bucket / (w.w / {WIDTH}.0)) AS BIGINT) AS bucket,
+             CAST(SUM(h.cnt) AS BIGINT) AS cnt
+      FROM {_HIST_MV} h
+      CROSS JOIN (VALUES {", ".join(f"({w})" for w in _WIDTHS)}) AS w(w)
+      GROUP BY CAST(w.w AS BIGINT),
+               CAST(FLOOR(h.bucket / (w.w / {WIDTH}.0)) AS BIGINT)
+    )
+    SELECT s.width AS bucket_width_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(s.cnt) AS BIGINT) AS max_bucket_count,
+           CAST(MAX(s.cnt) AS DOUBLE) / t.n AS worst_rank_error_bound
+    FROM sweeps s CROSS JOIN tot t
+    GROUP BY s.width, t.n
+    ORDER BY s.width DESC
+    """
+
+
 @query("q809_sketch_budget_sweep", oracle=_Q809_SQL)
 def q809_sketch_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The accuracy/space frontier: for 4096/1024/256-cent buckets,
     the bucket count (space) and the worst-case rank-error bound (the
     heaviest bucket's mass share). Finer buckets: more space, tighter
-    bound (test-asserted monotone)."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q809_SQL)
+    bound (test-asserted monotone). All three sweeps derive exactly
+    from the one checkpointed 256-cent build."""
+    _hist_view(spark, sf_dir)
+    return spark.sql(_Q809_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -292,5 +354,5 @@ def q810_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     summing counts equal the single-build histogram bucket for bucket
     (mismatched_buckets = 0, test-asserted) — exactly how the sketch
     combines across executors."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q810_SQL)
+    _hist_view(spark, sf_dir)
+    return spark.sql(_spark_sql(_Q810_SQL))
