@@ -178,12 +178,33 @@ def q852_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q853 — dose-response quintiles
 
-def _q853_sql(dialect: str) -> str:
+_MID_MV = "adstock_mid_mv"
+
+
+def _mid_view(spark: SparkSession, sf_dir: str) -> None:
+    """r10 P3 staging: q853's `mid` (the ~30-row lambda=0.5 adstock
+    spine) is referenced 3x (cnt + both rank-join sides) and each
+    reference re-expanded ad -> daily (self-joined) -> the events
+    corpus under Catalyst inlining (12 duplicate events scans in the
+    static plan). ONE corpus pass checkpoints the calendar-bounded
+    spine; the oracle keeps the single-statement form."""
+    _views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_adstock_cte('spark')} "
+        "SELECT t, adstock_u, rev FROM ad WHERE lam_id = 5"
+    )
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_MID_MV)
+
+
+def _q853_sql(dialect: str, staged: bool = False) -> str:
+    mid_cte = (
+        f"mid AS (\n      SELECT t, adstock_u, rev FROM {_MID_MV}\n    )"
+        if staged
+        else "mid AS (\n      SELECT t, adstock_u, rev FROM ad WHERE lam_id = 5\n    )"
+    )
+    head = "" if staged else f"{_adstock_cte(dialect)},\n    "
     return f"""
-    WITH {_adstock_cte(dialect)},
-    mid AS (
-      SELECT t, adstock_u, rev FROM ad WHERE lam_id = 5
-    ),
+    WITH {head}{mid_cte},
     cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mid),
     ranked AS (
       SELECT /*+ BROADCAST(z) */ x.t, x.adstock_u, x.rev,
@@ -216,8 +237,8 @@ def q853_dose_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean purchase revenue per adstock quintile (lambda = 0.5):
     the saturation read — does more accumulated pressure keep paying?
     Quintiles from an exact bounded rank over the ~30-day spine."""
-    _views(spark, sf_dir)
-    return spark.sql(_q853_sql("spark"))
+    _mid_view(spark, sf_dir)
+    return spark.sql(_q853_sql("spark", staged=True))
 
 
 # ---------------------------------------------------------------------------

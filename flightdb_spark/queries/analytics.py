@@ -664,10 +664,6 @@ def q189_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     split = F.lit(_IVM_SPLIT).cast("timestamp")
-    o_b = o.filter(F.col("o_orderdate") < split)
-    o_d = o.filter(F.col("o_orderdate") >= split)
-    l_b = li.filter(F.col("l_shipdate") < split)
-    l_d = li.filter(F.col("l_shipdate") >= split)
 
     def term(label: str, os: DataFrame, ls: DataFrame) -> DataFrame:
         return (
@@ -682,11 +678,50 @@ def q189_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(label).alias("term"), "n_rows", "rev")
         )
 
+    # r10 P3 staging: the four delta-term joins ran as four separate
+    # order-key joins, and `terms` was then referenced by BOTH the
+    # final union and `assembled`, re-expanding all four under
+    # Catalyst inlining (9 orders + 9 lineitem scans in the static
+    # plan). The base/delta split partitions every joined row into
+    # exactly one of the four cells, so ONE join pass grouped by the
+    # two split flags computes all four terms; a literal term grid
+    # left-join restores empty cells as (0, 0.0000) exactly like the
+    # oracle's COUNT/COALESCE over an empty join. The checkpointed
+    # 4-row table feeds both references. The direct join stays a real
+    # separate join — proving direct == assembled on this engine IS
+    # the query's audit.
+    cells = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(F.col("o_orderdate") < split, "base")
+            .otherwise("delta")
+            .alias("oflag"),
+            F.when(F.col("l_shipdate") < split, "base")
+            .otherwise("delta")
+            .alias("lflag"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("rev").cast("decimal(38,4)")).alias("rev"),
+        )
+        .select(
+            F.concat_ws("_", "oflag", "lflag").alias("term"), "n_rows", "rev"
+        )
+    )
+    grid = spark.createDataFrame(
+        [("base_base",), ("base_delta",), ("delta_base",), ("delta_delta",)],
+        "term string",
+    )
     terms = (
-        term("base_base", o_b, l_b)
-        .unionByName(term("base_delta", o_b, l_d))
-        .unionByName(term("delta_base", o_d, l_b))
-        .unionByName(term("delta_delta", o_d, l_d))
+        grid.join(cells, "term", "left")
+        .select(
+            "term",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                "rev", F.lit(0).cast("decimal(38,4)")
+            ).alias("rev"),
+        )
+        .localCheckpoint(eager=True)
     )
     assembled = terms.agg(
         F.sum("n_rows").alias("n_rows"), F.sum("rev").alias("rev")

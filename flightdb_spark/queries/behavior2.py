@@ -293,10 +293,16 @@ def _seqmatch_spark_sql() -> str:
       in-time-order == the staged MINs (strict '>' guards make equal-
       timestamp tie order irrelevant).
 
-    n_users folds from the same pass (one row per user). ONE events
-    scan + ONE user exchange (guide sections 2.3/2.4)."""
+    The fold collects ONLY the four event types the patterns inspect
+    (signup/click/error/purchase — r10 ADVICE: an unfiltered collect
+    ships every event of a heavy-hitter user into one array); n_users
+    (the distinct-user census over ALL events) comes from a separate
+    column-pruned COUNT DISTINCT, exactly the oracle's `users` CTE.
+    ONE events fold pass + one cheap distinct-count pass (guide
+    sections 2.3/2.4)."""
     return f"""
-    WITH ev AS (SELECT user_id, event_type, {_us("spark")} AS tus FROM events),
+    WITH ev AS (SELECT user_id, event_type, {_us("spark")} AS tus FROM events
+                WHERE event_type IN ('signup', 'click', 'error', 'purchase')),
     arr AS (
       SELECT user_id, array_sort(collect_list(struct(tus, event_type))) AS evs
       FROM ev GROUP BY user_id
@@ -322,13 +328,22 @@ def _seqmatch_spark_sql() -> str:
                  THEN 1 ELSE a.f2 END)
       ) AS s
       FROM arr
+    ),
+    flags AS (
+      SELECT CAST(SUM(s.f1) AS BIGINT) AS p1,
+             CAST(SUM(s.f2) AS BIGINT) AS p2,
+             CAST(SUM(s.f1 * s.f2) AS BIGINT) AS pb
+      FROM st
+    ),
+    allu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(s.f1) AS BIGINT) AS match_tight_pair,
-           CAST(SUM(s.f2) AS BIGINT) AS match_ordered_triple,
-           CAST(SUM(s.f1 * s.f2) AS BIGINT) AS match_both,
-           ROUND(CAST(SUM(s.f1) AS DOUBLE) / COUNT(*), 6) AS tight_pair_share
-    FROM st
+    SELECT u.n AS n_users,
+           f.p1 AS match_tight_pair,
+           f.p2 AS match_ordered_triple,
+           f.pb AS match_both,
+           ROUND(CAST(f.p1 AS DOUBLE) / u.n, 6) AS tight_pair_share
+    FROM flags f CROSS JOIN allu u
     """
 
 

@@ -124,17 +124,22 @@ def _esld_pandas(key, pdf):  # pragma: no cover - runs on executors
     import pandas as pd
 
     dur = {str(a): int(x) for a, x in zip(pdf["act"], pdf["dur"])}
+    # a priority class absent from the orders census drops its activity
+    # from actdur; the old SQL chain degraded silently (the JOIN just
+    # dropped those edges) — mirror that by skipping incomplete edges
+    # instead of raising KeyError in the executor (r10 ADVICE)
+    edges = [(u, v) for u, v in EDGES if u in dur and v in dur]
     es = {a: 0 for a in dur}
     for _ in range(ROUNDS):
         prev = dict(es)
-        for u, v in EDGES:
+        for u, v in edges:
             cand = prev[u] + dur[u]
             if cand > es[v]:
                 es[v] = cand
     ld = dict(dur)
     for _ in range(ROUNDS):
         prev = dict(ld)
-        for u, v in EDGES:
+        for u, v in edges:
             cand = dur[u] + prev[v]
             if cand > ld[u]:
                 ld[u] = cand
@@ -149,13 +154,15 @@ def _ses_pandas(key, pdf):  # pragma: no cover - runs on executors
     import pandas as pd
 
     base = {str(a): int(x) for a, x in zip(pdf["act"], pdf["dur"])}
+    # same incomplete-census guard as _esld_pandas (r10 ADVICE)
+    edges = [(u, v) for u, v in EDGES if u in base and v in base]
     rows = []
     for scen in ["baseline"] + [a for a, _, _, _ in ACTS]:
         dur = {a: ((v * 3) // 4 if a == scen else v) for a, v in base.items()}
         es = {a: 0 for a in dur}
         for _ in range(ROUNDS):
             prev = dict(es)
-            for u, v in EDGES:
+            for u, v in edges:
                 cand = prev[u] + dur[u]
                 if cand > es[v]:
                     es[v] = cand
@@ -182,7 +189,7 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     esld.localCheckpoint(eager=True).createOrReplaceTempView("cpm_esld")
 
 
-def _fwd_rounds(src: str = "cpm_edges", durs: str = "cpm_durs", mat: str = "") -> str:
+def _fwd_rounds(src: str, durs: str, mat: str) -> str:
     """es_k chain: es_k(n) = max(es_{k-1}(n), max over preds
     es_{k-1}(u) + dur(u)). es_0 = 0 for every node."""
     out = [f"es0 AS {mat}(SELECT act AS node, CAST(0 AS BIGINT) AS es FROM {durs})"]
@@ -200,7 +207,7 @@ def _fwd_rounds(src: str = "cpm_edges", durs: str = "cpm_durs", mat: str = "") -
     return ",\n    ".join(out)
 
 
-def _tail_rounds(src: str = "cpm_edges", durs: str = "cpm_durs", mat: str = "") -> str:
+def _tail_rounds(src: str, durs: str, mat: str) -> str:
     """ld_k chain: longest duration-sum from the START of n to project
     end. ld_0 = dur(n); ld_k(n) = max(ld_{k-1}(n), dur(n) +
     max over succ ld_{k-1}(v))."""
@@ -332,31 +339,22 @@ def _sdur_sedge_sql(d: str, durs: str, edges: str) -> tuple[str, str]:
 
 
 def _q1019_sql(d: str) -> str:
-    if d == "spark":
-        # sdur/sedge are pre-materialized temp views (cpm_sdur /
-        # cpm_sedge): the unrolled chain must reference leaves, not
-        # CTEs that re-inline per round (the q812 lesson one nesting
-        # level deeper)
-        pre = "WITH "
-        sdur_t, sedge_t = "cpm_sdur", "cpm_sedge"
-        mat = ""
-        rounds = [
-            f"""ses0 AS (SELECT scen, act AS node, CAST(0 AS BIGINT) AS es
-                  FROM {sdur_t})"""
-        ]
-    else:
-        pre = _oracle_head() + "\n    "
-        sdur_t, sedge_t = "sdur", "sedge"
-        mat = "MATERIALIZED "
-        sdur_sql, sedge_sql = _sdur_sedge_sql(d, "actdur", "eg_d")
-        rounds = [
-            f"""sdur AS {mat}({sdur_sql}
+    # oracle (duckdb) form only: the Spark side solves all scenarios in
+    # one Arrow pass (_ses_pandas) and never renders this SQL (the old
+    # spark branch referenced cpm_sdur/cpm_sedge views _prep no longer
+    # creates — removed as dead code, r10 ADVICE)
+    pre = _oracle_head() + "\n    "
+    sdur_t, sedge_t = "sdur", "sedge"
+    mat = "MATERIALIZED "
+    sdur_sql, sedge_sql = _sdur_sedge_sql(d, "actdur", "eg_d")
+    rounds = [
+        f"""sdur AS {mat}({sdur_sql}
     ),
     sedge AS {mat}({sedge_sql}
     ),
     ses0 AS {mat}(SELECT scen, act AS node, CAST(0 AS BIGINT) AS es
                   FROM sdur)"""
-        ]
+    ]
     for k in range(1, ROUNDS + 1):
         rounds.append(
             f"""ses{k} AS {mat}(
@@ -370,10 +368,7 @@ def _q1019_sql(d: str) -> str:
     )"""
         )
     chain = ",\n    ".join(rounds)
-    scen_head = (
-        "" if d == "spark"
-        else f"scen(scen) AS (VALUES {_scen_values()}),\n    "
-    )
+    scen_head = f"scen(scen) AS (VALUES {_scen_values()}),\n    "
     return f"""
     {pre}{scen_head}{chain},
     mk AS (

@@ -176,18 +176,37 @@ def q287_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("u").alias("node")).unionByName(
         edges.select(F.col("v").alias("node"))
     )
-    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # r10 P3 staging: the degree table (node-bounded) was re-derived —
+    # and with it the whole basket-explode edge pipeline — under every
+    # downstream reference (10 duplicate lineitem scans in the static
+    # plan); checkpoint it once
+    degrees = (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("x"))
     dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("y"))
     ep = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select("x", "y")
-    sym = ep.unionByName(ep.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    mom = sym.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    # symmetrization by moment algebra instead of a self-union (one ep
+    # pass, not two): for sym = ep UNION ALL swap(ep), m = 2*cnt,
+    # sx = sy = sum x + sum y, sxx = syy = sum x^2 + sum y^2,
+    # sxy = 2*sum xy — all exact BIGINT identities
+    em = ep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").alias("ex"),
+        F.sum("y").alias("ey"),
+        F.sum(F.col("x") * F.col("x")).alias("exx"),
+        F.sum(F.col("y") * F.col("y")).alias("eyy"),
+        F.sum(F.col("x") * F.col("y")).alias("exy"),
+    )
+    mom = em.select(
+        (F.col("cnt") * 2).cast("bigint").alias("m"),
+        (F.col("ex") + F.col("ey")).alias("sx"),
+        (F.col("ex") + F.col("ey")).alias("sy"),
+        (F.col("exx") + F.col("eyy")).alias("sxx"),
+        (F.col("exx") + F.col("eyy")).alias("syy"),
+        (F.col("exy") * 2).alias("sxy"),
     )
     md = F.col("m").cast("double")
     num = md * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(

@@ -268,10 +268,21 @@ def q245_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r6"),
         )
     )
-    calib = resid.filter(F.col("part") == "calib")
-    counts = calib.groupBy("r6").agg(F.count(F.lit(1)).alias("cnt"))
+    # r10 P3 staging: calib was scanned twice (histogram + count) and
+    # test once more, and every reference re-expanded the full
+    # lineitem->residual pipeline under Catalyst inlining (12 duplicate
+    # scans in the static plan). ONE corpus pass builds the per-part
+    # 6-dp-residual histogram (bounded by the rounded-residual value
+    # domain, not corpus rows); n_calib, the prefix scan, and test
+    # coverage all derive from the checkpointed histogram.
+    hist = (
+        resid.groupBy("part", "n_train", "r6")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    counts = hist.filter(F.col("part") == "calib").select("r6", "cnt")
     cum = bucketed_cumsum(counts, "r6", ["cnt"])
-    nc_row = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    nc_row = counts.agg(F.sum("cnt").cast("bigint").alias("n_calib"))
     k = F.least(
         F.ceil(0.9 * (F.col("n_calib") + 1)).cast("bigint"), F.col("n_calib")
     )
@@ -280,16 +291,16 @@ def q245_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_cnt") >= k)
         .agg(F.min("r6").alias("qhat"), F.first("n_calib").alias("n_calib"))
     )
-    test = resid.filter(F.col("part") == "test")
+    test = hist.filter(F.col("part") == "test")
     return (
         test.join(F.broadcast(qhat))
         .groupBy("n_train", "n_calib", "qhat")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("cnt").cast("bigint").alias("n_test"),
             F.round(
-                F.sum(F.when(F.col("r6") <= F.col("qhat"), 1).otherwise(0))
+                F.sum(F.when(F.col("r6") <= F.col("qhat"), F.col("cnt")).otherwise(0))
                 * 1.0
-                / F.count(F.lit(1)),
+                / F.sum("cnt"),
                 5,
             ).alias("coverage"),
         )

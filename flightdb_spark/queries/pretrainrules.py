@@ -349,9 +349,46 @@ def _overlap_sql(dialect: str) -> str:
 def q530_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-redundancy matrix: pairwise Jaccard of the REJECTION sets
     of the five Gopher rules — Jaccard near 1 means a rule adds no
-    filtering signal and can be dropped from the hot path. Ten pair
-    rows aggregated from the single flag table (the flags CTE is
-    computed once per branch by the optimizer's CTE reuse; one scan
-    per branch worst-case, all map-side)."""
+    filtering signal and can be dropped from the hot path.
+
+    r10 P3 staging: the ten UNION ALL pair arms each re-ran the
+    tokenize+flag corpus pass under Catalyst inlining (10 duplicate
+    documents scans in the static plan). ONE corpus pass aggregates
+    the 0/1-flag moments (n, per-rule sums, pairwise AND sums) into a
+    single checkpointed row; the pair cells are exact BIGINT algebra
+    on it — both_reject(a,b) = SUM((1-a)(1-b)) = n - s_a - s_b + s_ab
+    and either_rejects(a,b) = n - s_ab, identities over 0/1 ints."""
     _views(spark, sf_dir)
-    return spark.sql(_overlap_sql("spark"))
+    rules = ["r1_len", "r2_mwl", "r3_stop", "r4_topuni", "r5_distinct"]
+    moms = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    moms += [f"CAST(SUM({a}) AS BIGINT) AS s_{a}" for a in rules]
+    moms += [
+        f"CAST(SUM({a} * {b}) AS BIGINT) AS s_{a}_{b}"
+        for i, a in enumerate(rules)
+        for b in rules[i + 1:]
+    ]
+    mom = spark.sql(
+        f"WITH {_flags('spark')} SELECT {', '.join(moms)} FROM flags"
+    ).localCheckpoint(eager=True)
+    mom.createOrReplaceTempView("pretrain_overlap_mom_mv")
+    arms = []
+    for i, a in enumerate(rules):
+        for b in rules[i + 1:]:
+            arms.append(
+                f"""
+      SELECT '{a}' AS rule_a, '{b}' AS rule_b,
+             CAST(n - s_{a} - s_{b} + s_{a}_{b} AS BIGINT) AS both_reject,
+             CAST(n - s_{a}_{b} AS BIGINT) AS either_rejects
+      FROM pretrain_overlap_mom_mv"""
+            )
+    union = " UNION ALL ".join(arms)
+    return spark.sql(
+        f"""
+    WITH pairs AS ({union})
+    SELECT rule_a, rule_b, both_reject, either_rejects,
+           CASE WHEN either_rejects = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(CAST(both_reject AS DOUBLE) / either_rejects, 4)
+           END AS rejection_jaccard
+    FROM pairs
+    """
+    )

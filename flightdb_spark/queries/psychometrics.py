@@ -260,8 +260,24 @@ _MEAN_R = (
     + f") / {K * (K - 1) // 2}"
 )
 
-_Q860_SQL = f"""
-    WITH {_mom_cte()},
+_MOM_MV = "psy_mom_mv"
+
+
+def _mom_view(spark: SparkSession, sf_dir: str) -> None:
+    """r10 P3 staging: q860 references `mom` 11x (ten UNION ALL
+    correlation arms + summary) and each reference re-ran the wide
+    user aggregate over the events corpus under Catalyst inlining
+    (11 duplicate events scans in the static plan). ONE corpus pass
+    checkpoints the single-row moment table; the oracle keeps the
+    one-statement form."""
+    _views(spark, sf_dir)
+    df = spark.sql(f"WITH {_mom_cte()} SELECT * FROM mom")
+    df.localCheckpoint(eager=True).createOrReplaceTempView(_MOM_MV)
+
+
+def _q860_body(mom_head: str) -> str:
+    return f"""
+    WITH {mom_head},
     pairs AS (
     {_Q860_ROWS}
     ),
@@ -280,11 +296,15 @@ _Q860_SQL = f"""
     """
 
 
+_Q860_SQL = _q860_body(_mom_cte())
+_Q860_SQL_STAGED = _q860_body(f"mom AS (SELECT * FROM {_MOM_MV})")
+
+
 @query("q860_interitem_matrix", oracle=_Q860_SQL)
 def q860_interitem_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10 inter-item correlations with the mean-r standardized
     alpha (k r / (1 + (k-1) r)) beside the raw-score alpha — the two
     diverge exactly when item variances are unequal, which this table
     makes visible."""
-    _views(spark, sf_dir)
-    return spark.sql(_Q860_SQL)
+    _mom_view(spark, sf_dir)
+    return spark.sql(_Q860_SQL_STAGED)

@@ -80,14 +80,20 @@ def _spark_sql(full_sql: str) -> str:
     refinement join gets an explicit BROADCAST on the <= 7-row target
     side (a LogicalRDD lineage reports the default size estimate, so
     auto-broadcast no longer fires — the q645 lesson)."""
+    # drift guard (r10 ADVICE): a silent str.replace no-op would drop the
+    # checkpoint/hint without any error — fail loudly instead
+    assert _HIST_BODY in full_sql, "qsketch: _HIST_BODY drifted from _hist_cte()"
     out = full_sql.replace(
         _HIST_BODY, f"hist AS (SELECT bucket, cnt FROM {_HIST_MV}),", 1
     )
-    return out.replace(
-        "SELECT b.p, b.rank_target, v.cents,",
-        "SELECT /*+ BROADCAST(b) */ b.p, b.rank_target, v.cents,",
-        1,
-    )
+    anchor = "SELECT b.p, b.rank_target, v.cents,"
+    if anchor in out:
+        out = out.replace(
+            anchor,
+            "SELECT /*+ BROADCAST(b) */ b.p, b.rank_target, v.cents,",
+            1,
+        )
+    return out
 
 
 def _hist_cte() -> str:

@@ -482,10 +482,18 @@ def q460_tau_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("rl")).alias("ra"),
         F.row_number().over(Window.orderBy("rs")).alias("rb"),
     )
+    # r10 P3 staging: rr is referenced 4x (n_, both conc sides, pos_) and
+    # each reference re-ran the full lex+sem corpus pipeline under
+    # Catalyst inlining (12 duplicate scans in the static plan). ONE
+    # corpus pass checkpoints the <= RRF_DEPTH-row intersection; the
+    # non-equi self-join gets an explicit broadcast because a
+    # LogicalRDD's default size estimate blocks auto-broadcast (the
+    # q645 lesson).
+    rr = rr.localCheckpoint(eager=True)
     n_ = rr.agg(F.count("*").cast("bigint").alias("n"))
     x, y = rr.alias("x"), rr.alias("y")
     conc = x.join(
-        y,
+        F.broadcast(y),
         (F.col("y.ra") < F.col("x.ra")) & (F.col("y.rb") < F.col("x.rb")),
     ).select(F.col("x.ra").alias("pa"), F.col("x.rb").alias("pb"))
     ca = conc.groupBy(F.col("pa").alias("pos")).agg(

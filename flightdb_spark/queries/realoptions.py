@@ -241,9 +241,42 @@ def q794_implied_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The implied-volatility table lookup: which grid scenario
     reprices the g=15 reference quote with the smallest absolute
     integer-cent error (ties to the lowest vol — MIN over the argmin
-    rows). Must recover g=15 exactly (test-asserted)."""
+    rows). Must recover g=15 exactly (test-asserted).
+
+    r10 P3 staging: `priced` is referenced by quote AND diffs, and
+    diffs by best AND the final argmin join — each re-running the
+    corpus s0 aggregate + lattice crossing under Catalyst inlining
+    (8 duplicate scans in the static plan). ONE corpus pass
+    checkpoints the (brand x vol-grid)-bounded priced table; the
+    downstream algebra re-reads the checkpoint only."""
     _views(spark, sf_dir)
-    return spark.sql(_Q794_SQL)
+    priced = spark.sql(
+        f"WITH {_s0_cte()},\n    {_priced_cte()} "
+        "SELECT brand, g, call_cents FROM priced"
+    ).localCheckpoint(eager=True)
+    priced.createOrReplaceTempView("realopt_priced_mv")
+    return spark.sql(
+        f"""
+    WITH priced AS (SELECT brand, g, call_cents FROM realopt_priced_mv),
+    quote AS (
+      SELECT brand, call_cents AS quote_cents FROM priced WHERE g = {REF_G}
+    ),
+    diffs AS (
+      SELECT /*+ BROADCAST(q) */ p.brand, p.g,
+             ABS(CAST(p.call_cents - q.quote_cents AS BIGINT)) AS adiff
+      FROM priced p JOIN quote q ON q.brand = p.brand
+    ),
+    best AS (
+      SELECT brand, MIN(adiff) AS mn FROM diffs GROUP BY brand
+    )
+    SELECT /*+ BROADCAST(b) */ d.brand,
+           CAST(MIN(d.g) AS BIGINT) AS implied_vol_pct,
+           CAST(b.mn AS BIGINT) AS abs_repricing_error_cents
+    FROM diffs d JOIN best b ON b.brand = d.brand AND b.mn = d.adiff
+    GROUP BY d.brand, b.mn
+    ORDER BY d.brand
+    """
+    )
 
 
 # ---------------------------------------------------------------------------

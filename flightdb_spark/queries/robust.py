@@ -174,9 +174,66 @@ def q462_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     division per group per iteration. Iteration state is a 5-row
     scalar table joined back — bounded, the q306 iterative-fit shape.
     GREATEST(k, 1e-9) pins the degenerate MAD=0 class to its median
-    instead of 0/0."""
+    instead of 0/0.
+
+    r10 P3 staging: under Catalyst inlining every it{{k}} reference
+    re-expanded the whole prior chain (12 duplicate orders scans in
+    the static plan — each iteration's weight join re-ran every
+    earlier iteration). The chain now runs SEQUENTIALLY with each
+    <= 5-row iteration state checkpointed (the q306/q812 bounded-state
+    shape), so the corpus is scanned once per IRLS pass and never
+    re-expanded; every per-row expression is textually identical to
+    the oracle's."""
     _views(spark, sf_dir, "orders")
-    return spark.sql(_HUBER_SQL)
+    spark.sql(
+        f"SELECT o_orderpriority AS p, {CENTS} AS x FROM orders"
+    ).createOrReplaceTempView("huber_vals")
+    it0 = spark.sql(
+        "SELECT p, CAST(MEDIAN(x) AS DOUBLE) AS mu FROM huber_vals GROUP BY p"
+    ).localCheckpoint(eager=True)
+    it0.createOrReplaceTempView("huber_it0")
+    kk = spark.sql(
+        f"""
+        SELECT p, GREATEST(CAST({HUBER_K} AS DOUBLE) * mad,
+                           CAST(0.000000001 AS DOUBLE)) AS k
+        FROM (
+          SELECT v.p, CAST(MEDIAN(ABS(v.x - m.mu)) AS DOUBLE) AS mad
+          FROM huber_vals v JOIN huber_it0 m ON m.p = v.p GROUP BY v.p
+        )"""
+    ).localCheckpoint(eager=True)
+    kk.createOrReplaceTempView("huber_kk")
+    prev = "huber_it0"
+    for i in range(1, IRLS_ITERS + 1):
+        it = spark.sql(
+            f"""
+            SELECT p,
+                   CAST(SUM(CAST(ROUND(w * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS mu
+            FROM (
+              SELECT /*+ BROADCAST(t, kk) */ v.p, v.x,
+                     CASE WHEN ABS(v.x - t.mu) <= kk.k THEN CAST(1.0 AS DOUBLE)
+                          ELSE kk.k / ABS(v.x - t.mu) END AS w
+              FROM huber_vals v JOIN {prev} t ON t.p = v.p
+              JOIN huber_kk kk ON kk.p = v.p
+            ) GROUP BY p"""
+        ).localCheckpoint(eager=True)
+        it.createOrReplaceTempView(f"huber_it{i}")
+        prev = f"huber_it{i}"
+    return spark.sql(
+        f"""
+        WITH stats AS (
+          SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean_c
+          FROM huber_vals GROUP BY p
+        )
+        SELECT /*+ BROADCAST(m, t) */ s.p AS o_orderpriority, s.n,
+               ROUND(m.mu / CAST(100 AS DOUBLE), 4) AS median_price,
+               ROUND(t.mu / CAST(100 AS DOUBLE), 4) AS huber_mean,
+               ROUND(s.mean_c / CAST(100 AS DOUBLE), 4) AS plain_mean
+        FROM stats s
+        JOIN huber_it0 m ON m.p = s.p
+        JOIN {prev} t ON t.p = s.p"""
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -241,9 +241,28 @@ def q568_blocked_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic start offsets; per replicate the day-slot count,
     distinct-day coverage, and multiplicity-weighted sampled rows.
     The block->day expansion is a bounded range join on the day
-    spine (<=50 blocks x 7 days); the corpus is touched once."""
+    spine (<=50 blocks x 7 days); the corpus is touched once.
+
+    r10 P3 staging: `idxd` (the calendar-bounded day spine) is
+    referenced by meta, blockno and covered — and meta itself 3x —
+    each re-running the corpus day aggregate under Catalyst inlining
+    (10 duplicate events scans in the static plan). ONE corpus pass
+    checkpoints the spine; the staged SQL swaps only the WITH-head
+    (oracle keeps the one-statement form)."""
     _views(spark, sf_dir)
-    return spark.sql(_bootstrap_sql("spark"))
+    full = _bootstrap_sql("spark")
+    head = f"WITH {_day_spine('spark')},"
+    assert head in full, "q568: day-spine head drifted"
+    idxd = spark.sql(
+        f"WITH {_day_spine('spark')} SELECT d, n_rows, idx, n_days FROM idxd"
+    ).localCheckpoint(eager=True)
+    idxd.createOrReplaceTempView("splits_idxd_mv")
+    staged = full.replace(
+        head,
+        "WITH idxd AS (SELECT d, n_rows, idx, n_days FROM splits_idxd_mv),",
+        1,
+    )
+    return spark.sql(staged)
 
 
 # ---------------------------------------------------------------------------

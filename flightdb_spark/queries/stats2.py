@@ -180,7 +180,17 @@ def q338_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w")
         .localCheckpoint()
     )
-    stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("nt"))
+    # r10 P3 staging: stot (per-source totals, <= #sources rows) was
+    # referenced by freq AND grid, and z's grid pipeline was referenced
+    # by BOTH pair sides — each reference re-ran the token explode under
+    # Catalyst inlining (12 duplicate documents scans in the static
+    # plan). Checkpoint the two bounded tables (stot, z) so the corpus
+    # is exploded exactly twice (topw census + freq counts).
+    stot = (
+        toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .localCheckpoint(eager=True)
+    )
     freq = (
         toks.join(F.broadcast(topw), "w")
         .groupBy("source", "w")
@@ -212,6 +222,9 @@ def q338_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("s2") / F.col("k") - m * m + 1e-12)
         ).alias("zval"),
     )
+    # bounded: DELTA_WORDS x #sources rows; the pair self-join below
+    # reads the checkpoint twice instead of the corpus pipeline twice
+    z = z.localCheckpoint(eager=True)
     za = z.select(
         F.col("source").alias("src_a"), "w", F.col("zval").alias("z_a")
     )
@@ -222,7 +235,7 @@ def q338_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         za.join(
-            zb,
+            F.broadcast(zb),
             (F.col("w") == F.col("wb")) & (F.col("src_a") < F.col("src_b")),
         )
         .groupBy("src_a", "src_b")

@@ -291,6 +291,29 @@ def q996_metric_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram metric as the blocking filter for the expensive one.
     NOTE the pair-of-pairs join is quadratic in the PAIR table — the
     declared exact-anchor pattern (q46 class): fine at the bounded
-    test SFs, and the statistic subsamples trivially at fleet scale."""
+    test SFs, and the statistic subsamples trivially at fleet scale.
+
+    r10 P3 staging: `feat` feeds BOTH sides of the pair-of-pairs
+    join, and each side re-ran the whole pair + Levenshtein + trigram
+    pipeline under Catalyst inlining (10 duplicate documents scans in
+    the static plan — the Levenshtein pass computed twice). ONE
+    corpus pass checkpoints the bounded pair-feature table; the
+    self-join reads the checkpoint twice with an explicit broadcast
+    (LogicalRDD default size estimate blocks auto-broadcast — the
+    q645 lesson). Oracle keeps the one-statement form."""
     _views(spark, sf_dir)
-    return spark.sql(_q996_sql("spark"))
+    full = _q996_sql("spark")
+    marker = ",\n    pairs2 AS ("
+    head, sep, tail = full.partition(marker)
+    assert sep, "q996: feat CTE marker drifted"
+    feat = spark.sql(
+        head + "\n    SELECT id_a, id_b, e_num, e_den, j_num, j_den FROM feat"
+    ).localCheckpoint(eager=True)
+    feat.createOrReplaceTempView("stringsim_feat_mv")
+    assert "SELECT CASE WHEN" in tail, "q996: pairs2 SELECT drifted"
+    staged = (
+        "\n    WITH feat AS (SELECT * FROM stringsim_feat_mv),\n    pairs2 AS ("
+        + tail.replace("SELECT CASE WHEN",
+                       "SELECT /*+ BROADCAST(y) */ CASE WHEN", 1)
+    )
+    return spark.sql(staged)

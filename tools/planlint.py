@@ -223,6 +223,68 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+# BroadcastNestedLoopJoin nodes whose ExistingRDD input is PROVABLY
+# bounded (a checkpointed aggregate whose row count is fixed by the
+# value domain / calendar, not corpus size) AND whose join is an
+# intentional bounded cross/non-equi join. Every entry must say why.
+BNLJ_EXISTINGRDD_ALLOWED: set[str] = set()
+
+
+def _bnlj_over_existing_rdd(plan: str) -> bool:
+    """True when a BroadcastNestedLoopJoin node has a Scan ExistingRDD
+    anywhere in its subtree (tree-indent scan over the executedPlan
+    toString): the signature of a staged localCheckpoint view feeding a
+    nested-loop join because its LogicalRDD size estimate blocked the
+    hash/broadcast strategies."""
+    lines = plan.split("\n")
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d = depth(line)
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            if "Scan ExistingRDD" in nxt:
+                return True
+    return False
+
+
+class lazy_checkpoints:
+    """Context manager: force every DataFrame.localCheckpoint to
+    eager=False while building plans for LINTING.
+
+    The staged queries checkpoint bounded tables eagerly inside their
+    fn(), so a registry-wide plan sweep used to EXECUTE every staging
+    job (the r9 full-suite planlint/pytest gate ran for the better part
+    of an hour — the driver's pytest window expired at 6%). A lazy
+    checkpoint still wraps the plan in the same LogicalRDD node, so the
+    executed-plan STRING the lint inspects is shape-identical (verified:
+    Scan ExistingRDD present, join strategies unchanged) while no
+    staging job runs. Only valid for plan inspection — never for
+    executing results."""
+
+    def __enter__(self):
+        import pyspark.sql
+
+        self._orig = pyspark.sql.DataFrame.localCheckpoint
+
+        def _lazy(df, eager=True):  # noqa: ARG001 - signature mirror
+            return self._orig(df, eager=False)
+
+        pyspark.sql.DataFrame.localCheckpoint = _lazy
+        return self
+
+    def __exit__(self, *exc):
+        import pyspark.sql
+
+        pyspark.sql.DataFrame.localCheckpoint = self._orig
+        return False
+
+
 def _windowspec_args(plan: str) -> list[list[str]]:
     """Top-level comma-split args of every windowspecdefinition(...) in
     the plan string (balanced-paren scan — frame specs nest two deep,
@@ -282,8 +344,9 @@ def lint(sf_dir: str) -> int:
     failures = []
     for name, qd in sorted(reg.items()):
         try:
-            df = qd.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            with lazy_checkpoints():
+                df = qd.fn(spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover - lint harness guard
             failures.append((name, f"explain failed: {exc}"))
             continue
@@ -291,6 +354,19 @@ def lint(sf_dir: str) -> int:
             failures.append((name, "CartesianProduct in plan"))
         if "BatchEvalPython" in plan:
             failures.append((name, "row-at-a-time Python UDF (BatchEvalPython)"))
+        # r10 (r9 VERDICT item 4): a localCheckpoint's LogicalRDD reports
+        # the default (huge) size estimate, so auto-broadcast never fires
+        # downstream of a staged view — q645 silently planned a
+        # CartesianProduct until a manual hint was added. A
+        # BroadcastNestedLoopJoin fed by a Scan ExistingRDD is the same
+        # hazard one notch earlier (at scale the "broadcast" side is the
+        # unbounded one); flag the combination so the q645 class cannot
+        # recur silently. A hinted BroadcastHashJoin never matches this.
+        if name not in BNLJ_EXISTINGRDD_ALLOWED and _bnlj_over_existing_rdd(plan):
+            failures.append(
+                (name, "BroadcastNestedLoopJoin over Scan ExistingRDD "
+                       "(unhinted staged view — q645 hazard class)")
+            )
         # global window: windowspecdefinition(args..., frame) whose args
         # before the frame are ONLY order specs (`col ASC/DESC ...`) —
         # a partitioned window lists at least one bare partition column

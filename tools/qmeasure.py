@@ -46,7 +46,7 @@ def main() -> int:
     spark = get_spark("qmeasure")
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r09",
+        "plans", os.environ.get("QMEASURE_ROUND", "r10"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 

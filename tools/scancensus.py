@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flightdb_spark.queries import load_registry
 from flightdb_spark.session import get_spark
+from tools.planlint import lazy_checkpoints
 
 
 def main() -> int:
@@ -36,10 +37,13 @@ def main() -> int:
         if prefixes and not name.startswith(prefixes):
             continue
         try:
-            df = q.fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # lazy checkpoints: census the plan shapes without running
+            # every staging job (see tools/planlint.lazy_checkpoints)
+            with lazy_checkpoints():
+                df = q.fn(spark, sf_dir)
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
         except Exception as e:  # noqa: BLE001 - census must not die mid-sweep
             rows.append((name, -1, -1, -1, -1, -1, f"ERR:{type(e).__name__}"))
             continue
